@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet fixture readers for the shared test tables (TESTDATA.md).
+  *
+  * All engine queries take an `sfDir` (e.g. /root/testdata/sf0.01) and read
+  * one parquet file per table. Reads are plain `spark.read.parquet` so
+  * Catalyst keeps full pushdown/pruning freedom — callers project and filter
+  * declaratively and the parquet scan receives `PushedFilters`/`ReadSchema`.
+  *
+  * At cluster scale the same call works on a directory of many files; nothing
+  * here assumes a single file.
+  */
+object Tables {
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects. Read it as raw nanos
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a micros
+    * TimestampType column (the fixture has no sub-microsecond components, so
+    * the conversion is lossless). */
+  private def eventsWithTs(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+
+  def region(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = apply(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame    = eventsWithTs(spark, dir)
+  def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+}
