@@ -74,11 +74,155 @@ object Relational {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** T12 (etl_infrastructure.py:189-232 + config.json): the week→date
+    * enrichment the reference stubbed out with constants, done for real:
+    * join the period dimension (here nation/region stand in as the broadcast
+    * dims) and compute initial/last dates by date arithmetic. nation and
+    * region are broadcast — at 100 TB the fact side streams map-side with no
+    * shuffle for those joins; the orders⋈customer join shuffles on the key. */
+  def weekDateEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val weekNo = (col("o_orderkey") % 4 + 1).cast("int")
+    val start = col("o_orderdate").cast("date")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("o_orderkey"), col("n_name"), weekNo.as("week_no"),
+        // dates surfaced as timestamps: parquet DATE and DuckDB DATE reach
+        // pandas as different types (date vs Timestamp) in the compare
+        date_add(start, (weekNo - 1) * 7).cast("timestamp").as("initial_date"),
+        date_add(start, weekNo * 7 - 1).cast("timestamp").as("last_date"))
+      .orderBy("o_orderkey")
+  }
+
+  val weekDateEnrichSql: String =
+    """SELECT o_orderkey, n_name,
+      |  CAST(o_orderkey % 4 + 1 AS INT) AS week_no,
+      |  CAST(CAST(o_orderdate AS DATE) + CAST((o_orderkey % 4) * 7 AS INT) AS TIMESTAMP) AS initial_date,
+      |  CAST(CAST(o_orderdate AS DATE) + CAST((o_orderkey % 4 + 1) * 7 - 1 AS INT) AS TIMESTAMP) AS last_date
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Top-k per group via ranking window (the reference has no top-k; this is
+    * the engine-surface staple). Ties broken by key for determinism. */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  val topkPerGroupSql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_orderpriority
+      |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin
+
+  /** A2/A4 (etl_pipeline.py:77-122): group-collect with pinned in-group
+    * order + delimiter fold, over the documents dimensions. */
+  def groupCollectSorted(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        array_join(transform(sort_array(collect_list(col("doc_id"))), _.cast("string")), ",").as("ids"))
+      .orderBy("lang", "source")
+
+  val groupCollectSortedSql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  STRING_AGG(doc_id, ',' ORDER BY doc_id) AS ids
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  /** A5 (etl_courses.py:17): count processed rows. */
+  def countAll(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(count(lit(1)).as("n_rows"))
+
+  val countAllSql: String = "SELECT COUNT(*) AS n_rows FROM lineitem"
+
+  /** S5 (etl_infrastructure.py:160-166): point lookup by id column — real,
+    * unlike the reference's filename-glob that can never match (SURVEY §7.3).
+    * At scale the predicate is pushed into the parquet scan. */
+  def findById(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") === 42)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+
+  val findByIdSql: String =
+    "SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id = 42"
+
+  /** S6 (etl_infrastructure.py:168-170): the stubbed find_by_period, real:
+    * range predicate over the date column, pushed to the scan. */
+  def findByPeriod(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1996-01-01")))
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  val findByPeriodSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** TPC-H-Q5-shaped multi-join revenue rollup: fact-fact shuffle join on
+    * the order key, dimension joins broadcast, exact decimal revenue. */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    val revenue = (col("l_extendedprice").cast(DecimalType(12, 2)) *
+      (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum(revenue).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val revenueByNationSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "calendar_weekly" -> (calendarWeekly _),
-    "pricing_summary" -> (pricingSummary _))
+    "pricing_summary" -> (pricingSummary _),
+    "week_date_enrich" -> (weekDateEnrich _),
+    "topk_per_group" -> (topkPerGroup _),
+    "group_collect_sorted" -> (groupCollectSorted _),
+    "count_all" -> (countAll _),
+    "find_by_id" -> (findById _),
+    "find_by_period" -> (findByPeriod _),
+    "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
     "calendar_weekly" -> calendarWeeklySql,
-    "pricing_summary" -> pricingSummarySql)
+    "pricing_summary" -> pricingSummarySql,
+    "week_date_enrich" -> weekDateEnrichSql,
+    "topk_per_group" -> topkPerGroupSql,
+    "group_collect_sorted" -> groupCollectSortedSql,
+    "count_all" -> countAllSql,
+    "find_by_id" -> findByIdSql,
+    "find_by_period" -> findByPeriodSql,
+    "revenue_by_nation" -> revenueByNationSql)
 }
