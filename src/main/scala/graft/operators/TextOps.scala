@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.PolyHash
+
+/** Shared columnar text primitives for the text-analysis / dedup operators.
+  * All pure `Column` builders (codegen-friendly, no UDFs) so they fuse into
+  * whole-stage codegen and scale linearly with input — the per-document
+  * work is embarrassingly parallel, there is no shuffle in any of these.
+  */
+object TextOps {
+
+  /** Whitespace tokens, empties dropped (reference split discipline,
+    * etl_pipeline.py:311-314). */
+  def words(text: Column): Column =
+    filter(split(text, " "), w => w =!= "")
+
+  /** Distinct polynomial hashes of the distinct tokens. */
+  def wordHashes(text: Column): Column =
+    transform(array_distinct(words(text)), w => PolyHash.hash(w))
+
+  /** Distinct hashes of overlapping 3-word shingles. Caller must guarantee
+    * >= 3 words (sequence(1, n-2) would run descending otherwise). */
+  def shingleHashes(ws: Column): Column =
+    array_distinct(transform(
+      transform(sequence(lit(1), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))),
+      g => PolyHash.hash(g)))
+
+  /** Seeded MinHash permutations: (a, b) pairs with a, b < 1e9 so
+    * `a*h + b` stays in int64 (h < 1e9+7). Fixed constants — the DuckDB
+    * oracles embed the same literals. */
+  val MinhashSeeds: Seq[(Long, Long)] = Seq(
+    (961748941L, 68718952L), (824633761L, 90000049L),
+    (715827883L, 13466917L), (536870923L, 20996011L),
+    (479001599L, 30402457L), (370248451L, 25964951L),
+    (268435459L, 24036583L), (104857601L, 32582657L))
+
+  /** min over the hash set of one seeded permutation. */
+  def minhash(hs: Column, a: Long, b: Long): Column =
+    array_min(transform(hs, h => (h * a + b) % PolyHash.Mod))
+
+  /** LSH band key: mod-chained fold of the band's minhash values
+    * (`((mh0*31 + mh1) % M ...)`), keeping everything in int64. */
+  def bandKey(hs: Column, seeds: Seq[(Long, Long)]): Column =
+    seeds.tail.foldLeft(minhash(hs, seeds.head._1, seeds.head._2)) {
+      case (acc, (a, b)) => (acc * 31 + minhash(hs, a, b)) % PolyHash.Mod
+    }
+
+  /** 32-bit SimHash over a hash set: bit j set iff the +1/-1 vote of bit j
+    * across all member hashes is positive. Bit extraction uses
+    * `floor(h / 2^j) % 2` — exact in double for h < 2^53 — mirroring the
+    * oracle's `(h >> j) & 1`. */
+  def simhash32(hs: Column): Column =
+    aggregate(
+      sequence(lit(0), lit(31)),
+      lit(0L),
+      (acc, j) => {
+        val bitOf = (h: Column) => pmod(floor(h / pow(lit(2.0), j)).cast("long"), lit(2L))
+        val vote = aggregate(hs, lit(0L), (s, h) => s + when(bitOf(h) === 1, 1L).otherwise(-1L))
+        acc + when(vote > 0, pow(lit(2.0), j).cast("long")).otherwise(0L)
+      })
+}

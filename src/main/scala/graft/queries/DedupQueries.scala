@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextOps}
+import graft.sources.Tables
+
+/** Dedup operator queries over `documents`, each with a DuckDB oracle that
+  * rebuilds the identical hash math in pure SQL (poly_hash → list_reduce
+  * over ascii codes; same minhash seed literals), so the whole
+  * MinHash/SimHash/LSH pipeline is differentially tested — not just
+  * rows-counted.
+  */
+object DedupQueries {
+  private val M = graft.functions.PolyHash.Mod
+  private val A = TextOps.MinhashSeeds.map(_._1)
+  private val B = TextOps.MinhashSeeds.map(_._2)
+
+  /** Shared oracle CTE: distinct 3-shingle poly-hashes per doc. */
+  private val shingleCte: String =
+    s"""w AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+       |      g -> list_reduce(list_prepend(0::BIGINT, list_transform(string_split(g,''), c -> ascii(c)::BIGINT)),
+       |                       (a,b) -> (a*31+b) % $M))) AS hs
+       |  FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x != '') AS ws FROM documents)
+       |  WHERE len(ws) >= 3)""".stripMargin
+
+  private def mhSql(i: Int): String =
+    s"list_min(list_transform(hs, h -> (h*${A(i)} + ${B(i)}) % $M))"
+
+  private def bandKeySql(idx: Seq[Int]): String =
+    idx.tail.foldLeft(mhSql(idx.head)) { (acc, i) => s"(($acc) * 31 + ${mhSql(i)}) % $M" }
+
+  /** Exact dedup (hash-groupBy on the full payload). */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(spark, dir), "doc_id", "text").orderBy("keeper")
+
+  val dedupExactSql: String =
+    "SELECT min(doc_id) AS keeper, COUNT(*) AS n_copies FROM documents GROUP BY text ORDER BY keeper"
+
+  /** MinHash signatures (8 seeded permutations over shingle hashes). */
+  def minhashSig(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(Tables.documents(spark, dir), "doc_id", "text").orderBy("doc_id")
+
+  val minhashSigSql: String = {
+    val cols = (0 until 8).map(i => s"  ${mhSql(i)} AS mh$i").mkString(",\n")
+    s"WITH $shingleCte\nSELECT doc_id,\n$cols\nFROM w ORDER BY doc_id"
+  }
+
+  /** LSH candidate pairs (2 bands x 4 rows). */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.lshCandidatePairs(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_a", "doc_b")
+
+  val minhashPairsSql: String =
+    s"""WITH $shingleCte,
+       |bands AS (
+       |  SELECT doc_id, 0 AS j, ${bandKeySql(Seq(0, 1, 2, 3))} AS key FROM w
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS j, ${bandKeySql(Seq(4, 5, 6, 7))} AS key FROM w)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** 32-bit SimHash over the distinct word-hash set. */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashes(Tables.documents(spark, dir), "doc_id", "text").orderBy("doc_id")
+
+  val simhashSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    list_transform(list_distinct(list_filter(string_split(text,' '), x -> x != '')),
+       |      w -> list_reduce(list_prepend(0::BIGINT, list_transform(string_split(w,''), c -> ascii(c)::BIGINT)),
+       |                       (a,b) -> (a*31+b) % $M)) AS hs
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(list_sum(list_transform(range(0,32), j -> CASE WHEN
+       |    list_sum(list_transform(hs, h -> CASE WHEN ((h // (1::BIGINT << j)) % 2) = 1 THEN 1 ELSE -1 END)) > 0
+       |    THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash
+       |FROM w ORDER BY doc_id""".stripMargin
+
+  /** n-gram Jaccard near-dup pairs, blocked on (lang, n_chars // 64). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
+        "lang", "n_chars", threshold = 0.12)
+      .orderBy("doc_a", "doc_b")
+
+  val ngramJaccardSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, lang, n_chars // 64 AS bucket,
+      |    list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
+      |  FROM (SELECT doc_id, lang, n_chars, list_filter(string_split(text,' '), x -> x != '') AS ws FROM documents)
+      |  WHERE len(ws) >= 3)
+      |SELECT doc_a, doc_b, jacc FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / len(list_distinct(list_concat(a.grams, b.grams))) AS jacc
+      |  FROM g a JOIN g b ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id) t
+      |WHERE jacc >= 0.12 ORDER BY doc_a, doc_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash_sig" -> (minhashSig _),
+    "dedup_minhash_pairs" -> (minhashPairs _),
+    "dedup_simhash" -> (simhash _),
+    "dedup_ngram_jaccard" -> (ngramJaccard _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_minhash_sig" -> minhashSigSql,
+    "dedup_minhash_pairs" -> minhashPairsSql,
+    "dedup_simhash" -> simhashSql,
+    "dedup_ngram_jaccard" -> ngramJaccardSql)
+}

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PolyHash
+import graft.sources.Tables
+
+/** Text-analysis operators over `documents` (SURVEY north-star): token
+  * counting, language-ID heuristic, quality scoring, fingerprinting.
+  * All single-pass, shuffle-free, codegen-friendly column math — at 100 TB
+  * these run at scan speed.
+  */
+object TextQueries {
+
+  /** Token counting: whitespace tokens + BPE-ish regex runs. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+        regexp_count(col("text"), lit("[a-z]+")).as("n_alpha_runs"),
+        col("n_chars"))
+      .orderBy("doc_id")
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_runs,
+      |  n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val enRx = "\\b(the|a|an|of)\\b"
+  private val esRx = "\\b(el|la|los|de)\\b"
+  private val deRx = "\\b(der|die|das|und)\\b"
+
+  /** Language-ID heuristic: stopword-marker counts per language, argmax. */
+  def langIdHeuristic(spark: SparkSession, dir: String): DataFrame = {
+    val sEn = regexp_count(col("text"), lit(enRx))
+    val sEs = regexp_count(col("text"), lit(esRx))
+    val sDe = regexp_count(col("text"), lit(deRx))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), sEn.as("s_en"), sEs.as("s_es"), sDe.as("s_de"))
+      .withColumn("pred_lang",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
+          .when(col("s_es") >= col("s_de"), "es")
+          .otherwise("de"))
+      .orderBy("doc_id")
+  }
+
+  val langIdHeuristicSql: String =
+    s"""SELECT doc_id, s_en, s_es, s_de,
+       |  CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+       |       WHEN s_es >= s_de THEN 'es'
+       |       ELSE 'de' END AS pred_lang
+       |FROM (SELECT doc_id,
+       |  len(regexp_extract_all(text, '\\b(the|a|an|of)\\b')) AS s_en,
+       |  len(regexp_extract_all(text, '\\b(el|la|los|de)\\b')) AS s_es,
+       |  len(regexp_extract_all(text, '\\b(der|die|das|und)\\b')) AS s_de
+       |FROM documents) t ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: length/stopword-ratio composite. The arithmetic is
+    * written with the identical operation tree on both engines so the
+    * doubles are bit-equal. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        size(org.apache.spark.sql.functions.filter(split(col("text"), " "), w => w =!= "")).as("n_tokens"),
+        regexp_count(col("text"), lit(enRx)).as("n_stop"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (length(col("text")).cast("double") / col("n_tokens")).as("avg_token_len"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+        (least(col("n_tokens") / lit(50.0), lit(1.0)) * 0.5 +
+          (col("n_stop").cast("double") / col("n_tokens")) * 0.5).as("quality"))
+      .orderBy("doc_id")
+
+  val qualityScoreSql: String =
+    """SELECT doc_id, n_tokens,
+      |  CAST(len(text) AS DOUBLE) / n_tokens AS avg_token_len,
+      |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+      |  least(n_tokens / 50.0, 1.0) * 0.5 + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5 AS quality
+      |FROM (SELECT doc_id, text,
+      |  len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+      |  len(regexp_extract_all(text, '\b(the|a|an|of)\b')) AS n_stop
+      |FROM documents) t ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprint via the native poly_hash expression (codegen'd);
+    * oracle rebuilds the same rolling hash with list_reduce. */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), PolyHash.hash(col("text")).as("fp"), col("n_chars"))
+      .orderBy("doc_id")
+
+  val docFingerprintSql: String =
+    s"""SELECT doc_id,
+       |  list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text,''), c -> ascii(c)::BIGINT)),
+       |              (a,b) -> (a*31+b) % ${PolyHash.Mod}) AS fp,
+       |  n_chars
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "token_count" -> (tokenCount _),
+    "lang_id_heuristic" -> (langIdHeuristic _),
+    "quality_score" -> (qualityScore _),
+    "doc_fingerprint" -> (docFingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "token_count" -> tokenCountSql,
+    "lang_id_heuristic" -> langIdHeuristicSql,
+    "quality_score" -> qualityScoreSql,
+    "doc_fingerprint" -> docFingerprintSql)
+}
