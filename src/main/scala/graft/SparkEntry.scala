@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupQueries, Parsing, Relational, TextQueries}
+import graft.queries.{DedupQueries, Parsing, Relational, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +18,8 @@ object SparkEntry {
       (Relational.queries, Relational.oracles),
       (Parsing.queries, Parsing.oracles),
       (TextQueries.queries, TextQueries.oracles),
-      (DedupQueries.queries, DedupQueries.oracles))
+      (DedupQueries.queries, DedupQueries.oracles),
+      (SimilarityQueries.queries, SimilarityQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
