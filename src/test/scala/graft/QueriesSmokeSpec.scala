@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke over the shared sf0.001 fixtures: every declared query runs and
+  * yields a sane shape. Value-level parity is the driver's DuckDB diff
+  * (tools/diff.py locally); this guards compilation/runtime regressions. */
+class QueriesSmokeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** pair-producing queries may legitimately be empty at tiny scale */
+  private val mayBeEmpty = Set("dedup_ngram_jaccard", "embed_neardup_pairs", "dedup_minhash_pairs")
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(TestSpark.spark).count() > 0)
+  }
+
+  test("every oracle key has a query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"query $name runs at sf0.001") {
+      val df = fn(spark, dir)
+      assert(df.columns.nonEmpty)
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+}
