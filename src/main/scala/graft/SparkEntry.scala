@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupQueries, Parsing, Relational, SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, MediaStreamQueries, Parsing, Relational, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,8 @@ object SparkEntry {
       (Parsing.queries, Parsing.oracles),
       (TextQueries.queries, TextQueries.oracles),
       (DedupQueries.queries, DedupQueries.oracles),
-      (SimilarityQueries.queries, SimilarityQueries.oracles))
+      (SimilarityQueries.queries, SimilarityQueries.oracles),
+      (MediaStreamQueries.queries, MediaStreamQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

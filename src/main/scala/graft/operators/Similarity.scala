@@ -56,7 +56,7 @@ object Similarity {
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col(id).asc)
     e.join(broadcast(q), col(id) =!= col("q_id"))
       .select(col("q_id"), col(id), cosine(col("qv"), col("v")).as("sim"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
   }
 
@@ -71,7 +71,7 @@ object Similarity {
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col(id).asc)
     e.join(broadcast(q), col("bucket") === col("q_bucket") && col(id) =!= col("q_id"))
       .select(col("q_id"), col(id), cosine(col("qv"), col("v")).as("sim"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
   }
 

@@ -54,7 +54,7 @@ object Parsing {
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
-        size(words).as("n_words"),
+        size(words).cast("bigint").as("n_words"),
         array_join(words, "|").as("words_joined"))
       .orderBy("doc_id")
   }
@@ -146,7 +146,7 @@ object Parsing {
     val a2 = regexp_extract(col("text"), "slow ([a-z]+)", 1)
     val areas = filter(array(a1, a2), x => x =!= "")
     Tables.documents(spark, dir)
-      .select(col("doc_id"), array_join(areas, ",").as("areas"), size(areas).as("n_areas"))
+      .select(col("doc_id"), array_join(areas, ",").as("areas"), size(areas).cast("bigint").as("n_areas"))
       .orderBy("doc_id")
   }
 
@@ -184,7 +184,7 @@ object Parsing {
   def headerRowAntifilter(spark: SparkSession, dir: String): DataFrame = {
     val words = split(col("text"), " ")
     Tables.documents(spark, dir)
-      .select(col("doc_id"), element_at(words, 1).as("first_word"), size(words).as("n_cells"))
+      .select(col("doc_id"), element_at(words, 1).as("first_word"), size(words).cast("bigint").as("n_cells"))
       .filter(col("n_cells") >= 4 && col("first_word") =!= "the")
       .orderBy("doc_id")
   }

@@ -114,7 +114,7 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     Tables.orders(spark, dir)
       .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
       .filter(col("rn") <= 3)
       .orderBy("o_orderpriority", "rn")
   }

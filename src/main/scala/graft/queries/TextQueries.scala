@@ -18,8 +18,8 @@ object TextQueries {
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
-        regexp_count(col("text"), lit("[a-z]+")).as("n_alpha_runs"),
+        size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tokens"),
+        regexp_count(col("text"), lit("[a-z]+")).cast("bigint").as("n_alpha_runs"),
         col("n_chars"))
       .orderBy("doc_id")
 
@@ -40,7 +40,7 @@ object TextQueries {
     val sEs = regexp_count(col("text"), lit(esRx))
     val sDe = regexp_count(col("text"), lit(deRx))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), sEn.as("s_en"), sEs.as("s_es"), sDe.as("s_de"))
+      .select(col("doc_id"), sEn.cast("bigint").as("s_en"), sEs.cast("bigint").as("s_es"), sDe.cast("bigint").as("s_de"))
       .withColumn("pred_lang",
         when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
           .when(col("s_es") >= col("s_de"), "es")
@@ -65,7 +65,7 @@ object TextQueries {
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),
-        size(org.apache.spark.sql.functions.filter(split(col("text"), " "), w => w =!= "")).as("n_tokens"),
+        size(org.apache.spark.sql.functions.filter(split(col("text"), " "), w => w =!= "")).cast("bigint").as("n_tokens"),
         regexp_count(col("text"), lit(enRx)).as("n_stop"))
       .select(
         col("doc_id"), col("n_tokens"),

@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingCalendar
+
+final case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Structured Streaming: the streaming plan must produce exactly the batch
+  * results (same code path), and stateful ops must accumulate across
+  * micro-batches. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def fixtureEvents(n: Int): Seq[Ev] = {
+    val raw = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .limit(n).collect()
+    raw.map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4))).toSeq
+  }
+
+  test("streaming weekly window aggregation equals the batch plan") {
+    implicit val sq = spark.sqlContext
+    val events = fixtureEvents(400)
+    val stream = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
+    stream.addData(events)
+
+    val q = StreamingCalendar.weeklyTypeCounts(stream.toDF())
+      .writeStream.format("memory").queryName("weekly_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("weekly_out")
+      .orderBy("window_start", "event_type").collect().toSeq
+    val batch = StreamingCalendar.weeklyTypeCounts(
+        spark.createDataset(events)(Encoders.product[Ev]).toDF())
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("mapGroupsWithState accumulates across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val events = fixtureEvents(100)
+    val (first, second) = events.splitAt(50)
+    val stream = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
+
+    val q = StreamingCalendar.userRunningCounts(stream.toDF())
+      .writeStream.format("memory").queryName("running_out")
+      .outputMode("update").start()
+    try {
+      stream.addData(first)
+      q.processAllAvailable()
+      stream.addData(second)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // last emitted state per user must equal the total count over all data
+    val last = spark.table("running_out")
+      .groupBy("user_id").agg(max("n_events").as("n_events"))
+    val expected = spark.createDataset(events)(Encoders.product[Ev])
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    val mismatch = last.as("a").join(expected.as("b"), Seq("user_id"))
+      .filter(col("a.n_events") =!= col("b.n_events")).count()
+    assert(mismatch === 0)
+    assert(last.count() === expected.count())
+  }
+}
