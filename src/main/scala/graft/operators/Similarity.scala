@@ -52,10 +52,13 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, id: String, vec: String,
       queryPred: Column, k: Int): DataFrame = {
     val e = corpus.select(col(id), toDoubleVec(col(vec)).as("v"))
-    val q = e.filter(queryPred).select(col(id).as("q_id"), col("v").as("qv"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val q = e.filter(queryPred)
+      .select(col(id).as("q_id"), col("v").as("qv"), col("nrm").as("q_nrm"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col(id).asc)
     e.join(broadcast(q), col(id) =!= col("q_id"))
-      .select(col("q_id"), col(id), cosine(col("qv"), col("v")).as("sim"))
+      .select(col("q_id"), col(id),
+        (dot(col("qv"), col("v")) / (col("q_nrm") * col("nrm"))).as("sim"))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
   }
@@ -65,12 +68,16 @@ object Similarity {
   def lshTopK(corpus: DataFrame, id: String, vec: String,
       queryPred: Column, k: Int): DataFrame = {
     val e = corpus.select(col(id), toDoubleVec(col(vec)).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .withColumn("bucket", lshBucket(col("v")))
+      .cache() // materialize the index relation once (see Dedup on collapse)
     val q = e.filter(queryPred)
-      .select(col(id).as("q_id"), col("v").as("qv"), col("bucket").as("q_bucket"))
+      .select(col(id).as("q_id"), col("v").as("qv"), col("nrm").as("q_nrm"),
+        col("bucket").as("q_bucket"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col(id).asc)
     e.join(broadcast(q), col("bucket") === col("q_bucket") && col(id) =!= col("q_id"))
-      .select(col("q_id"), col(id), cosine(col("qv"), col("v")).as("sim"))
+      .select(col("q_id"), col(id),
+        (dot(col("qv"), col("v")) / (col("q_nrm") * col("nrm"))).as("sim"))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
   }
@@ -79,11 +86,13 @@ object Similarity {
   def nearDupPairs(corpus: DataFrame, id: String, vec: String,
       threshold: Double): DataFrame = {
     val e = corpus.select(col(id), toDoubleVec(col(vec)).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .withColumn("bucket", lshBucket(col("v")))
+      .cache() // materialize once; both self-join sides reuse it
     e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"),
-        cosine(col("a.v"), col("b.v")).as("sim"))
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }

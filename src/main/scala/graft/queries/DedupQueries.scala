@@ -89,16 +89,20 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
 
   val ngramJaccardSql: String =
-    """WITH g AS (
-      |  SELECT doc_id, lang, n_chars // 64 AS bucket,
-      |    list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
-      |  FROM (SELECT doc_id, lang, n_chars, list_filter(string_split(text,' '), x -> x != '') AS ws FROM documents)
-      |  WHERE len(ws) >= 3)
-      |SELECT doc_a, doc_b, jacc FROM (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / len(list_distinct(list_concat(a.grams, b.grams))) AS jacc
-      |  FROM g a JOIN g b ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id) t
-      |WHERE jacc >= 0.12 ORDER BY doc_a, doc_b""".stripMargin
+    s"""WITH g AS (
+       |  SELECT doc_id, lang, n_chars // 64 AS bucket,
+       |    list_distinct(list_transform(
+       |      list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+       |      s -> list_reduce(list_prepend(0::BIGINT, list_transform(string_split(s,''), c -> ascii(c)::BIGINT)),
+       |                       (a,b) -> (a*31+b) % $M))) AS grams
+       |  FROM (SELECT doc_id, lang, n_chars, list_filter(string_split(text,' '), x -> x != '') AS ws FROM documents)
+       |  WHERE len(ws) >= 3)
+       |SELECT doc_a, doc_b, jacc FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+       |      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jacc
+       |  FROM g a JOIN g b ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id) t
+       |WHERE jacc >= 0.12 ORDER BY doc_a, doc_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),

@@ -18,8 +18,13 @@ object SimilarityQueries {
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a)+1), " +
       s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x,y) -> x+y)"
 
-  private def cosSql(a: String, b: String): String =
-    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+  /** Norms are precomputed per vector (CTE column `nrm`), mirroring the
+    * Spark side — same expression tree, so sims stay bit-equal. */
+  private def cosSql(a: String, b: String, an: String, bn: String): String =
+    s"${dotSql(a, b)} / ($an * $bn)"
+
+  private val eCte: String =
+    s"e0 AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)"
 
   private val bucketSql: String =
     """list_reduce(list_prepend(0::BIGINT, list_transform(range(0,8), j ->
@@ -34,9 +39,10 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
 
   val cosineTopKSql: String =
-    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-       |s AS (SELECT q.q_id, e.vec_id, ${cosSql("q.qv", "e.embedding")} AS sim
-       |      FROM q JOIN embeddings e ON e.vec_id != q.q_id)
+    s"""WITH $eCte,
+       |q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qnrm FROM e0 WHERE vec_id < 5),
+       |s AS (SELECT q.q_id, e.vec_id, ${cosSql("q.qv", "e.embedding", "q.qnrm", "e.nrm")} AS sim
+       |      FROM q JOIN e0 e ON e.vec_id != q.q_id)
        |SELECT q_id, vec_id, sim, rank FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM s) t
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
@@ -58,9 +64,10 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
 
   val annLshTopKSql: String =
-    s"""WITH e AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
-       |q AS (SELECT vec_id AS q_id, embedding AS qv, bucket AS q_bucket FROM e WHERE vec_id < 5),
-       |s AS (SELECT q.q_id, e.vec_id, ${cosSql("q.qv", "e.embedding")} AS sim
+    s"""WITH $eCte,
+       |e AS (SELECT vec_id, embedding, nrm, $bucketSql AS bucket FROM e0),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qnrm, bucket AS q_bucket FROM e WHERE vec_id < 5),
+       |s AS (SELECT q.q_id, e.vec_id, ${cosSql("q.qv", "e.embedding", "q.qnrm", "e.nrm")} AS sim
        |      FROM q JOIN e ON e.bucket = q.q_bucket AND e.vec_id != q.q_id)
        |SELECT q_id, vec_id, sim, rank FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM s) t
@@ -72,9 +79,10 @@ object SimilarityQueries {
       .orderBy("id_a", "id_b")
 
   val nearDupPairsSql: String =
-    s"""WITH e AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
+    s"""WITH $eCte,
+       |e AS (SELECT vec_id, embedding, nrm, $bucketSql AS bucket FROM e0)
        |SELECT id_a, id_b, sim FROM (
-       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.embedding", "b.embedding")} AS sim
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} AS sim
        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
        |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin
 

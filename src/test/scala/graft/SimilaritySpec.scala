@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  test("LSH top-k sims agree with brute force on shared pairs and ranks are dense") {
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 3, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", col("vec_id") < 3, 10).collect()
+    assert(lsh.nonEmpty)
+    // same (query, candidate) pair → bit-identical cosine on both paths
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(bsim => assert(bsim === r.getDouble(2)))
+    }
+    // ranks are 1..n per query, descending sim
+    lsh.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq === (1L to sorted.length).toSeq)
+      assert(sorted.map(_.getDouble(2)).toSeq.reverse.sorted.reverse ===
+        sorted.map(_.getDouble(2)).toSeq)
+    }
+  }
+
+  test("LSH candidates all share the query's bucket") {
+    val buckets = emb.select(col("vec_id"),
+        Similarity.lshBucket(Similarity.toDoubleVec(col("embedding"))).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", col("vec_id") < 3, 10).collect()
+    lsh.foreach(r => assert(buckets(r.getLong(0)) === buckets(r.getLong(1))))
+  }
+
+  test("near-dup pairs are ordered, thresholded and self-free") {
+    val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.3).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.3)
+    }
+  }
+}
