@@ -7,14 +7,17 @@ import graft.functions.PolyHash
 
 /** Deduplication operators (SURVEY north-star). Four families:
   * exact (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket
-  * join), SimHash, and n-gram Jaccard verification with blocking.
+  * join), SimHash, and exact n-gram Jaccard verification over the LSH
+  * candidate set.
   *
   * Scale design: every candidate-generation path is
   * shuffle-on-a-small-key — LSH pairs shuffle only (id, band, key) rows,
   * never document text; the quadratic step is confined to rows sharing a
-  * band key (by construction near-duplicates), and blocking keys bound the
-  * Jaccard verify join. At 100 TB the map side computes signatures in one
-  * codegen'd pass over the corpus; the reduce side sees kilobytes per key.
+  * band key (by construction near-duplicates) and bounded by the
+  * degenerate-bucket cap; the Jaccard verify joins gram arrays back by id
+  * only for surviving candidate pairs. At 100 TB the map side computes
+  * signatures in one codegen'd pass over the corpus; the reduce side sees
+  * kilobytes per key.
   */
 object Dedup {
   import TextOps._
@@ -52,17 +55,30 @@ object Dedup {
       .select(col(id), col("b.band").as("band"), col("b.key").as("key"))
   }
 
-  /** Distinct candidate pairs from band-key equality (doc_a < doc_b).
+  /** Distinct candidate pairs from band-key equality (doc_a < doc_b),
+    * with a degenerate-bucket cap: a band key shared by more than
+    * `maxBucket` docs (boilerplate that collides into one signature)
+    * would make the bucket-local join quadratic on a single hot key at
+    * corpus scale, so those buckets are dropped before the self-join —
+    * the standard LSH skew guard. The DuckDB oracle applies the same
+    * HAVING filter, so the cap is differentially tested.
     *
     * The band relation is materialized (`cache`) before the self-join:
     * Catalyst's projection collapsing would otherwise inline the whole
     * shingle→hash→minhash expression tree into BOTH join sides and
     * re-evaluate it per reference (measured 25x slowdown). At cluster
     * scale, write the signature relation to a table instead — same idea,
-    * durable. */
-  def lshCandidatePairs(docs: DataFrame, id: String, text: String): DataFrame = {
+    * durable. Caches are session-scoped working sets: long-lived sessions
+    * should `spark.catalog.clearCache()` between query families. */
+  def lshCandidatePairs(docs: DataFrame, id: String, text: String,
+      maxBucket: Int = 100): DataFrame = {
     val bands = lshBands(docs, id, text).cache()
-    bands.as("a").join(bands.as("b"),
+    val okBuckets = bands.groupBy("band", "key")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket)
+      .drop("n")
+    val bounded = bands.join(okBuckets, Seq("band", "key"))
+    bounded.as("a").join(bounded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("doc_a"), col(s"b.$id").as("doc_b"))
@@ -73,27 +89,25 @@ object Dedup {
   def simhashes(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id), simhash32(wordHashes(col(text))).as("simhash"))
 
-  /** n-gram Jaccard near-dup pairs, blocked on (lang, length-bucket) so the
-    * pairwise join is bounded per block; jacc over distinct 3-gram shingle
-    * hashes (longs compare far cheaper than gram strings in the pairwise
-    * step, and |A ∪ B| = |A|+|B|-|A ∩ B| needs only one set operation).
-    * The gram relation is cached before the self-join (see
-    * lshCandidatePairs). */
+  /** n-gram Jaccard near-dup pairs, verified on the MinHash-LSH candidate
+    * set: candidate generation is the banded signature join (bounded by
+    * the bucket cap, shuffling only (id, band, key) rows), and only the
+    * surviving candidate pairs pull their gram arrays back by id — each
+    * doc's gram set crosses the wire at most once per candidate edge,
+    * never inside an unbounded quadratic block. Exact Jaccard over
+    * distinct 3-gram shingle hashes (|A ∪ B| = |A|+|B|-|A ∩ B| needs one
+    * set operation); the candidate set bounds the pairwise work, so this
+    * is the LSH-recall/exact-precision shape that survives 100 TB. */
   def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
-      lang: String, nChars: String, threshold: Double): DataFrame = {
-    val g = docs
-      .select(col(id), col(lang), floor(col(nChars) / 64).as("bucket"),
-        words(col(text)).as("ws"))
-      .filter(size(col("ws")) >= 3)
-      .select(col(id), col(lang), col("bucket"), shingleHashes(col("ws")).as("grams"))
-      .cache()
-    val inter = size(array_intersect(col("a.grams"), col("b.grams")))
-    g.as("a").join(g.as("b"),
-        col(s"a.$lang") === col(s"b.$lang") && col("a.bucket") === col("b.bucket") &&
-          col(s"a.$id") < col(s"b.$id"))
-      .select(col(s"a.$id").as("doc_a"), col(s"b.$id").as("doc_b"),
+      threshold: Double): DataFrame = {
+    val g = shingleSets(docs, id, text).cache()
+    val inter = size(array_intersect(col("ga"), col("gb")))
+    lshCandidatePairs(docs, id, text)
+      .join(g.select(col(id).as("doc_a"), col("hs").as("ga")), "doc_a")
+      .join(g.select(col(id).as("doc_b"), col("hs").as("gb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
         (inter.cast("double") /
-          (size(col("a.grams")) + size(col("b.grams")) - inter)).as("jacc"))
+          (size(col("ga")) + size(col("gb")) - inter)).as("jacc"))
       .filter(col("jacc") >= threshold)
   }
 }

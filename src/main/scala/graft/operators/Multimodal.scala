@@ -29,7 +29,7 @@ object Multimodal {
     df.select(
       col(id).cast("long").as("id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col(id) % 3 + 1).cast("int")).as("modality"),
+        (pmod(col(id), lit(3)) + 1).cast("int")).as("modality"),
       col(payload).cast("binary").as("payload"))
       .as(Encoders.product[MediaRow])
 

@@ -1,19 +1,24 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.TopKAggregator
 
 /** Similarity search over embedding columns (`array<float>`).
   *
   * Two paths (SURVEY north-star):
   *  - brute-force cosine top-k: exact baseline — a broadcast of the (small)
   *    query set against a single scan of the corpus; no shuffle of the
-  *    corpus, the only exchange is the per-query top-k window.
-  *  - random-hyperplane LSH bucketing: the scale path — each vector gets an
-  *    int bucket from the sign pattern of 8 fixed ±1 hyperplanes; candidate
-  *    generation becomes an equi-join on the bucket key, so the quadratic
-  *    step is confined to bucket-local groups (IVF-style cell probing).
+  *    corpus, and ranking is the bounded-heap [[TopKAggregator]] (map-side
+  *    partial top-k, tiny global merge — never a full-corpus window).
+  *  - random-hyperplane banded LSH: the scale path — each vector gets
+  *    `NumBands` keys of `BandBits` sign bits from fixed ±1 hyperplanes;
+  *    a pair is a candidate when ANY band key matches (multi-probe
+  *    recall), and candidate generation is an equi-join on (band, key)
+  *    carrying only (id, band, key) rows. Vectors rejoin by id only for
+  *    surviving candidates, so the quadratic step is confined to
+  *    bucket-local groups and the shuffle never carries vectors twice.
   *
   * All math is double-precision with a fixed left-to-right fold so results
   * are bit-reproducible across engines (the DuckDB oracles rebuild the same
@@ -23,6 +28,14 @@ import org.apache.spark.sql.functions._
   * same semantics.
   */
 object Similarity {
+
+  /** 2 bands × 12 sign bits = 24 distinct hyperplanes: 4096 buckets per
+    * band bounds candidate sets at n/4096 per probe (vs n/256 for a single
+    * 8-bit key), and the 2-band OR recovers the recall a single longer key
+    * would lose. At larger corpora raise BandBits (the key is a plain
+    * long); the plan shape is unchanged. */
+  val BandBits: Int = 12
+  val NumBands: Int = 2
 
   /** Cast an array<float> column to array<double> once, up front. */
   def toDoubleVec(v: Column): Column = transform(v, x => x.cast("double"))
@@ -34,18 +47,53 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  /** Random-hyperplane LSH bucket: plane j's component i (1-based) is
-    * +1 if ((i*31 + j*17) % 7) % 2 == 0 else -1 — a fixed pseudo-random
-    * ±1 pattern reproducible in plain SQL. Bucket = 8 sign bits. */
-  def lshBucket(v: Column, nPlanes: Int = 8): Column =
-    aggregate(sequence(lit(0), lit(nPlanes - 1)), lit(0L), (acc, j) => {
+  /** Band key from `BandBits` random-hyperplane signs: global plane
+    * j = band*BandBits + jj has component i (1-based)
+    * +1 if ((i*31 + j*37) % 97) % 2 == 0 else -1 — a fixed pseudo-random
+    * ±1 pattern reproducible in plain SQL. 97 is prime and coprime to 37,
+    * so every global plane index yields a distinct pattern (a modulus of 7
+    * would repeat planes every 7 indices). Bit jj of the key is the sign
+    * of plane j's dot product. */
+  def lshBandKey(v: Column, band: Int, bits: Int = BandBits): Column =
+    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, jj) => {
+      val j = jj + lit(band * bits)
       val planeDot = aggregate(
         sequence(lit(1), size(v)),
         lit(0.0),
         (s, i) => s + element_at(v, i).cast("double") *
-          when(((i * 31 + j * 17) % 7) % 2 === 0, lit(1.0)).otherwise(lit(-1.0)))
-      acc + when(planeDot > 0, pow(lit(2.0), j).cast("long")).otherwise(0L)
+          when(((i * 31 + j * 37) % 97) % 2 === 0, lit(1.0)).otherwise(lit(-1.0)))
+      acc + when(planeDot > 0, pow(lit(2.0), jj).cast("long")).otherwise(0L)
     })
+
+  /** The cached ANN index relation: (id, v, nrm, key0..key{NumBands-1}).
+    * One pass computes vectors, norms, and all band keys; `cache`
+    * materializes it so the band join and the scoring join reuse it
+    * (Catalyst projection collapse would otherwise recompute the plane
+    * folds per consumer — see Dedup.lshCandidatePairs). At cluster scale,
+    * write this relation to a table instead. */
+  private[graft] def indexed(corpus: DataFrame, id: String, vec: String): DataFrame = {
+    val base = corpus.select(col(id), toDoubleVec(col(vec)).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    (0 until NumBands).foldLeft(base) { (d, b) =>
+      d.withColumn(s"key$b", lshBandKey(col("v"), b))
+    }.cache()
+  }
+
+  /** (id, band, key) rows — the bucket-join relation (no vectors). */
+  private[graft] def bandRows(e: DataFrame, id: String): DataFrame =
+    e.select(col(id), explode(array((0 until NumBands).map(b =>
+        struct(lit(b).as("band"), col(s"key$b").as("key"))): _*)).as("bk"))
+      .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  /** Rank scored (q_id, id, sim) candidates: bounded-heap top-k per query
+    * (bit-identical to a (sim desc, id asc) row_number window). */
+  private def rankTopK(scored: DataFrame, id: String, k: Int): DataFrame =
+    scored.groupBy("q_id")
+      .agg(TopKAggregator.topK(k)(col(id).cast("long"), col("sim")).as("tk"))
+      .select(col("q_id"), posexplode(zip_with(col("tk.ids"), col("tk.sims"),
+        (i, s) => struct(i.as("cid"), s.as("sim")))))
+      .select(col("q_id"), col("col.cid").as(id), col("col.sim").as("sim"),
+        (col("pos") + 1).cast("bigint").as("rank"))
 
   /** Exact top-k: per query vector (small set, broadcast), the k nearest
     * corpus vectors by cosine; ties broken by candidate id. */
@@ -55,44 +103,52 @@ object Similarity {
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val q = e.filter(queryPred)
       .select(col(id).as("q_id"), col("v").as("qv"), col("nrm").as("q_nrm"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col(id).asc)
-    e.join(broadcast(q), col(id) =!= col("q_id"))
+    val scored = e.join(broadcast(q), col(id) =!= col("q_id"))
       .select(col("q_id"), col(id),
         (dot(col("qv"), col("v")) / (col("q_nrm") * col("nrm"))).as("sim"))
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= k)
+    rankTopK(scored, id, k)
   }
 
-  /** Approximate top-k: same ranking but candidates restricted to the
-    * query's LSH bucket — the join is bucket-equality, not a cross join. */
+  /** Approximate top-k: candidates are corpus vectors sharing ANY band key
+    * with the query (banded multi-probe); the band join moves only
+    * (id, band, key) rows, vectors rejoin by id for scoring. */
   def lshTopK(corpus: DataFrame, id: String, vec: String,
       queryPred: Column, k: Int): DataFrame = {
-    val e = corpus.select(col(id), toDoubleVec(col(vec)).as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      .withColumn("bucket", lshBucket(col("v")))
-      .cache() // materialize the index relation once (see Dedup on collapse)
+    val e = indexed(corpus, id, vec)
+    val bands = bandRows(e, id)
     val q = e.filter(queryPred)
-      .select(col(id).as("q_id"), col("v").as("qv"), col("nrm").as("q_nrm"),
-        col("bucket").as("q_bucket"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col(id).asc)
-    e.join(broadcast(q), col("bucket") === col("q_bucket") && col(id) =!= col("q_id"))
+    val qb = bandRows(q, id)
+      .select(col(id).as("q_id"), col("band"), col("key"))
+    val cand = bands.as("c").join(broadcast(qb.as("q")),
+        col("c.band") === col("q.band") && col("c.key") === col("q.key") &&
+          col(s"c.$id") =!= col("q.q_id"))
+      .select(col("q.q_id").as("q_id"), col(s"c.$id").as(id))
+      .distinct()
+    val scored = cand
+      .join(e.select(col(id), col("v"), col("nrm")), id)
+      .join(broadcast(q.select(col(id).as("q_id"), col("v").as("qv"),
+        col("nrm").as("q_nrm"))), "q_id")
       .select(col("q_id"), col(id),
         (dot(col("qv"), col("v")) / (col("q_nrm") * col("nrm"))).as("sim"))
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= k)
+    rankTopK(scored, id, k)
   }
 
-  /** Near-duplicate pairs by embedding cosine, LSH-bucket-blocked. */
+  /** Near-duplicate pairs by embedding cosine: banded LSH candidates
+    * (any-band match, a < b), exact cosine verify on the candidate set. */
   def nearDupPairs(corpus: DataFrame, id: String, vec: String,
       threshold: Double): DataFrame = {
-    val e = corpus.select(col(id), toDoubleVec(col(vec)).as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      .withColumn("bucket", lshBucket(col("v")))
-      .cache() // materialize once; both self-join sides reuse it
-    e.as("a").join(e.as("b"),
-        col("a.bucket") === col("b.bucket") && col(s"a.$id") < col(s"b.$id"))
-      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"),
-        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+    val e = indexed(corpus, id, vec)
+    val bands = bandRows(e, id)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col(id).as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(e.select(col(id).as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }

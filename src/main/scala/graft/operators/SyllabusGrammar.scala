@@ -78,13 +78,17 @@ object SyllabusGrammar {
     table.map(_.toSeq).toSeq
   }
 
-  private val TitleRx = "^Unidad n\\. (\\d+): (.+)".r
+  private val TitleRx = "Unidad n\\. (\\d+): (.+)".r
 
-  /** R2 (etl_pipeline.py:221-227). */
-  def parseTitle(line: String): (Int, String) = line match {
-    case TitleRx(n, t) => (n.toInt, t)
-    case _ => throw new IllegalArgumentException(s"Invalid unit title format: $line")
-  }
+  /** R2 (etl_pipeline.py:221-227): prefix match like Python `re.match` —
+    * `.` stops at a newline, so a title cell with an embedded line break
+    * (the usual PDF-table artifact) parses and keeps the first line, the
+    * reference behavior; a full-string `unapplySeq` match would throw. */
+  def parseTitle(line: String): (Int, String) =
+    TitleRx.findPrefixMatchOf(line) match {
+      case Some(m) => (m.group(1).toInt, m.group(2))
+      case None => throw new IllegalArgumentException(s"Invalid unit title format: $line")
+    }
 
   private val WeekRx = "Semana ([\\d,\\s-]+)\\s*-\\s*([\\d,\\s-]+)".r
 

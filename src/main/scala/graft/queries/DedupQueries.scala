@@ -50,19 +50,26 @@ object DedupQueries {
     s"WITH $shingleCte\nSELECT doc_id,\n$cols\nFROM w ORDER BY doc_id"
   }
 
-  /** LSH candidate pairs (2 bands x 4 rows). */
+  /** Shared oracle CTEs: banded signatures + the degenerate-bucket cap
+    * (mirrors Dedup.lshCandidatePairs maxBucket=100). */
+  private val bandsCte: String =
+    s"""bands AS (
+       |  SELECT doc_id, 0 AS j, ${bandKeySql(Seq(0, 1, 2, 3))} AS key FROM w
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS j, ${bandKeySql(Seq(4, 5, 6, 7))} AS key FROM w),
+       |ok AS (SELECT j, key FROM bands GROUP BY j, key HAVING COUNT(*) <= 100),
+       |bb AS (SELECT bands.* FROM bands JOIN ok USING (j, key))""".stripMargin
+
+  /** LSH candidate pairs (2 bands x 4 rows, bucket cap 100). */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.lshCandidatePairs(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("doc_a", "doc_b")
 
   val minhashPairsSql: String =
     s"""WITH $shingleCte,
-       |bands AS (
-       |  SELECT doc_id, 0 AS j, ${bandKeySql(Seq(0, 1, 2, 3))} AS key FROM w
-       |  UNION ALL
-       |  SELECT doc_id, 1 AS j, ${bandKeySql(Seq(4, 5, 6, 7))} AS key FROM w)
+       |$bandsCte
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM bands a JOIN bands b ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id
+       |FROM bb a JOIN bb b ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** 32-bit SimHash over the distinct word-hash set. */
@@ -82,26 +89,24 @@ object DedupQueries {
        |    THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash
        |FROM w ORDER BY doc_id""".stripMargin
 
-  /** n-gram Jaccard near-dup pairs, blocked on (lang, n_chars // 64). */
+  /** Exact n-gram Jaccard over the LSH candidate pairs (gram arrays joined
+    * back by id — never an unbounded quadratic block). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
-        "lang", "n_chars", threshold = 0.12)
+        threshold = 0.12)
       .orderBy("doc_a", "doc_b")
 
   val ngramJaccardSql: String =
-    s"""WITH g AS (
-       |  SELECT doc_id, lang, n_chars // 64 AS bucket,
-       |    list_distinct(list_transform(
-       |      list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
-       |      s -> list_reduce(list_prepend(0::BIGINT, list_transform(string_split(s,''), c -> ascii(c)::BIGINT)),
-       |                       (a,b) -> (a*31+b) % $M))) AS grams
-       |  FROM (SELECT doc_id, lang, n_chars, list_filter(string_split(text,' '), x -> x != '') AS ws FROM documents)
-       |  WHERE len(ws) >= 3)
+    s"""WITH $shingleCte,
+       |$bandsCte,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bb a JOIN bb b ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, jacc FROM (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-       |      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jacc
-       |  FROM g a JOIN g b ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id) t
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_intersect(ga.hs, gb.hs)) AS DOUBLE) /
+       |      (len(ga.hs) + len(gb.hs) - len(list_intersect(ga.hs, gb.hs))) AS jacc
+       |  FROM cand c JOIN w ga ON ga.doc_id = c.doc_a JOIN w gb ON gb.doc_id = c.doc_b) t
        |WHERE jacc >= 0.12 ORDER BY doc_a, doc_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

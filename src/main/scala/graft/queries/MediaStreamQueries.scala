@@ -8,10 +8,11 @@ import graft.sources.Tables
 import graft.streaming.StreamingCalendar
 
 /** Windowed-aggregation and multimodal-plumbing queries. The window rollup
-  * runs the *same* code as the Structured Streaming path
-  * (StreamingCalendar.weeklyTypeCounts) in batch mode, so the streaming
-  * operator itself is oracle-checked here; the stateful and mapPartitions
-  * operators are not SQL-expressible → rows-only entries (no oracle).
+  * and the mapGroupsWithState running aggregate run the *same* code as the
+  * Structured Streaming path (StreamingCalendar) in batch mode, so the
+  * streaming operators themselves are oracle-checked here; the stub decode
+  * is pure byte arithmetic, so even the mapPartitions path is rebuilt in
+  * DuckDB SQL and hash-checked.
   */
 object MediaStreamQueries {
 
@@ -34,7 +35,7 @@ object MediaStreamQueries {
       .select(
         col("doc_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
         length(col("text").cast("binary")).cast("bigint").as("n_bytes"),
         ascii(substring(col("text"), 1, 1)).as("first_byte"))
       .orderBy("doc_id")
@@ -46,8 +47,10 @@ object MediaStreamQueries {
       |  ascii(substr(text, 1, 1)) AS first_byte
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Rows-only (no SQL oracle): full stub-decode feature extraction via
-    * repartition + mapPartitions (the mapInPandas-shaped batch path). */
+  /** Full stub-decode feature extraction via repartition + mapPartitions
+    * (the mapInPandas-shaped batch path). The stub decode is a rolling
+    * polynomial byte hash mod 1e9+7 plus modular arithmetic — deterministic
+    * and SQL-expressible, so the whole typed path is hash-checked. */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
       Multimodal.asMedia(Tables.documents(spark, dir), "doc_id", "text"),
@@ -55,12 +58,35 @@ object MediaStreamQueries {
       .orderBy("id")
       .toDF()
 
-  /** Rows-only (no SQL oracle): mapGroupsWithState stateful aggregation,
-    * exercised in batch mode. */
+  /** DuckDB rebuild of Multimodal.decodeStub over the UTF-8 bytes of
+    * `text` (fixture text is ASCII, so ascii(char) == byte value — the
+    * same contract the poly_hash oracles rely on). */
+  val multimodalFeaturesSql: String =
+    """WITH f AS (
+      |  SELECT doc_id AS id,
+      |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
+      |    octet_length(CAST(text AS BLOB)) AS n_bytes,
+      |    list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text,''), c -> ascii(c)::BIGINT)),
+      |                (a,b) -> (a*31+b) % 1000000007) AS checksum
+      |  FROM documents)
+      |SELECT id, modality, CAST(n_bytes AS INT) AS n_bytes,
+      |  CAST(64 + checksum % 960 AS INT) AS width,
+      |  CAST(64 + (checksum // 7) % 540 AS INT) AS height,
+      |  CAST(CASE WHEN modality = 'video' THEN 1 + n_bytes % 120 ELSE 1 END AS INT) AS n_frames,
+      |  checksum
+      |FROM f ORDER BY id""".stripMargin
+
+  /** mapGroupsWithState stateful aggregation, exercised in batch mode.
+    * "Last" is arg_max by event_id (deterministic), so the typed state
+    * fold is hash-checked against DuckDB's arg_max. */
   def streamUserRunning(spark: SparkSession, dir: String): DataFrame =
     StreamingCalendar.userRunningCounts(Tables.events(spark, dir))
       .orderBy("user_id")
       .toDF()
+
+  val streamUserRunningSql: String =
+    """SELECT user_id, COUNT(*) AS n_events, arg_max(value, event_id) AS last_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "windowed_event_agg" -> (windowedEventAgg _),
@@ -70,5 +96,7 @@ object MediaStreamQueries {
 
   val oracles: Map[String, String] = Map(
     "windowed_event_agg" -> windowedEventAggSql,
-    "binary_meta_extract" -> binaryMetaExtractSql)
+    "binary_meta_extract" -> binaryMetaExtractSql,
+    "multimodal_features" -> multimodalFeaturesSql,
+    "stream_user_running" -> streamUserRunningSql)
 }

@@ -9,7 +9,9 @@ import graft.sources.Tables
 /** Similarity-search queries over `embeddings`, oracle-checked: the DuckDB
   * SQL rebuilds the identical double-precision left-fold dot products
   * (list_reduce with an explicit 0.0 seed — never list_sum, whose reduction
-  * order is unspecified), so sims are bit-equal across engines.
+  * order is unspecified), so sims are bit-equal across engines. The ANN
+  * oracles also rebuild the banded hyperplane keys bit-for-bit, so the
+  * candidate sets (not just the final sims) are differentially tested.
   */
 object SimilarityQueries {
 
@@ -26,13 +28,25 @@ object SimilarityQueries {
   private val eCte: String =
     s"e0 AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)"
 
-  private val bucketSql: String =
-    """list_reduce(list_prepend(0::BIGINT, list_transform(range(0,8), j ->
-      |   CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(embedding)+1), i ->
-      |        embedding[i]::DOUBLE * (CASE WHEN ((i*31 + j*17) % 7) % 2 = 0 THEN 1.0 ELSE -1.0 END))), (x,y) -> x+y) > 0
-      |   THEN (1::BIGINT << j) ELSE 0 END)), (a,b) -> a+b)""".stripMargin
+  /** DuckDB rebuild of Similarity.lshBandKey(v, band): BandBits sign bits
+    * of the fixed ±1 hyperplane pattern ((i*31 + j*37) % 97) % 2. */
+  private def bandKeySql(band: Int): String = {
+    val off = band * Similarity.BandBits
+    s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(0,${Similarity.BandBits}), jj ->
+       |   CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(embedding)+1), i ->
+       |        embedding[i]::DOUBLE * (CASE WHEN ((i*31 + (jj + $off)*37) % 97) % 2 = 0 THEN 1.0 ELSE -1.0 END))), (x,y) -> x+y) > 0
+       |   THEN (1::BIGINT << jj) ELSE 0 END)), (a,b) -> a+b)""".stripMargin
+  }
 
-  /** Brute-force cosine top-10 for the 5 query vectors (vec_id < 5). */
+  /** The (vec_id, band, key) index relation, both bands. */
+  private val bandsCte: String =
+    s"""bands AS (
+       |  SELECT vec_id, 0 AS band, ${bandKeySql(0)} AS key FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id, 1 AS band, ${bandKeySql(1)} AS key FROM embeddings)""".stripMargin
+
+  /** Brute-force cosine top-10 for the 5 query vectors (vec_id < 5) via
+    * the bounded-heap aggregator (bit-identical to the oracle's window). */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
         col("vec_id") < 5, k = 10)
@@ -47,17 +61,17 @@ object SimilarityQueries {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM s) t
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
-  /** LSH bucket assignment for every vector (the ANN index relation). */
+  /** Banded LSH key assignment for every vector (the ANN index relation). */
   def lshBuckets(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"),
-        Similarity.lshBucket(Similarity.toDoubleVec(col("embedding"))).as("bucket"))
-      .orderBy("vec_id")
+    Similarity.bandRows(
+        Similarity.indexed(Tables.embeddings(spark, dir), "vec_id", "embedding"),
+        "vec_id")
+      .orderBy("vec_id", "band")
 
   val lshBucketsSql: String =
-    s"SELECT vec_id, $bucketSql AS bucket\nFROM embeddings ORDER BY vec_id"
+    s"WITH $bandsCte\nSELECT vec_id, band, key FROM bands ORDER BY vec_id, band"
 
-  /** Approximate top-10: candidates restricted to the query's LSH bucket. */
+  /** Approximate top-10: candidates share ANY band key with the query. */
   def annLshTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
         col("vec_id") < 5, k = 10)
@@ -65,25 +79,30 @@ object SimilarityQueries {
 
   val annLshTopKSql: String =
     s"""WITH $eCte,
-       |e AS (SELECT vec_id, embedding, nrm, $bucketSql AS bucket FROM e0),
-       |q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qnrm, bucket AS q_bucket FROM e WHERE vec_id < 5),
-       |s AS (SELECT q.q_id, e.vec_id, ${cosSql("q.qv", "e.embedding", "q.qnrm", "e.nrm")} AS sim
-       |      FROM q JOIN e ON e.bucket = q.q_bucket AND e.vec_id != q.q_id)
+       |$bandsCte,
+       |q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qnrm FROM e0 WHERE vec_id < 5),
+       |qb AS (SELECT vec_id AS q_id, band, key FROM bands WHERE vec_id < 5),
+       |cand AS (SELECT DISTINCT qb.q_id, b.vec_id
+       |         FROM bands b JOIN qb ON b.band = qb.band AND b.key = qb.key AND b.vec_id != qb.q_id),
+       |s AS (SELECT c.q_id, c.vec_id, ${cosSql("q.qv", "e.embedding", "q.qnrm", "e.nrm")} AS sim
+       |      FROM cand c JOIN e0 e ON e.vec_id = c.vec_id JOIN q ON q.q_id = c.q_id)
        |SELECT q_id, vec_id, sim, rank FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM s) t
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
-  /** Embedding-cosine near-dup pairs within LSH buckets, sim >= 0.4. */
+  /** Embedding-cosine near-dup pairs on the banded candidate set, sim >= 0.4. */
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4)
       .orderBy("id_a", "id_b")
 
   val nearDupPairsSql: String =
     s"""WITH $eCte,
-       |e AS (SELECT vec_id, embedding, nrm, $bucketSql AS bucket FROM e0)
+       |$bandsCte,
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
        |SELECT id_a, id_b, sim FROM (
-       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} AS sim
-       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
+       |  SELECT c.id_a, c.id_b, ${cosSql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} AS sim
+       |  FROM cand c JOIN e0 a ON a.vec_id = c.id_a JOIN e0 b ON b.vec_id = c.id_b) t
        |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -37,9 +37,14 @@ object JsonSinks {
     * (latent bug, SURVEY S5); our engine queries by column. */
   def writePerCourse(serialized: DataFrame, dir: String): Unit = {
     Files.createDirectories(Paths.get(dir))
+    // The name component is data-derived: strip path separators and dot
+    // segments so a hostile course name can't escape the sink directory
+    // (the reference shares this flaw; the port hardens it).
+    val safeName = regexp_replace(
+      regexp_replace(col("name"), "[/\\\\]", "_"), "\\.\\.", "_")
     val rows = serialized
       .withColumn("_fname", concat(
-        when(col("name") =!= "", col("name")).otherwise(lit("unknown")),
+        when(safeName =!= "", safeName).otherwise(lit("unknown")),
         lit("-"),
         when(col("nrc") =!= "", col("nrc")).otherwise(lit("no-nrc")),
         lit(".json")))

@@ -50,9 +50,11 @@ object DocSource {
 
   /** S5/S6 (etl_infrastructure.py:160-170, both effectively unimplemented
     * in the reference): the real read path over the serialized JSONL sink —
-    * predicate pushdown by column, not filename globbing. */
+    * predicate pushdown by column, not filename globbing. `limit(1)`
+    * matches the reference's first-match semantics
+    * (etl_infrastructure.py:162-165 loads only the first glob hit). */
   def findById(spark: SparkSession, outDir: String, courseId: String): DataFrame =
-    spark.read.json(outDir).filter(col("id") === courseId)
+    spark.read.json(outDir).filter(col("id") === courseId).limit(1)
 
   def findByPeriod(spark: SparkSession, outDir: String, period: String): DataFrame =
     spark.read.json(outDir).filter(col("period") === period)

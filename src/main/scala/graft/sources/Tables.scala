@@ -20,7 +20,13 @@ object Tables {
     * vectorized reader rejects. Read it as raw nanos
     * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a micros
     * TimestampType column (the fixture has no sub-microsecond components, so
-    * the conversion is lossless). */
+    * the conversion is lossless).
+    *
+    * NOTE this mutates SESSION-GLOBAL config as a side effect of the read:
+    * any later parquet read of nanos timestamps in the same session sees
+    * longs instead of failing. The engine mains (Verify/Bench/Explain,
+    * TestSpark) also set the flag at session build; the set here is a
+    * defensive idempotent repeat for foreign sessions. */
   private def eventsWithTs(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     apply(spark, dir, "events")

@@ -32,22 +32,36 @@ object StreamingCalendar {
 
   final case class UserRunning(user_id: Long, n_events: Long, last_value: Double)
 
+  /** State carries the max event id seen so "last" is defined by the data
+    * (arg_max by event_id), not by iterator arrival order. */
+  final case class UserState(n_events: Long, max_event_id: Long, last_value: Double)
+
   /** Stateful per-user running aggregate via mapGroupsWithState — the
-    * KeyValueGroupedDataset custom-state surface. ProcessingTimeTimeout
-    * keeps state finite in continuous runs. */
+    * KeyValueGroupedDataset custom-state surface. "Last" means the value at
+    * the greatest `event_id` (deterministic in batch AND streaming: batch
+    * `groupByKey` yields rows in partition order, so a positional "last
+    * row wins" would be nondeterministic run to run; the arg_max fold is
+    * order-insensitive and lets the batch run be oracle-checked with
+    * DuckDB `arg_max`). */
   def userRunningCounts(events: DataFrame): Dataset[UserRunning] = {
-    val byUser = events.select(col("user_id").cast("long"), col("value").cast("double"))
-      .as(Encoders.product[(Long, Double)])
+    val byUser = events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("value").cast("double"))
+      .as(Encoders.product[(Long, Long, Double)])
       .groupByKey(_._1)(Encoders.scalaLong)
-    byUser.mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout)(
-      (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserRunning]) => {
-        val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+    byUser.mapGroupsWithState[UserState, UserRunning](GroupStateTimeout.NoTimeout)(
+      (user: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[UserState]) => {
+        val prev = state.getOption.getOrElse(UserState(0L, Long.MinValue, 0.0))
         var n = prev.n_events
+        var maxId = prev.max_event_id
         var last = prev.last_value
-        rows.foreach { case (_, v) => n += 1; last = v }
-        val next = UserRunning(user, n, last)
+        rows.foreach { case (_, eid, v) =>
+          n += 1
+          if (eid > maxId) { maxId = eid; last = v }
+        }
+        val next = UserState(n, maxId, last)
         state.update(next)
-        next
-      })(Encoders.product[UserRunning], Encoders.product[UserRunning])
+        UserRunning(user, n, last)
+      })(Encoders.product[UserState], Encoders.product[UserRunning])
   }
 }

@@ -29,12 +29,16 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("LSH candidates all share the query's bucket") {
-    val buckets = emb.select(col("vec_id"),
-        Similarity.lshBucket(Similarity.toDoubleVec(col("embedding"))).as("b"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  test("LSH candidates all share at least one band key with the query") {
+    val keys = Similarity.bandRows(
+        Similarity.indexed(emb, "vec_id", "embedding"), "vec_id")
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(r => (r.getInt(1), r.getLong(2))).toSet }
     val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", col("vec_id") < 3, 10).collect()
-    lsh.foreach(r => assert(buckets(r.getLong(0)) === buckets(r.getLong(1))))
+    assert(lsh.nonEmpty)
+    lsh.foreach(r =>
+      assert(keys(r.getLong(0)).intersect(keys(r.getLong(1))).nonEmpty))
   }
 
   test("near-dup pairs are ordered, thresholded and self-free") {
