@@ -44,6 +44,17 @@ final case class RawDoc(
     units_raw: Seq[Seq[String]],
     assessments_raw: Seq[Seq[String]])
 
+/** UNROUTED per-page extraction (FIXTURES.md §B2): one row per PDF page —
+  * text plus that page's (at most one) raw table, NOT yet assigned to a
+  * section. SectionRouting.assembleDocs turns a relation of these into
+  * RawDoc rows (the S3 operator, etl_infrastructure.py:18-55). */
+final case class RawPage(
+    doc_id: String,
+    filename: String,
+    page_no: Int,
+    text: String,
+    page_table: Seq[Seq[String]])
+
 /** Per-document parse outcome — the X2 error envelope
   * (etl_pipeline.py:17-30) surfaced as data instead of logs. */
 final case class ParseResult(

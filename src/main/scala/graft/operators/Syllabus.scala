@@ -98,6 +98,13 @@ object Syllabus {
     }, Encoders.product[ParseResult])
   }
 
+  /** Full parse from UNROUTED per-page extractions: S3 section routing
+    * (SectionRouting.assembleDocs) assembles the RawDoc contract, then the
+    * standard pipeline runs. This is the complete reference dataflow —
+    * extract_tables' page walk included — over a per-page relation. */
+  def parseFromPages(pages: DataFrame): Dataset[ParseResult] =
+    parse(SectionRouting.assembleDocs(pages))
+
   /** P5: the successful slice as a typed Dataset[Course]. */
   def courses(results: Dataset[ParseResult]): Dataset[Course] =
     results.filter(col("status") === "ok")

@@ -219,6 +219,72 @@ object Parsing {
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS section
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** S3 proper (etl_infrastructure.py:18-55): the REAL
+    * SectionRouting.assembleDocs operator — heading detect, first-page
+    * sectionless, cross-page carry-over, mid-page switch, one-table-per-
+    * page routing to units/assessments — run over a per-page relation
+    * derived deterministically from `documents` (50 docs × N pages; pages
+    * doc_id%11==0 open with the units heading, ==5 switch to the
+    * assessments heading MID-page, ==8 open an unrelated section whose
+    * tables must be dropped; pages doc_id%3==2 carry no table). The oracle
+    * rebuilds the derivation plus the routing window in SQL, so the whole
+    * operator — not an analog — is hash-checked. */
+  def sectionTableRoute(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SectionRouting
+    val pages = Tables.documents(spark, dir).select(
+      (col("doc_id") % 50).as("doc_id"),
+      lit("p.pdf").as("filename"),
+      expr("doc_id div 50").as("page_no"),
+      when(col("doc_id") % 11 === 0,
+          concat(lit(SectionRouting.UnitsSection + "\n"), col("text")))
+        .when(col("doc_id") % 11 === 5,
+          concat(lit("intro line\n" + SectionRouting.AssessmentsSection + "\n"), col("text")))
+        .when(col("doc_id") % 11 === 8,
+          concat(lit("VII. METODOLOGÍA\n"), col("text")))
+        .otherwise(col("text")).as("text"),
+      when(col("doc_id") % 3 =!= 2,
+        array(array(col("doc_id").cast("string"), substring(col("text"), 1, 20)))).as("page_table"))
+    SectionRouting.assembleDocs(pages)
+      .select(
+        col("doc_id"),
+        size(col("units_raw")).cast("bigint").as("n_units_rows"),
+        size(col("assessments_raw")).cast("bigint").as("n_assess_rows"),
+        array_join(transform(col("units_raw"), r => array_join(r, "|")), ";").as("units_cells"),
+        array_join(transform(col("assessments_raw"), r => array_join(r, "|")), ";").as("assess_cells"))
+      .orderBy("doc_id")
+  }
+
+  val sectionTableRouteSql: String = {
+    import graft.operators.SectionRouting
+    val names = SectionRouting.SectionNames.map(n => s"'$n'").mkString(", ")
+    s"""WITH p AS (
+       |  SELECT doc_id % 50 AS doc, doc_id // 50 AS page_no,
+       |    CASE WHEN doc_id % 11 = 0 THEN '${SectionRouting.UnitsSection}' || chr(10) || text
+       |         WHEN doc_id % 11 = 5 THEN 'intro line' || chr(10) || '${SectionRouting.AssessmentsSection}' || chr(10) || text
+       |         WHEN doc_id % 11 = 8 THEN 'VII. METODOLOGÍA' || chr(10) || text
+       |         ELSE text END AS ptext,
+       |    CASE WHEN doc_id % 3 != 2 THEN [[CAST(doc_id AS VARCHAR), substr(text, 1, 20)]] END AS page_table
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc, page_no, page_table,
+       |    last_value(CASE WHEN len(heads) > 0 THEN heads[-1] END IGNORE NULLS)
+       |      OVER (PARTITION BY doc ORDER BY page_no
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS section
+       |  FROM (SELECT *, list_filter(string_split(ptext, chr(10)), l -> l IN ($names)) AS heads FROM p))
+       |SELECT doc AS doc_id,
+       |  len(coalesce(flatten(list(page_table ORDER BY page_no)
+       |    FILTER (WHERE section = '${SectionRouting.UnitsSection}' AND page_table IS NOT NULL AND len(page_table) > 0)), [])) AS n_units_rows,
+       |  len(coalesce(flatten(list(page_table ORDER BY page_no)
+       |    FILTER (WHERE section = '${SectionRouting.AssessmentsSection}' AND page_table IS NOT NULL AND len(page_table) > 0)), [])) AS n_assess_rows,
+       |  COALESCE(array_to_string(list_transform(coalesce(flatten(list(page_table ORDER BY page_no)
+       |    FILTER (WHERE section = '${SectionRouting.UnitsSection}' AND page_table IS NOT NULL AND len(page_table) > 0)), []),
+       |    r -> array_to_string(r, '|')), ';'), '') AS units_cells,
+       |  COALESCE(array_to_string(list_transform(coalesce(flatten(list(page_table ORDER BY page_no)
+       |    FILTER (WHERE section = '${SectionRouting.AssessmentsSection}' AND page_table IS NOT NULL AND len(page_table) > 0)), []),
+       |    r -> array_to_string(r, '|')), ';'), '') AS assess_cells
+       |FROM s GROUP BY doc ORDER BY doc""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "filename_meta_parse" -> (filenameMetaParse _),
     "label_field_lookup" -> (labelFieldLookup _),
@@ -230,7 +296,8 @@ object Parsing {
     "multiline_areas_regex" -> (multilineAreasRegex _),
     "error_envelope_rejects" -> (errorEnvelopeRejects _),
     "header_row_antifilter" -> (headerRowAntifilter _),
-    "section_route_lastval" -> (sectionRouteLastval _))
+    "section_route_lastval" -> (sectionRouteLastval _),
+    "section_table_route" -> (sectionTableRoute _))
 
   val oracles: Map[String, String] = Map(
     "filename_meta_parse" -> filenameMetaParseSql,
@@ -243,5 +310,6 @@ object Parsing {
     "multiline_areas_regex" -> multilineAreasRegexSql,
     "error_envelope_rejects" -> errorEnvelopeRejectsSql,
     "header_row_antifilter" -> headerRowAntifilterSql,
-    "section_route_lastval" -> sectionRouteLastvalSql)
+    "section_route_lastval" -> sectionRouteLastvalSql,
+    "section_table_route" -> sectionTableRouteSql)
 }

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-regression guard: the physical plan of every SparkEntry query must
+  * keep the shape designed for 100 TB —
+  *  - no CartesianProduct anywhere;
+  *  - no BroadcastNestedLoopJoin except the one deliberate case
+  *    (embed_cosine_topk: the exact baseline scores every corpus row per
+  *    query by definition, joined on `id =!= q_id`);
+  *  - point/range lookups (find_by_id / find_by_period) must push their
+  *    predicates into the parquet scan (non-empty PushedFilters).
+  * A refactor that silently degrades a bucket equi-join into a nested loop
+  * or loses scan pushdown fails here, not in a 100 TB run. */
+class PlanGuardSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private val bnljAllowed = Set("embed_cosine_topk")
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("no CartesianProduct; BroadcastNestedLoopJoin only where whitelisted") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct"), s"$name plan has a CartesianProduct")
+      if (!bnljAllowed(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plan has an unexpected BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("point/range lookups push predicates into the parquet scan") {
+    Seq("find_by_id", "find_by_period").foreach { name =>
+      val plan = planOf(name)
+      assert(plan.contains("PushedFilters: ["), s"$name scan reports no pushdown")
+      assert(!plan.contains("PushedFilters: []"), s"$name has empty PushedFilters")
+    }
+  }
+}

@@ -4,11 +4,14 @@ import org.apache.spark.sql.Encoders
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.model._
-import graft.operators.Syllabus
+import graft.operators.{SectionRouting, Syllabus}
 import graft.sinks.{CourseJson, JsonSinks}
 import graft.sources.{DocSource, Periods}
 
-/** End-to-end pipeline over engine-authored fixtures (FIXTURES.md §B). */
+/** End-to-end pipeline over engine-authored fixtures (FIXTURES.md §B) —
+  * from UNROUTED per-page extractions: the S3 section-routing operator
+  * (page cursor carry-over, mid-page switch, drop-unrelated) runs first,
+  * so the full reference dataflow is exercised, not pre-routed inputs. */
 class SyllabusPipelineSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
@@ -43,18 +46,50 @@ class SyllabusPipelineSpec extends AnyFunSuite {
     Seq("EX FINAL", "Todas", "40%", "16", "", "Sí"),
     Seq("BAD", "X", "10%", "n/a", "", ""))
 
-  private val goodDoc = RawDoc("d1", "UG-202520_1AEL0244-8281.pdf",
-    Seq(generalPage, "VI. UNIDADES DE APRENDIZAJE"), unitsRaw, assessRaw)
-  private val badName = RawDoc("d2", "syllabus.pdf", Seq(generalPage), Seq.empty, Seq.empty)
-  private val badGrammar = RawDoc("d3", "UG-202520_1AMA0042-1234.pdf",
-    Seq(generalPage), Seq(Seq("Foo")), Seq.empty)
-  private val emptyDoc = RawDoc("d4", "UG-202510_1ASI0001-0042.pdf",
-    Seq("I. INFORMACIÓN GENERAL\nnothing labeled here"), Seq.empty, Seq.empty)
+  /** goodDoc as raw pages: the units table is split across two pages (the
+    * second has NO heading → cursor carry-over), the assessments heading
+    * appears MID-page, and a trailing bibliography-section table must be
+    * dropped — every branch of etl_infrastructure.py:18-55. */
+  private val goodPages = Seq(
+    RawPage("d1", "UG-202520_1AEL0244-8281.pdf", 0, generalPage, null),
+    RawPage("d1", "UG-202520_1AEL0244-8281.pdf", 1,
+      "VI. UNIDADES DE APRENDIZAJE", unitsRaw.take(6)),
+    RawPage("d1", "UG-202520_1AEL0244-8281.pdf", 2,
+      "texto de continuación sin encabezado", unitsRaw.drop(6)),
+    RawPage("d1", "UG-202520_1AEL0244-8281.pdf", 3,
+      "cierre de unidades\nVIII. EVALUACIÓN", assessRaw),
+    RawPage("d1", "UG-202520_1AEL0244-8281.pdf", 4,
+      "IX. BIBLIOGRAFÍA DEL CURSO", Seq(Seq("Stewart", "dropped"))))
+  private val badNamePages = Seq(
+    RawPage("d2", "syllabus.pdf", 0, generalPage, null))
+  private val badGrammarPages = Seq(
+    RawPage("d3", "UG-202520_1AMA0042-1234.pdf", 0, generalPage, null),
+    RawPage("d3", "UG-202520_1AMA0042-1234.pdf", 1,
+      "VI. UNIDADES DE APRENDIZAJE", Seq(Seq("Foo"))))
+  private val emptyDocPages = Seq(
+    RawPage("d4", "UG-202510_1ASI0001-0042.pdf", 0,
+      "I. INFORMACIÓN GENERAL\nnothing labeled here", null))
 
-  private def parseAll() = {
-    val docs = spark.createDataset(Seq(goodDoc, badName, badGrammar, emptyDoc))(
-      Encoders.product[RawDoc]).toDF()
-    Syllabus.parse(docs)
+  private def allPages =
+    spark.createDataset(goodPages ++ badNamePages ++ badGrammarPages ++ emptyDocPages)(
+      Encoders.product[RawPage]).toDF()
+
+  private def parseAll() = Syllabus.parseFromPages(allPages)
+
+  test("section routing assembles docs: carry-over, mid-page switch, drops") {
+    def nested(r: org.apache.spark.sql.Row, c: String): Seq[Seq[String]] =
+      r.getAs[scala.collection.Seq[scala.collection.Seq[String]]](c).map(_.toSeq).toSeq
+    val docs = SectionRouting.assembleDocs(allPages).collect()
+      .map(r => r.getAs[String]("doc_id") -> r).toMap
+    val d1 = docs("d1")
+    assert(nested(d1, "units_raw") === unitsRaw)
+    assert(nested(d1, "assessments_raw") === assessRaw)
+    assert(d1.getAs[scala.collection.Seq[String]]("pages").length === 5)
+    // the bibliography-section table went nowhere
+    assert(!nested(d1, "units_raw").flatten.contains("dropped"))
+    // a doc with no routed tables gets empty arrays, not nulls
+    assert(nested(docs("d4"), "units_raw") === Seq.empty)
+    assert(nested(docs("d4"), "assessments_raw") === Seq.empty)
   }
 
   test("pipeline parses a full course with merges, defaults and envelope") {
