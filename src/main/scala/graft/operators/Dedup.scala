@@ -44,16 +44,22 @@ object Dedup {
         minhash(col("hs"), a, b).as(s"mh$i")
       }: _*)
 
-  /** LSH bands: 2 bands x 4 rows — P(candidate) = 1-(1-j^4)^2, steep
-    * around j≈0.5. Emits (id, band, key). */
-  def lshBands(docs: DataFrame, id: String, text: String): DataFrame = {
+  /** (id, band, key) from a precomputed (id, hs) shingle relation —
+    * lets callers that also need the shingles (the Jaccard verify) compute
+    * the expensive gram hashing exactly once. */
+  def lshBandsFrom(shingles: DataFrame, id: String): DataFrame = {
     val hs = col("hs")
-    shingleSets(docs, id, text)
+    shingles
       .select(col(id), explode(array(
         struct(lit(0).as("band"), bandKey(hs, MinhashSeeds.take(4)).as("key")),
         struct(lit(1).as("band"), bandKey(hs, MinhashSeeds.drop(4)).as("key")))).as("b"))
       .select(col(id), col("b.band").as("band"), col("b.key").as("key"))
   }
+
+  /** LSH bands: 2 bands x 4 rows — P(candidate) = 1-(1-j^4)^2, steep
+    * around j≈0.5. Emits (id, band, key). */
+  def lshBands(docs: DataFrame, id: String, text: String): DataFrame =
+    lshBandsFrom(shingleSets(docs, id, text), id)
 
   /** Distinct candidate pairs from band-key equality (doc_a < doc_b),
     * with a degenerate-bucket cap: a band key shared by more than
@@ -71,8 +77,13 @@ object Dedup {
     * durable. Caches are session-scoped working sets: long-lived sessions
     * should `spark.catalog.clearCache()` between query families. */
   def lshCandidatePairs(docs: DataFrame, id: String, text: String,
+      maxBucket: Int = 100): DataFrame =
+    candidatePairsFromBands(lshBands(docs, id, text), id, maxBucket)
+
+  /** Capped bucket self-join over a precomputed (id, band, key) relation. */
+  def candidatePairsFromBands(bandRel: DataFrame, id: String,
       maxBucket: Int = 100): DataFrame = {
-    val bands = lshBands(docs, id, text).cache()
+    val bands = bandRel.cache()
     val okBuckets = bands.groupBy("band", "key")
       .agg(count(lit(1)).as("n"))
       .filter(col("n") <= maxBucket)
@@ -100,9 +111,10 @@ object Dedup {
     * is the LSH-recall/exact-precision shape that survives 100 TB. */
   def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
       threshold: Double): DataFrame = {
+    // One shingle pass feeds BOTH the band keys and the gram arrays.
     val g = shingleSets(docs, id, text).cache()
     val inter = size(array_intersect(col("ga"), col("gb")))
-    lshCandidatePairs(docs, id, text)
+    candidatePairsFromBands(lshBandsFrom(g, id), id)
       .join(g.select(col(id).as("doc_a"), col("hs").as("ga")), "doc_a")
       .join(g.select(col(id).as("doc_b"), col("hs").as("gb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),

@@ -53,17 +53,11 @@ object Similarity {
     * ±1 pattern reproducible in plain SQL. 97 is prime and coprime to 37,
     * so every global plane index yields a distinct pattern (a modulus of 7
     * would repeat planes every 7 indices). Bit jj of the key is the sign
-    * of plane j's dot product. */
+    * of plane j's dot product. Computed by the native codegen Expression
+    * [[graft.functions.LshBandKey]] (bit-identical to the HOF fold the
+    * oracles rebuild — SimilaritySpec pins the equivalence). */
   def lshBandKey(v: Column, band: Int, bits: Int = BandBits): Column =
-    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, jj) => {
-      val j = jj + lit(band * bits)
-      val planeDot = aggregate(
-        sequence(lit(1), size(v)),
-        lit(0.0),
-        (s, i) => s + element_at(v, i).cast("double") *
-          when(((i * 31 + j * 37) % 97) % 2 === 0, lit(1.0)).otherwise(lit(-1.0)))
-      acc + when(planeDot > 0, pow(lit(2.0), jj).cast("long")).otherwise(0L)
-    })
+    graft.functions.LshBandKey.key(v, band, bits)
 
   /** The cached ANN index relation: (id, v, nrm, key0..key{NumBands-1}).
     * One pass computes vectors, norms, and all band keys; `cache`

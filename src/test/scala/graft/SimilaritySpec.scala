@@ -41,6 +41,28 @@ class SimilaritySpec extends AnyFunSuite {
       assert(keys(r.getLong(0)).intersect(keys(r.getLong(1))).nonEmpty))
   }
 
+  test("codegen LshBandKey equals the SQL-reproducible HOF fold on every vector") {
+    // the reference formulation the DuckDB oracles rebuild: a strict
+    // left-fold plane dot + 2^jj per positive sign
+    def hofKey(v: org.apache.spark.sql.Column, band: Int, bits: Int) =
+      aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, jj) => {
+        val j = jj + lit(band * bits)
+        val planeDot = aggregate(
+          sequence(lit(1), size(v)),
+          lit(0.0),
+          (s, i) => s + element_at(v, i).cast("double") *
+            when(((i * 31 + j * 37) % 97) % 2 === 0, lit(1.0)).otherwise(lit(-1.0)))
+        acc + when(planeDot > 0, pow(lit(2.0), jj).cast("long")).otherwise(0L)
+      })
+    val v = Similarity.toDoubleVec(col("embedding"))
+    val mismatches = emb.select(
+        Similarity.lshBandKey(v, 0).as("k0"), hofKey(v, 0, Similarity.BandBits).as("h0"),
+        Similarity.lshBandKey(v, 1).as("k1"), hofKey(v, 1, Similarity.BandBits).as("h1"))
+      .filter(col("k0") =!= col("h0") || col("k1") =!= col("h1"))
+      .count()
+    assert(mismatches === 0)
+  }
+
   test("near-dup pairs are ordered, thresholded and self-free") {
     val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.3).collect()
     pairs.foreach { r =>
