@@ -204,7 +204,79 @@ object Relational {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
 
+  /** Gap-based sessionization over the event stream: a new session starts
+    * when a user's inter-event gap exceeds 7 days. lag + running sum over
+    * one (user, time) window, then a same-key aggregation — a single hash
+    * exchange on user_id end to end; state per user is one row of window
+    * context, so the plan holds at any event volume. Microsecond epoch
+    * math on both engines (second-truncation could disagree on
+    * sub-second gaps). */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapMicros = 7L * 24 * 3600 * 1000000L
+    val prev = lag(col("ts"), 1).over(w)
+    val newSession = when(
+      prev.isNull || unix_micros(col("ts")) - unix_micros(prev) > gapMicros, 1)
+      .otherwise(0)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("session_no", sum(newSession).over(run))
+      .groupBy("user_id", "session_no")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        min(col("event_id")).as("first_event"))
+      .orderBy("user_id", "session_no")
+  }
+
+  val sessionizeSql: String =
+    """WITH x AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 604800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+      |  FROM x)
+      |SELECT user_id, session_no, COUNT(*) AS n_events,
+      |       MIN(ts) AS session_start, MAX(ts) AS session_end, MIN(event_id) AS first_event
+      |FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin
+
+  /** Rollup aggregate (engine-surface staple the reference lacks):
+    * status × priority revenue with subtotal and grand-total rows in one
+    * pass — Catalyst expands the grouping sets before the (partial) hash
+    * aggregation, so the shuffle still carries only group rows. NULL
+    * grouping keys are coalesced to a sentinel so both engines order and
+    * hash identically. */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        sum(col("o_totalprice").cast(DecimalType(14, 2))).cast("double").as("total_price"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("total_price"), col("n_orders"))
+      .orderBy("status", "priority")
+
+  val rollupRevenueSql: String =
+    """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+      |       COALESCE(o_orderpriority, '(all)') AS priority,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price,
+      |       COUNT(*) AS n_orders
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sessionize" -> (sessionize _),
+    "rollup_revenue" -> (rollupRevenue _),
     "calendar_weekly" -> (calendarWeekly _),
     "pricing_summary" -> (pricingSummary _),
     "week_date_enrich" -> (weekDateEnrich _),
@@ -216,6 +288,8 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "sessionize" -> sessionizeSql,
+    "rollup_revenue" -> rollupRevenueSql,
     "calendar_weekly" -> calendarWeeklySql,
     "pricing_summary" -> pricingSummarySql,
     "week_date_enrich" -> weekDateEnrichSql,

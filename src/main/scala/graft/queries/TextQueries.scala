@@ -1,15 +1,17 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.PolyHash
 import graft.sources.Tables
 
 /** Text-analysis operators over `documents` (SURVEY north-star): token
-  * counting, language-ID heuristic, quality scoring, fingerprinting.
-  * All single-pass, shuffle-free, codegen-friendly column math — at 100 TB
-  * these run at scan speed.
+  * counting, language-ID heuristic, quality scoring, fingerprinting,
+  * TF-IDF term ranking. The scalar ops are single-pass, shuffle-free,
+  * codegen-friendly column math — at 100 TB they run at scan speed; TF-IDF
+  * is the classic two-aggregation + term-keyed join shape.
   */
 object TextQueries {
 
@@ -99,15 +101,53 @@ object TextQueries {
        |  n_chars
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF top-3 terms per document. Two partial-aggregating groupBys
+    * (doc-term TF, then term DF) and one join keyed on the term — the
+    * shape that scales: the shuffle carries (term, count) pairs, never
+    * documents, and the ranking window partitions by doc (bounded by
+    * document length, not corpus size). The IDF factor is N/df as one
+    * IEEE division (no log), so scores are bit-equal across engines;
+    * ties break by term for a deterministic ranking. */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val terms = docs.select(col("doc_id"),
+      explode(org.apache.spark.sql.functions.filter(split(col("text"), " "), w => w =!= "")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val score = col("tf") * (lit(nDocs).cast("double") / col("df"))
+    tf.join(dfRel, "term")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), score.as("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)).cast("bigint"))
+      .filter(col("rn") <= 3)
+      .orderBy("doc_id", "rn")
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n FROM documents)
+      |SELECT doc_id, term, tf, df, score, rn FROM (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    tf.tf * (CAST(n.n AS DOUBLE) / df.df) AS score,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |                       ORDER BY tf.tf * (CAST(n.n AS DOUBLE) / df.df) DESC, tf.term ASC) AS rn
+      |  FROM tf JOIN df USING (term) CROSS JOIN n) s
+      |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "token_count" -> (tokenCount _),
     "lang_id_heuristic" -> (langIdHeuristic _),
     "quality_score" -> (qualityScore _),
-    "doc_fingerprint" -> (docFingerprint _))
+    "doc_fingerprint" -> (docFingerprint _),
+    "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
     "token_count" -> tokenCountSql,
     "lang_id_heuristic" -> langIdHeuristicSql,
     "quality_score" -> qualityScoreSql,
-    "doc_fingerprint" -> docFingerprintSql)
+    "doc_fingerprint" -> docFingerprintSql,
+    "tfidf_top_terms" -> tfidfTopTermsSql)
 }
