@@ -50,16 +50,9 @@ object TextOps {
     }
 
   /** 32-bit SimHash over a hash set: bit j set iff the +1/-1 vote of bit j
-    * across all member hashes is positive. Bit extraction uses
-    * `floor(h / 2^j) % 2` — exact in double for h < 2^53 — mirroring the
-    * oracle's `(h >> j) & 1`. */
-  def simhash32(hs: Column): Column =
-    aggregate(
-      sequence(lit(0), lit(31)),
-      lit(0L),
-      (acc, j) => {
-        val bitOf = (h: Column) => pmod(floor(h / pow(lit(2.0), j)).cast("long"), lit(2L))
-        val vote = aggregate(hs, lit(0L), (s, h) => s + when(bitOf(h) === 1, 1L).otherwise(-1L))
-        acc + when(vote > 0, pow(lit(2.0), j).cast("long")).otherwise(0L)
-      })
+    * across all member hashes is positive. Computed by the native codegen
+    * Expression [[graft.functions.Simhash32]] — bit-identical to the
+    * interpreted HOF fold the oracles rebuild (equivalence pinned in
+    * FunctionsSpec). */
+  def simhash32(hs: Column): Column = graft.functions.Simhash32.of(hs)
 }
