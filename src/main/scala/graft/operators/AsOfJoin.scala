@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, attach the payload of the LATEST right
+  * row with the same key and right-time <= left-time (left outer: no
+  * prior right row → null payload). Spark has no native ASOF JOIN; the
+  * naive formulations are a per-row range subquery or a key-equality join
+  * + windowed filter, both of which materialize |L|×|R-per-key| rows.
+  *
+  * This implementation is the scale shape: UNION the two relations with a
+  * side marker, sort each key's rows by (time, side, right-tiebreak) —
+  * right rows first at equal times, so "<=" holds — and propagate the
+  * right payload with a running last-non-null window. One hash exchange
+  * on the key, one sort, zero row blow-up; ties among right rows resolve
+  * by the tiebreak column (latest wins), so results are deterministic and
+  * SQL-reproducible (the oracle rebuilds the identical window).
+  */
+object AsOfJoin {
+
+  /** @param left       left relation (all its columns are kept)
+    * @param right      right relation
+    * @param leftKey    join key column in `left`
+    * @param rightKey   join key column in `right`
+    * @param leftTime   event-time column in `left`
+    * @param rightTime  event-time column in `right`
+    * @param rightTie   unique orderable column in `right` breaking
+    *                   equal-time ties (latest wins)
+    * @param rightPayload right columns to attach, emitted as `asof_<name>`
+    */
+  def asOf(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column, leftTime: Column, rightTime: Column,
+      rightTie: String, rightPayload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val tieType = right.schema(rightTie).dataType
+    val lNorm = left.select(
+      (Seq(leftKey.as("_k"), leftTime.as("_t"), lit(1).as("_side"),
+        lit(null).cast(tieType).as("_tie")) ++
+        rightPayload.map(p => lit(null).cast(right.schema(p).dataType).as(s"_p_$p")) ++
+        leftCols.map(col)): _*)
+    val rNorm = right.select(
+      (Seq(rightKey.as("_k"), rightTime.as("_t"), lit(0).as("_side"),
+        col(rightTie).as("_tie")) ++
+        rightPayload.map(p => col(p).as(s"_p_$p")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    // Separate last() calls per payload column stay mutually consistent
+    // because the sort is total over right rows ((_t, _side=0, _tie)
+    // unique), so every window picks the same "latest" right row.
+    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lNorm.unionByName(rNorm)
+      .select((Seq(col("_side")) ++ leftCols.map(col) ++
+        rightPayload.map(p => last(col(s"_p_$p"), ignoreNulls = true).over(w).as(s"asof_$p"))): _*)
+      .filter(col("_side") === 1)
+      .select(leftCols.map(col) ++ rightPayload.map(p => col(s"asof_$p")): _*)
+  }
+}

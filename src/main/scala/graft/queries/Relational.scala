@@ -274,7 +274,45 @@ object Relational {
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
+  /** As-of join (AsOfJoin.asOf): each event picks up the latest order of
+    * its key bucket placed on or before the event time — union + running
+    * last-non-null window, one hash exchange on the key, no row blow-up.
+    * Equal-time ties resolve to the max o_orderkey; events with no prior
+    * order keep null payload (left outer as-of). */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val leftWithT = Tables.events(spark, dir)
+      .select(col("event_id"), (col("user_id") % 25).as("ukey"), col("ts"))
+    graft.operators.AsOfJoin.asOf(
+        leftWithT, Tables.orders(spark, dir),
+        leftKey = col("ukey"), rightKey = col("o_custkey") % 25,
+        leftTime = col("ts"), rightTime = col("o_orderdate"),
+        rightTie = "o_orderkey", rightPayload = Seq("o_orderkey", "o_totalprice"))
+      .select("event_id", "ukey", "asof_o_orderkey", "asof_o_totalprice")
+      .orderBy("event_id")
+  }
+
+  val asofJoinSql: String =
+    """WITH u AS (
+      |  SELECT user_id % 25 AS k, ts AS t, 1 AS side, NULL::BIGINT AS tie,
+      |         NULL::BIGINT AS p_ok, NULL::DOUBLE AS p_tp,
+      |         event_id, user_id % 25 AS ukey
+      |  FROM events
+      |  UNION ALL
+      |  SELECT o_custkey % 25, o_orderdate, 0, o_orderkey,
+      |         o_orderkey, o_totalprice, NULL, NULL
+      |  FROM orders),
+      |w AS (
+      |  SELECT side, event_id, ukey,
+      |    last_value(p_ok IGNORE NULLS) OVER win AS asof_o_orderkey,
+      |    last_value(p_tp IGNORE NULLS) OVER win AS asof_o_totalprice
+      |  FROM u
+      |  WINDOW win AS (PARTITION BY k ORDER BY t, side, tie
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, ukey, asof_o_orderkey, asof_o_totalprice
+      |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join" -> (asofJoin _),
     "sessionize" -> (sessionize _),
     "rollup_revenue" -> (rollupRevenue _),
     "calendar_weekly" -> (calendarWeekly _),
@@ -288,6 +326,7 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "asof_join" -> asofJoinSql,
     "sessionize" -> sessionizeSql,
     "rollup_revenue" -> rollupRevenueSql,
     "calendar_weekly" -> calendarWeeklySql,

@@ -137,7 +137,50 @@ object TextQueries {
       |  FROM tf JOIN df USING (term) CROSS JOIN n) s
       |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
 
+  /** HLL-style approximate distinct-token count: 64 registers keyed by
+    * poly_hash(term) % 64, each holding the max bit-pattern observable
+    * rho = trailing-zero count of the remaining hash bits + 1, harmonic
+    * combine. Sketch shape for 100 TB: the register relation is a
+    * 64-row partial-aggregating groupBy (mergeable across any partitioning
+    * — the map side collapses to 64 rows per task), and every observable
+    * is integer math while the harmonic sum adds exact powers of two, so
+    * the "approximate" estimate is still bit-reproducible and
+    * differentially tested against DuckDB. */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(spark, dir).select(
+      explode(org.apache.spark.sql.functions.filter(split(col("text"), " "), w => w =!= "")).as("term"))
+    val h = PolyHash.hash(col("term"))
+    val withH = terms.select(h.as("h"))
+      .select(pmod(col("h"), lit(64)).as("bucket"), expr("h div 64").as("w"))
+    val rho = when(col("w") === 0, lit(25))
+      .otherwise(bit_count(col("w").bitwiseAND(-col("w")) - 1) + 1)
+    withH.select(col("bucket"), rho.as("rho"))
+      .groupBy("bucket")
+      .agg(max(col("rho")).as("max_rho"))
+      .agg(
+        count(lit(1)).as("n_used"),
+        sum(pow(lit(2.0), -col("max_rho"))).as("s_present"))
+      .select(
+        lit(64).as("m"),
+        col("n_used"),
+        (lit(0.709) * 64 * 64 / (col("s_present") + (lit(64) - col("n_used")))).as("estimate"))
+  }
+
+  val hllDistinctSql: String =
+    s"""WITH t AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term FROM documents),
+       |h AS (SELECT list_reduce(list_prepend(0::BIGINT, list_transform(string_split(term,''), c -> ascii(c)::BIGINT)),
+       |                         (a,b) -> (a*31+b) % ${PolyHash.Mod}) AS hv FROM t),
+       |r AS (SELECT hv % 64 AS bucket,
+       |        CASE WHEN hv // 64 = 0 THEN 25
+       |             ELSE bit_count(((hv // 64) & -(hv // 64)) - 1) + 1 END AS rho
+       |      FROM h),
+       |regs AS (SELECT bucket, MAX(rho) AS max_rho FROM r GROUP BY bucket)
+       |SELECT 64 AS m, COUNT(*) AS n_used,
+       |  0.709::DOUBLE * 64 * 64 / (SUM(pow(2, -max_rho)) + (64 - COUNT(*))) AS estimate
+       |FROM regs""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hll_distinct" -> (hllDistinct _),
     "token_count" -> (tokenCount _),
     "lang_id_heuristic" -> (langIdHeuristic _),
     "quality_score" -> (qualityScore _),
@@ -145,6 +188,7 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "hll_distinct" -> hllDistinctSql,
     "token_count" -> tokenCountSql,
     "lang_id_heuristic" -> langIdHeuristicSql,
     "quality_score" -> qualityScoreSql,
