@@ -88,15 +88,27 @@ object MediaStreamQueries {
     """SELECT user_id, COUNT(*) AS n_events, arg_max(value, event_id) AS last_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** flatMapGroupsWithState sessionizer in one-shot batch mode: must
+    * reproduce the window-based `sessionize` exactly — hash-checked
+    * against the SAME DuckDB oracle (typed-stateful vs relational
+    * differential). Gap = 7 days, as in Relational.sessionize. */
+  def sessionizeStateful(spark: SparkSession, dir: String): DataFrame =
+    StreamingCalendar.sessionizeStateful(
+        Tables.events(spark, dir), gapMicros = 7L * 24 * 3600 * 1000000L)
+      .orderBy("user_id", "session_no")
+      .toDF()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "windowed_event_agg" -> (windowedEventAgg _),
     "binary_meta_extract" -> (binaryMetaExtract _),
     "multimodal_features" -> (multimodalFeatures _),
-    "stream_user_running" -> (streamUserRunning _))
+    "stream_user_running" -> (streamUserRunning _),
+    "sessionize_stateful" -> (sessionizeStateful _))
 
   val oracles: Map[String, String] = Map(
     "windowed_event_agg" -> windowedEventAggSql,
     "binary_meta_extract" -> binaryMetaExtractSql,
     "multimodal_features" -> multimodalFeaturesSql,
-    "stream_user_running" -> streamUserRunningSql)
+    "stream_user_running" -> streamUserRunningSql,
+    "sessionize_stateful" -> Relational.sessionizeSql)
 }

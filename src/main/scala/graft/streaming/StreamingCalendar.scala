@@ -30,6 +30,66 @@ object StreamingCalendar {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
 
+  final case class SessionRow(
+      user_id: Long, session_no: Long, n_events: Long,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+      first_event: Long)
+
+  /** Open-session state: number of sessions already closed plus the
+    * running tail session (open_n == 0 → no open session yet). */
+  final case class SessState(
+      closed: Long, open_start: Long, open_last: Long, open_n: Long,
+      open_first: Long)
+
+  private def microsToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Gap-based sessionization via flatMapGroupsWithState — the
+    * KeyValueGroupedDataset multi-row-output custom-state surface. Each
+    * invocation sorts its batch's rows by (event time, event id), splits
+    * on gaps > `gapMicros`, and emits every session touched this batch —
+    * including the still-open tail, whose row is re-emitted (same
+    * (user_id, session_no), grown n_events) if a later batch extends it:
+    * Update-style semantics, downstream keeps the latest row per key.
+    * In one-shot batch mode that makes the output exactly the gap
+    * sessionization of the whole input, which is how the query
+    * `sessionize_stateful` is hash-checked against the SAME DuckDB oracle
+    * as the window-based `sessionize` — a typed-stateful vs relational
+    * differential test of one semantics. */
+  def sessionizeStateful(events: DataFrame, gapMicros: Long): Dataset[SessionRow] = {
+    val byUser = events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        unix_micros(col("ts")).as("t"))
+      .as(Encoders.product[(Long, Long, Long)])
+      .groupByKey(_._1)(Encoders.scalaLong)
+    byUser.flatMapGroupsWithState[SessState, SessionRow](
+      OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+      (user: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[SessState]) => {
+        val sorted = rows.toSeq.map { case (_, eid, t) => (t, eid) }.sorted
+        var s = state.getOption.getOrElse(SessState(0L, 0L, 0L, 0L, 0L))
+        val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+        sorted.foreach { case (t, eid) =>
+          if (s.open_n == 0L)
+            s = SessState(s.closed, t, t, 1L, eid)
+          else if (t - s.open_last > gapMicros) {
+            out += SessionRow(user, s.closed + 1, s.open_n,
+              microsToTs(s.open_start), microsToTs(s.open_last), s.open_first)
+            s = SessState(s.closed + 1, t, t, 1L, eid)
+          } else
+            s = s.copy(open_last = t, open_n = s.open_n + 1,
+              open_first = math.min(s.open_first, eid))
+        }
+        if (s.open_n > 0L)
+          out += SessionRow(user, s.closed + 1, s.open_n,
+            microsToTs(s.open_start), microsToTs(s.open_last), s.open_first)
+        state.update(s)
+        out.iterator
+      })(Encoders.product[SessState], Encoders.product[SessionRow])
+  }
+
   final case class UserRunning(user_id: Long, n_events: Long, last_value: Double)
 
   /** State carries the max event id seen so "last" is defined by the data

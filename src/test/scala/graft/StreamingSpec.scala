@@ -44,6 +44,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("flatMapGroupsWithState sessionizer accumulates across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val gap = 7L * 24 * 3600 * 1000000L
+    val events = fixtureEvents(120)
+    val (first, second) = events.sortBy(e => (e.ts.getTime, e.event_id)).splitAt(60)
+    val stream = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
+
+    val q = StreamingCalendar.sessionizeStateful(stream.toDF(), gap)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(first)
+      q.processAllAvailable()
+      stream.addData(second)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // a re-emitted tail session only grows: latest = max(n_events) per key
+    val streamed = spark.table("sessions_out")
+      .groupBy("user_id", "session_no").agg(max("n_events").as("n_events"))
+    val batch = StreamingCalendar.sessionizeStateful(
+        spark.createDataset(events)(Encoders.product[Ev]).toDF(), gap)
+      .select("user_id", "session_no", "n_events")
+    assert(streamed.count() === batch.count())
+    val mismatch = streamed.as("a").join(batch.as("b"), Seq("user_id", "session_no"))
+      .filter(col("a.n_events") =!= col("b.n_events")).count()
+    assert(mismatch === 0)
+  }
+
   test("mapGroupsWithState accumulates across micro-batches") {
     implicit val sq = spark.sqlContext
     val events = fixtureEvents(100)
