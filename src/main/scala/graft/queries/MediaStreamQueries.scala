@@ -98,7 +98,31 @@ object MediaStreamQueries {
       .orderBy("user_id", "session_no")
       .toDF()
 
+  /** Frame-sampling plan (Multimodal.sampleFrames): every 3rd frame index
+    * per decoded video — a relational explode over decoded metadata, no
+    * payload movement. Rebuilds the stub decode in SQL, so the whole
+    * asMedia → extractFeatures → sampleFrames chain is hash-checked. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+        Multimodal.extractFeatures(
+          Multimodal.asMedia(Tables.documents(spark, dir), "doc_id", "text"),
+          partitions = 8),
+        step = 3)
+      .orderBy("id", "frame_no")
+
+  val frameSampleSql: String =
+    """WITH f AS (
+      |  SELECT doc_id AS id,
+      |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
+      |    octet_length(CAST(text AS BLOB)) AS n_bytes
+      |  FROM documents)
+      |SELECT id, CAST(1 + n_bytes % 120 AS INT) AS n_frames,
+      |       CAST(unnest(range(0, 1 + n_bytes % 120, 3)) AS INT) AS frame_no
+      |FROM f WHERE modality = 'video'
+      |ORDER BY id, frame_no""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "frame_sample" -> (frameSample _),
     "windowed_event_agg" -> (windowedEventAgg _),
     "binary_meta_extract" -> (binaryMetaExtract _),
     "multimodal_features" -> (multimodalFeatures _),
@@ -106,6 +130,7 @@ object MediaStreamQueries {
     "sessionize_stateful" -> (sessionizeStateful _))
 
   val oracles: Map[String, String] = Map(
+    "frame_sample" -> frameSampleSql,
     "windowed_event_agg" -> windowedEventAggSql,
     "binary_meta_extract" -> binaryMetaExtractSql,
     "multimodal_features" -> multimodalFeaturesSql,

@@ -311,7 +311,34 @@ object Relational {
       |SELECT event_id, ukey, asof_o_orderkey, asof_o_totalprice
       |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin
 
+  /** Exact lower median per group by rank arithmetic — deterministic
+    * (value ties break on event_id) and cross-engine exact, unlike
+    * interpolating percentile functions whose float math differs between
+    * engines. Window partitions are single groups, so the cost profile is
+    * that of a sort-based groupBy. */
+  def medianByGroup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(expr("rn = (n + 1) div 2"))
+      .select(col("event_type"), col("value").as("median_value"), col("n"))
+      .orderBy("event_type")
+  }
+
+  val medianByGroupSql: String =
+    """SELECT event_type, value AS median_value, n FROM (
+      |  SELECT event_type, value, event_id,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events) t
+      |WHERE rn = (n + 1) // 2
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "median_by_group" -> (medianByGroup _),
     "asof_join" -> (asofJoin _),
     "sessionize" -> (sessionize _),
     "rollup_revenue" -> (rollupRevenue _),
@@ -326,6 +353,7 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "median_by_group" -> medianByGroupSql,
     "asof_join" -> asofJoinSql,
     "sessionize" -> sessionizeSql,
     "rollup_revenue" -> rollupRevenueSql,

@@ -179,7 +179,27 @@ object TextQueries {
        |  0.709::DOUBLE * 64 * 64 / (SUM(pow(2, -max_rho)) + (64 - COUNT(*))) AS estimate
        |FROM regs""".stripMargin
 
+  /** Deterministic hash-Bernoulli sampling: keep a row iff
+    * poly_hash(salted id) mod 100 < rate. Unlike `df.sample`, the subset
+    * is a pure function of the data — stable across runs, engines, and
+    * partitionings (the property a reproducible training-data pipeline
+    * needs) — and evaluates scan-side with zero shuffle. */
+  def hashSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(pmod(PolyHash.hash(concat(col("doc_id").cast("string"), lit(":s42"))),
+        lit(100)) < 10)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+
+  val hashSampleSql: String =
+    s"""SELECT doc_id, lang, n_chars FROM documents
+       |WHERE list_reduce(list_prepend(0::BIGINT, list_transform(
+       |        string_split(CAST(doc_id AS VARCHAR) || ':s42',''), c -> ascii(c)::BIGINT)),
+       |        (a,b) -> (a*31+b) % ${PolyHash.Mod}) % 100 < 10
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hash_sample" -> (hashSample _),
     "hll_distinct" -> (hllDistinct _),
     "token_count" -> (tokenCount _),
     "lang_id_heuristic" -> (langIdHeuristic _),
@@ -188,6 +208,7 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "hash_sample" -> hashSampleSql,
     "hll_distinct" -> hllDistinctSql,
     "token_count" -> tokenCountSql,
     "lang_id_heuristic" -> langIdHeuristicSql,
