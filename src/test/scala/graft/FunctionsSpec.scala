@@ -1,8 +1,11 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.functions.{ScoredId, TopKAggregator}
 import graft.operators.TextOps
 import graft.sources.Tables
 
@@ -10,6 +13,30 @@ import graft.sources.Tables
   * SQL-reproducible folds the DuckDB oracles rebuild. */
 class FunctionsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
+
+  test("TopKAggregator: any reduce/merge split equals a full sort (property)") {
+    val k = 5
+    val agg = new TopKAggregator(k)
+    val genCase = for {
+      n <- Gen.choose(0, 25)
+      // distinct ids; scores from a small pool so ties are common
+      ids <- Gen.listOfN(n, Gen.choose(-50L, 50L)).map(_.distinct)
+      sims <- Gen.listOfN(ids.length, Gen.oneOf(-1.5, -0.25, 0.0, 0.5, 0.5, 2.0, 7.25))
+      split <- Gen.choose(0, ids.length)
+    } yield (ids.zip(sims), split)
+    (0 until 300).foreach { i =>
+      val (obs, split) = genCase(Gen.Parameters.default, Seed(1000L + i)).get
+      // expected: top-k by (sim desc, id asc) of the whole set
+      val expected = obs.sortBy { case (id, s) => (-s, id) }.take(k)
+      // actual: fold through an arbitrary two-buffer split, then merge
+      val (l, r) = obs.splitAt(split)
+      val bl = l.foldLeft(agg.zero)((b, x) => agg.reduce(b, ScoredId(x._1, x._2)))
+      val br = r.foldLeft(agg.zero)((b, x) => agg.reduce(b, ScoredId(x._1, x._2)))
+      val merged = agg.finish(agg.merge(bl, br))
+      assert(merged.ids.toList === expected.map(_._1))
+      assert(merged.sims.toList === expected.map(_._2))
+    }
+  }
 
   test("codegen Simhash32 equals the HOF vote fold on every document") {
     // the reference formulation: floor(h / 2^j) % 2 bit votes, 2^j packing

@@ -176,4 +176,19 @@ class SyllabusPipelineSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$dir/all_courses.json")), "UTF-8")
     assert(body.startsWith("[") && body.endsWith("]"))
   }
+
+  test("per-course sink sanitizes path separators in data-derived names") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sanitize").toString
+    val hostile = spark.createDataFrame(Seq(
+      ("../escape/me", "1234"), ("a/b\\c", "5678"))).toDF("name", "nrc")
+    JsonSinks.writePerCourse(hostile, dir)
+    val files = new java.io.File(dir).list().toSeq
+    assert(files.length === 2)
+    // no file escaped the sink dir; separators and dot-dot neutralized
+    files.foreach { f =>
+      assert(!f.contains("/") && !f.contains("\\") && !f.contains(".."))
+    }
+    assert(files.contains("__escape_me-1234.json"))
+    assert(files.contains("a_b_c-5678.json"))
+  }
 }
