@@ -40,9 +40,11 @@ object Similarity {
   /** Cast an array<float> column to array<double> once, up front. */
   def toDoubleVec(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Left-fold dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+  /** Left-fold dot product of two array<double> columns — the native
+    * codegen Expression [[graft.functions.VecDot]] (bit-identical to the
+    * aggregate/zip_with fold the oracles rebuild; equivalence pinned in
+    * FunctionsSpec). */
+  def dot(a: Column, b: Column): Column = graft.functions.VecDot(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))

@@ -38,6 +38,23 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("codegen VecDot equals the HOF left-fold on every embedding pair") {
+    import graft.operators.Similarity
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+    // self-dot over the corpus plus cross-dots against one fixed vector
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val mismatches = e.crossJoin(q)
+      .select(
+        Similarity.dot(col("v"), col("v")).as("d1"), hofDot(col("v"), col("v")).as("h1"),
+        Similarity.dot(col("v"), col("qv")).as("d2"), hofDot(col("v"), col("qv")).as("h2"))
+      .filter(col("d1") =!= col("h1") || col("d2") =!= col("h2"))
+      .count()
+    assert(mismatches === 0)
+  }
+
   test("codegen Simhash32 equals the HOF vote fold on every document") {
     // the reference formulation: floor(h / 2^j) % 2 bit votes, 2^j packing
     def hofSimhash(hs: org.apache.spark.sql.Column) =
