@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TopKAggregator
@@ -124,6 +125,63 @@ object Similarity {
       .join(e.select(col(id), col("v"), col("nrm")), id)
       .join(broadcast(q.select(col(id).as("q_id"), col("v").as("qv"),
         col("nrm").as("q_nrm"))), "q_id")
+      .select(col("q_id"), col(id),
+        (dot(col("qv"), col("v")) / (col("q_nrm") * col("nrm"))).as("sim"))
+    rankTopK(scored, id, k)
+  }
+
+  /** IVF cell assignment: each vector joins the cell of its
+    * most-cosine-similar centroid (ties → lowest centroid id). Centroids
+    * are the `k` lowest-id vectors — a deterministic, SQL-reproducible
+    * seeding (production would k-means them; the partitioning and probing
+    * plumbing is identical). The assignment is a broadcast of k tiny
+    * centroids against one corpus scan + a partial-aggregating
+    * per-vector max — no shuffle of vectors, the scale shape of an IVF
+    * index build. */
+  def ivfAssignments(corpus: DataFrame, id: String, vec: String,
+      k: Int = 16): DataFrame = {
+    val e = indexed(corpus, id, vec)
+    val c = e.filter(col(id) < k)
+      .select(col(id).as("c_id"), col("v").as("cv"), col("nrm").as("c_nrm"))
+    e.select(col(id), col("v"), col("nrm"))
+      .crossJoin(broadcast(c))
+      .select(col(id),
+        struct(
+          (dot(col("v"), col("cv")) / (col("nrm") * col("c_nrm"))).as("s"),
+          (-col("c_id")).as("nc")).as("sc"))
+      .groupBy(id)
+      .agg(max(col("sc")).as("m"))
+      .select(col(id), (-col("m.nc")).as("centroid_id"), col("m.s").as("sim"))
+  }
+
+  /** IVF approximate top-k: probe the query's `nProbe` nearest cells,
+    * score only vectors assigned there. Candidate generation joins the
+    * (id, centroid_id) assignment relation with a broadcast probe list —
+    * vectors rejoin by id for scoring, as in the LSH path. */
+  def ivfTopK(corpus: DataFrame, id: String, vec: String,
+      queryPred: Column, k: Int, nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
+    val e = indexed(corpus, id, vec)
+    val assign = ivfAssignments(corpus, id, vec, nCentroids)
+      .select(col(id), col("centroid_id"))
+    val c = e.filter(col(id) < nCentroids)
+      .select(col(id).as("c_id"), col("v").as("cv"), col("nrm").as("c_nrm"))
+    val q = e.filter(queryPred)
+      .select(col(id).as("q_id"), col("v").as("qv"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("c_sim").desc, col("c_id").asc)
+    val probes = q.crossJoin(broadcast(c))
+      .select(col("q_id"),
+        (dot(col("qv"), col("cv")) / (col("q_nrm") * col("c_nrm"))).as("c_sim"),
+        col("c_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("c_id").as("centroid_id"))
+    val cand = assign.join(broadcast(probes), "centroid_id")
+      .filter(col(id) =!= col("q_id"))
+      .select(col("q_id"), col(id))
+    val scored = cand
+      .join(e.select(col(id), col("v"), col("nrm")), id)
+      .join(broadcast(q), "q_id")
       .select(col("q_id"), col(id),
         (dot(col("qv"), col("v")) / (col("q_nrm") * col("nrm"))).as("sim"))
     rankTopK(scored, id, k)

@@ -105,15 +105,63 @@ object SimilarityQueries {
        |  FROM cand c JOIN e0 a ON a.vec_id = c.id_a JOIN e0 b ON b.vec_id = c.id_b) t
        |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin
 
+  private val cCte: String =
+    "c AS (SELECT vec_id AS c_id, embedding AS cv, nrm AS c_nrm FROM e0 WHERE vec_id < 16)"
+
+  /** IVF cell assignment (16 deterministic seed centroids). */
+  def ivfAssign(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfAssignments(Tables.embeddings(spark, dir), "vec_id", "embedding")
+      .orderBy("vec_id")
+
+  val ivfAssignSql: String =
+    s"""WITH $eCte,
+       |$cCte,
+       |s AS (SELECT e.vec_id, c.c_id, ${cosSql("e.embedding", "c.cv", "e.nrm", "c.c_nrm")} AS sim
+       |      FROM e0 e CROSS JOIN c)
+       |SELECT vec_id, c_id AS centroid_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) AS rn FROM s) t
+       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  /** IVF approximate top-10: probe the 2 nearest cells per query. */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        col("vec_id") < 5, k = 10)
+      .orderBy("q_id", "rank")
+
+  val ivfTopKSql: String =
+    s"""WITH $eCte,
+       |$cCte,
+       |a AS (SELECT vec_id, c_id AS centroid_id FROM (
+       |  SELECT s.*, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) AS rn
+       |  FROM (SELECT e.vec_id, c.c_id, ${cosSql("e.embedding", "c.cv", "e.nrm", "c.c_nrm")} AS sim
+       |        FROM e0 e CROSS JOIN c) s) t WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qnrm FROM e0 WHERE vec_id < 5),
+       |p AS (SELECT q_id, c_id AS centroid_id FROM (
+       |  SELECT x.*, row_number() OVER (PARTITION BY q_id ORDER BY c_sim DESC, c_id ASC) AS rn
+       |  FROM (SELECT q.q_id, c.c_id, ${cosSql("q.qv", "c.cv", "q.qnrm", "c.c_nrm")} AS c_sim
+       |        FROM q CROSS JOIN c) x) y WHERE rn <= 2),
+       |s AS (SELECT p.q_id, a.vec_id, ${cosSql("q.qv", "e.embedding", "q.qnrm", "e.nrm")} AS sim
+       |      FROM a JOIN p USING (centroid_id)
+       |      JOIN e0 e ON e.vec_id = a.vec_id
+       |      JOIN q ON q.q_id = p.q_id
+       |      WHERE a.vec_id != p.q_id)
+       |SELECT q_id, vec_id, sim, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM s) t
+       |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_cosine_topk" -> (cosineTopK _),
     "embed_lsh_buckets" -> (lshBuckets _),
     "ann_lsh_topk" -> (annLshTopK _),
-    "embed_neardup_pairs" -> (nearDupPairs _))
+    "embed_neardup_pairs" -> (nearDupPairs _),
+    "ivf_assign" -> (ivfAssign _),
+    "ivf_topk" -> (ivfTopK _))
 
   val oracles: Map[String, String] = Map(
     "embed_cosine_topk" -> cosineTopKSql,
     "embed_lsh_buckets" -> lshBucketsSql,
     "ann_lsh_topk" -> annLshTopKSql,
-    "embed_neardup_pairs" -> nearDupPairsSql)
+    "embed_neardup_pairs" -> nearDupPairsSql,
+    "ivf_assign" -> ivfAssignSql,
+    "ivf_topk" -> ivfTopKSql)
 }

@@ -16,7 +16,10 @@ class PlanGuardSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
-  private val bnljAllowed = Set("embed_cosine_topk")
+  // embed_cosine_topk: the exact baseline scores the whole corpus per query
+  // by definition; ivf_*: the index build/probe broadcasts 16 tiny centroids
+  // against a scan — a deliberate broadcast nested loop over a constant side.
+  private val bnljAllowed = Set("embed_cosine_topk", "ivf_assign", "ivf_topk")
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
