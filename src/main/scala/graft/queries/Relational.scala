@@ -337,7 +337,36 @@ object Relational {
       |WHERE rn = (n + 1) // 2
       |ORDER BY event_type""".stripMargin
 
+  /** Time-range join (RangeJoin.timeRangeJoin): pairs of events in the
+    * same key bucket within ±6 hours of each other — the
+    * near-in-time-event detection pattern. Bucketed equi-join + exact
+    * predicate, never a per-key nested loop. The oracle states the naive
+    * inequality join directly; both must agree. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val l = e.select(col("event_id"), (col("user_id") % 25).as("ukey"), col("ts"))
+    val r = e.select(col("event_id").as("event_id2"),
+      (col("user_id") % 25).as("ukey2"), col("ts").as("ts2"))
+    graft.operators.RangeJoin.timeRangeJoin(
+        l, r, leftKey = col("ukey"), rightKey = col("ukey2"),
+        leftTime = col("ts"), rightTime = col("ts2"),
+        radiusMicros = 6L * 3600 * 1000000L)
+      .filter(col("event_id") < col("event_id2"))
+      .select("event_id", "ukey", "event_id2", "delta_us")
+      .orderBy("event_id", "event_id2")
+  }
+
+  val rangeJoinSql: String =
+    """SELECT a.event_id, a.user_id % 25 AS ukey, b.event_id AS event_id2,
+      |       epoch_us(a.ts) - epoch_us(b.ts) AS delta_us
+      |FROM events a JOIN events b
+      |  ON a.user_id % 25 = b.user_id % 25
+      | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 21600000000
+      | AND a.event_id < b.event_id
+      |ORDER BY a.event_id, event_id2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "range_join" -> (rangeJoin _),
     "median_by_group" -> (medianByGroup _),
     "asof_join" -> (asofJoin _),
     "sessionize" -> (sessionize _),
@@ -353,6 +382,7 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "range_join" -> rangeJoinSql,
     "median_by_group" -> medianByGroupSql,
     "asof_join" -> asofJoinSql,
     "sessionize" -> sessionizeSql,
