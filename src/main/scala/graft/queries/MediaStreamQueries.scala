@@ -98,6 +98,39 @@ object MediaStreamQueries {
       .orderBy("user_id", "session_no")
       .toDF()
 
+  /** EventTimeTimeout sessionizer in one-shot batch mode: timeouts never
+    * fire, so the output is the gap sessionization WITHOUT each user's
+    * still-open tail session — checked against the sessionize oracle plus
+    * a QUALIFY dropping the max session_no per user. Gap = 1 day (not the
+    * 7 of `sessionize`): at the fixtures' event density a 7-day gap makes
+    * every user a single open session and the check degenerates to 0
+    * rows; 1 day yields real closed sessions to hash. */
+  def sessionizeClosed(spark: SparkSession, dir: String): DataFrame =
+    StreamingCalendar.sessionizeClosed(
+        Tables.events(spark, dir), gapMicros = 24L * 3600 * 1000000L)
+      .orderBy("user_id", "session_no")
+      .toDF()
+
+  val sessionizeClosedSql: String =
+    """WITH x AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 86400000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+      |  FROM x),
+      |g AS (
+      |  SELECT user_id, session_no, COUNT(*) AS n_events,
+      |         MIN(ts) AS session_start, MAX(ts) AS session_end, MIN(event_id) AS first_event
+      |  FROM s GROUP BY user_id, session_no)
+      |SELECT user_id, session_no, n_events, session_start, session_end, first_event
+      |FROM g
+      |QUALIFY session_no < MAX(session_no) OVER (PARTITION BY user_id)
+      |ORDER BY user_id, session_no""".stripMargin
+
   /** Frame-sampling plan (Multimodal.sampleFrames): every 3rd frame index
     * per decoded video — a relational explode over decoded metadata, no
     * payload movement. Rebuilds the stub decode in SQL, so the whole
@@ -127,7 +160,8 @@ object MediaStreamQueries {
     "binary_meta_extract" -> (binaryMetaExtract _),
     "multimodal_features" -> (multimodalFeatures _),
     "stream_user_running" -> (streamUserRunning _),
-    "sessionize_stateful" -> (sessionizeStateful _))
+    "sessionize_stateful" -> (sessionizeStateful _),
+    "sessionize_closed" -> (sessionizeClosed _))
 
   val oracles: Map[String, String] = Map(
     "frame_sample" -> frameSampleSql,
@@ -135,5 +169,6 @@ object MediaStreamQueries {
     "binary_meta_extract" -> binaryMetaExtractSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "stream_user_running" -> streamUserRunningSql,
-    "sessionize_stateful" -> Relational.sessionizeSql)
+    "sessionize_stateful" -> Relational.sessionizeSql,
+    "sessionize_closed" -> sessionizeClosedSql)
 }

@@ -90,6 +90,73 @@ object StreamingCalendar {
       })(Encoders.product[SessState], Encoders.product[SessionRow])
   }
 
+  /** Closed-sessions-only sessionization with an event-time timeout —
+    * the production streaming shape: downstream sees each session exactly
+    * once, final, in Append mode. A session row is emitted either when a
+    * later event of the same user closes it (gap > `gapMicros`) or when
+    * the watermark passes the open session's end + gap
+    * (GroupStateTimeout.EventTimeTimeout fires, the tail is flushed and
+    * its state removed — state stays bounded by the number of users with
+    * a live session, not by history).
+    *
+    * In one-shot batch mode timeouts never fire, so the result is exactly
+    * the gap sessionization minus each user's (still open) last session —
+    * SQL-expressible, which is how `sessionize_closed` is hash-checked
+    * against DuckDB.
+    */
+  def sessionizeClosed(events: DataFrame, gapMicros: Long): Dataset[SessionRow] = {
+    // The watermarked column must survive projection up to the stateful
+    // operator, or the analyzer rejects EventTimeTimeout — hence ts rides
+    // along as _4 even though the fold only uses the micros in _3.
+    val byUser = events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        unix_micros(col("ts")).as("t"), col("ts"))
+      .withWatermark("ts", "0 seconds")
+      .as(Encoders.product[(Long, Long, Long, java.sql.Timestamp)])
+      .groupByKey(_._1)(Encoders.scalaLong)
+    byUser.flatMapGroupsWithState[SessState, SessionRow](
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+      (user: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+          state: GroupState[SessState]) => {
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          if (s.open_n > 0L)
+            Iterator.single(SessionRow(user, s.closed + 1, s.open_n,
+              microsToTs(s.open_start), microsToTs(s.open_last), s.open_first))
+          else Iterator.empty
+        } else {
+          val sorted = rows.toSeq.map { case (_, eid, t, _) => (t, eid) }.sorted
+          var s = state.getOption.getOrElse(SessState(0L, 0L, 0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+          sorted.foreach { case (t, eid) =>
+            if (s.open_n == 0L)
+              s = SessState(s.closed, t, t, 1L, eid)
+            else if (t - s.open_last > gapMicros) {
+              out += SessionRow(user, s.closed + 1, s.open_n,
+                microsToTs(s.open_start), microsToTs(s.open_last), s.open_first)
+              s = SessState(s.closed + 1, t, t, 1L, eid)
+            } else
+              s = s.copy(open_last = t, open_n = s.open_n + 1,
+                open_first = math.min(s.open_first, eid))
+          }
+          state.update(s)
+          if (s.open_n > 0L) {
+            // Batch mode has no watermark (the getter throws) and ignores
+            // the timeout anyway; streaming requires the timestamp to sit
+            // strictly past the current watermark.
+            val wm =
+              try state.getCurrentWatermarkMs()
+              catch { case _: UnsupportedOperationException => Long.MinValue }
+            val target =
+              Math.floorDiv(s.open_last, 1000L) + Math.floorDiv(gapMicros, 1000L)
+            state.setTimeoutTimestamp(math.max(target, wm + 1L))
+          }
+          out.iterator
+        }
+      })(Encoders.product[SessState], Encoders.product[SessionRow])
+  }
+
   final case class UserRunning(user_id: Long, n_events: Long, last_value: Double)
 
   /** State carries the max event id seen so "last" is defined by the data

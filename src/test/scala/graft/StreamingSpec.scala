@@ -73,6 +73,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(mismatch === 0)
   }
 
+  test("EventTimeTimeout flushes the open tail session once the watermark passes") {
+    implicit val sq = spark.sqlContext
+    val gap = 7L * 24 * 3600 * 1000000L
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(hours: Long) = new Timestamp(t0.getTime + hours * 3600 * 1000L)
+    val stream = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
+
+    val q = StreamingCalendar.sessionizeClosed(stream.toDF(), gap)
+      .writeStream.format("memory").queryName("closed_out")
+      .outputMode("append").start()
+    try {
+      // user 10: two events an hour apart — one open session, no output yet
+      stream.addData(Seq(
+        Ev(1L, at(0), 10L, "view", 1.0), Ev(2L, at(1), 10L, "view", 1.0)))
+      q.processAllAvailable()
+      assert(spark.table("closed_out").count() === 0)
+      // 30 days later another user's event advances the watermark far past
+      // user 10's (end + gap) → the tail session times out and flushes
+      stream.addData(Seq(Ev(3L, at(30L * 24), 20L, "view", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("closed_out")
+      .select("user_id", "session_no", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows === Set((10L, 1L, 2L)))
+  }
+
   test("mapGroupsWithState accumulates across micro-batches") {
     implicit val sq = spark.sqlContext
     val events = fixtureEvents(100)
