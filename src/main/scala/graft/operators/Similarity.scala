@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.TopKAggregator
 
@@ -143,6 +144,13 @@ object Similarity {
     val e = indexed(corpus, id, vec)
     val c = e.filter(col(id) < k)
       .select(col(id).as("c_id"), col("v").as("cv"), col("nrm").as("c_nrm"))
+    assignTo(e, id, c)
+  }
+
+  /** Nearest-centroid assignment: broadcast of the tiny (c_id, cv, c_nrm)
+    * relation against one corpus scan, per-vector struct-max (ties →
+    * lowest centroid id) with map-side partial aggregation. */
+  private def assignTo(e: DataFrame, id: String, c: DataFrame): DataFrame =
     e.select(col(id), col("v"), col("nrm"))
       .crossJoin(broadcast(c))
       .select(col(id),
@@ -152,6 +160,45 @@ object Similarity {
       .groupBy(id)
       .agg(max(col("sc")).as("m"))
       .select(col(id), (-col("m.nc")).as("centroid_id"), col("m.s").as("sim"))
+
+  /** One Lloyd refinement of the seed centroids: assign every vector to
+    * its nearest seed, then recompute each cell's centroid as the
+    * per-dimension mean of its members, quantized to 1e-6: members are
+    * rounded to integral micro-units, summed EXACTLY as integer decimals
+    * (order-independent — partial aggregation may add in any order; a
+    * double sum would be run-dependent, and a fractional decimal cast
+    * rounds ties differently across engines), divided in double. The
+    * trained centroids — and every similarity computed against them —
+    * are bit-reproducible and DuckDB-checkable. Training shuffles only
+    * (centroid_id, pos, x) triples: k·dim groups regardless of corpus
+    * size, the scale shape of distributed k-means. */
+  def ivfTrainedCentroids(corpus: DataFrame, id: String, vec: String,
+      k: Int = 16): DataFrame = {
+    val e = corpus.select(col(id), toDoubleVec(col(vec)).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val c0 = e.filter(col(id) < k)
+      .select(col(id).as("c_id"), col("v").as("cv"), col("nrm").as("c_nrm"))
+    val a0 = assignTo(e, id, c0).select(col(id), col("centroid_id"))
+    val dims = e.join(a0, id)
+      .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
+    val means = dims.groupBy("centroid_id", "pos")
+      .agg((sum(round(col("x") * lit(1e6)).cast(DecimalType(38, 0))).cast("double") /
+        (lit(1e6) * count(lit(1)))).as("cval"))
+    means.groupBy("centroid_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cval")))),
+        s => s.getField("cval")).as("cv"))
+      .select(col("centroid_id").as("c_id"), col("cv"),
+        sqrt(dot(col("cv"), col("cv"))).as("c_nrm"))
+  }
+
+  /** IVF assignment against the Lloyd-refined centroids — the trained
+    * variant of [[ivfAssignments]]; probing/scoring plumbing unchanged. */
+  def ivfTrainedAssignments(corpus: DataFrame, id: String, vec: String,
+      k: Int = 16): DataFrame = {
+    val e = corpus.select(col(id), toDoubleVec(col(vec)).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    assignTo(e, id, ivfTrainedCentroids(corpus, id, vec, k))
   }
 
   /** IVF approximate top-k: probe the query's `nProbe` nearest cells,

@@ -149,7 +149,38 @@ object SimilarityQueries {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM s) t
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
+  /** IVF assignment against Lloyd-refined centroids: one training
+    * iteration (assign to seeds → per-dimension decimal-exact mean →
+    * reassign). The oracle rebuilds the whole refinement in SQL, so the
+    * trained centroids themselves — not just the final assignment — are
+    * differentially checked bit-for-bit. */
+  def ivfTrainAssign(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTrainedAssignments(Tables.embeddings(spark, dir), "vec_id", "embedding")
+      .orderBy("vec_id")
+
+  val ivfTrainAssignSql: String =
+    s"""WITH $eCte,
+       |$cCte,
+       |a0 AS (SELECT vec_id, c_id FROM (
+       |  SELECT s.*, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) AS rn
+       |  FROM (SELECT e.vec_id, c.c_id, ${cosSql("e.embedding", "c.cv", "e.nrm", "c.c_nrm")} AS sim
+       |        FROM e0 e CROSS JOIN c) s) t WHERE rn = 1),
+       |d AS (SELECT a0.c_id, generate_subscripts(e.embedding, 1) AS pos, unnest(e.embedding) AS x
+       |      FROM e0 e JOIN a0 USING (vec_id)),
+       |m AS (SELECT c_id, pos,
+       |        CAST(SUM(CAST(round(x::DOUBLE * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+       |          / (1000000.0 * COUNT(*)) AS cval
+       |      FROM d GROUP BY c_id, pos),
+       |c1 AS (SELECT c_id, list(cval ORDER BY pos) AS cv FROM m GROUP BY c_id),
+       |c2 AS (SELECT c_id, cv, sqrt(${dotSql("cv", "cv")}) AS c_nrm FROM c1),
+       |s1 AS (SELECT e.vec_id, c.c_id, ${cosSql("e.embedding", "c.cv", "e.nrm", "c.c_nrm")} AS sim
+       |       FROM e0 e CROSS JOIN c2 c)
+       |SELECT vec_id, c_id AS centroid_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) AS rn FROM s1) t
+       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ivf_train_assign" -> (ivfTrainAssign _),
     "embed_cosine_topk" -> (cosineTopK _),
     "embed_lsh_buckets" -> (lshBuckets _),
     "ann_lsh_topk" -> (annLshTopK _),
@@ -163,5 +194,6 @@ object SimilarityQueries {
     "ann_lsh_topk" -> annLshTopKSql,
     "embed_neardup_pairs" -> nearDupPairsSql,
     "ivf_assign" -> ivfAssignSql,
+    "ivf_train_assign" -> ivfTrainAssignSql,
     "ivf_topk" -> ivfTopKSql)
 }

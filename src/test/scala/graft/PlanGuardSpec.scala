@@ -19,7 +19,8 @@ class PlanGuardSpec extends AnyFunSuite {
   // embed_cosine_topk: the exact baseline scores the whole corpus per query
   // by definition; ivf_*: the index build/probe broadcasts 16 tiny centroids
   // against a scan — a deliberate broadcast nested loop over a constant side.
-  private val bnljAllowed = Set("embed_cosine_topk", "ivf_assign", "ivf_topk")
+  private val bnljAllowed =
+    Set("embed_cosine_topk", "ivf_assign", "ivf_topk", "ivf_train_assign")
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
