@@ -100,6 +100,36 @@ object Dedup {
   def simhashes(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id), simhash32(wordHashes(col(text))).as("simhash"))
 
+  /** SimHash near-dup pairs by Hamming distance: the 32-bit fingerprint
+    * splits into 4 bytes; by pigeonhole any pair within Hamming distance
+    * 3 shares at least one byte at the same position, so candidates come
+    * from a plain equi-join on (byte_no, byte) — the same
+    * bucket-join-then-exact-check shape as the MinHash path, never an
+    * all-pairs pass. Exact check is `bit_count(xor)`. Buckets above
+    * `maxBucket` are dropped (degenerate-byte guard, mirrored in the
+    * oracle) — same contract as lshCandidatePairs. */
+  def simhashNearDupPairs(docs: DataFrame, id: String, text: String,
+      maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
+    val s = simhashes(docs, id, text)
+    val b = s.select(col(id), col("simhash"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("bn"),
+            expr(s"(simhash div ${1L << (8 * j)}L) % 256").as("byte"))): _*)).as("x"))
+      .select(col(id), col("simhash"), col("x.bn").as("bn"), col("x.byte").as("byte"))
+    val ok = b.groupBy("bn", "byte").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket).drop("n")
+    val bounded = b.join(ok, Seq("bn", "byte"))
+    bounded.as("a").join(bounded.as("b"),
+        col("a.bn") === col("b.bn") && col("a.byte") === col("b.byte") &&
+          col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("doc_a"), col(s"b.$id").as("doc_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** n-gram Jaccard near-dup pairs, verified on the MinHash-LSH candidate
     * set: candidate generation is the banded signature join (bounded by
     * the bucket cap, shuffling only (id, band, key) rows), and only the

@@ -89,6 +89,39 @@ object DedupQueries {
        |    THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash
        |FROM w ORDER BY doc_id""".stripMargin
 
+  /** SimHash Hamming near-dup pairs: byte-banded candidates (pigeonhole
+    * over 4 bytes), exact bit_count(xor) check, bucket cap mirrored in
+    * the HAVING. */
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_a", "doc_b")
+
+  val simhashNearDupSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    list_transform(list_distinct(list_filter(string_split(text,' '), x -> x != '')),
+       |      w -> list_reduce(list_prepend(0::BIGINT, list_transform(string_split(w,''), c -> ascii(c)::BIGINT)),
+       |                       (a,b) -> (a*31+b) % $M)) AS hs
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(range(0,32), j -> CASE WHEN
+       |      list_sum(list_transform(hs, h -> CASE WHEN ((h // (1::BIGINT << j)) % 2) = 1 THEN 1 ELSE -1 END)) > 0
+       |      THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash
+       |  FROM w),
+       |b AS (
+       |  SELECT doc_id, simhash, bn, (simhash // (1::BIGINT << (8*bn))) % 256 AS byte
+       |  FROM (SELECT doc_id, simhash, unnest([0,1,2,3]) AS bn FROM sh)),
+       |okb AS (SELECT bn, byte FROM b GROUP BY bn, byte HAVING COUNT(*) <= 200),
+       |bb AS (SELECT b.* FROM b JOIN okb USING (bn, byte)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.simhash AS sa, b.simhash AS sb
+       |  FROM bb a JOIN bb b ON a.bn = b.bn AND a.byte = b.byte AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Exact n-gram Jaccard over the LSH candidate pairs (gram arrays joined
     * back by id — never an unbounded quadratic block). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -114,6 +147,7 @@ object DedupQueries {
     "dedup_minhash_sig" -> (minhashSig _),
     "dedup_minhash_pairs" -> (minhashPairs _),
     "dedup_simhash" -> (simhash _),
+    "dedup_simhash_neardup" -> (simhashNearDup _),
     "dedup_ngram_jaccard" -> (ngramJaccard _))
 
   val oracles: Map[String, String] = Map(
@@ -121,5 +155,6 @@ object DedupQueries {
     "dedup_minhash_sig" -> minhashSigSql,
     "dedup_minhash_pairs" -> minhashPairsSql,
     "dedup_simhash" -> simhashSql,
+    "dedup_simhash_neardup" -> simhashNearDupSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql)
 }
