@@ -365,8 +365,41 @@ object Relational {
       | AND a.event_id < b.event_id
       |ORDER BY a.event_id, event_id2""".stripMargin
 
+  /** Salted customer⋈nation (SkewJoin.saltedJoin, 8 salts): result must
+    * be row-identical to the plain join — the oracle is the PLAIN SQL
+    * join, so the salting rewrite itself is what's being hash-checked. */
+  def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SkewJoin.saltedJoin(
+        Tables.customer(spark, dir), Tables.nation(spark, dir),
+        skewedKey = col("c_nationkey"), smallKey = col("n_nationkey"),
+        spreadBy = col("c_custkey"), salts = 8)
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("total_acctbal"))
+      .orderBy("n_name")
+
+  val skewSaltedJoinSql: String =
+    """SELECT n_name, COUNT(*) AS n_cust,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Skew-safe distinct count (shuffle on (key, value), then per-key
+    * count of distinct rows) ≡ COUNT(DISTINCT ...) GROUP BY. */
+  def skewDistinctCount(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SkewJoin.distinctCountByKey(
+        Tables.events(spark, dir), col("user_id"), col("event_type"),
+        keyName = "user_id")
+      .orderBy("user_id")
+
+  val skewDistinctCountSql: String =
+    """SELECT user_id, COUNT(DISTINCT event_type) AS n_distinct
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "range_join" -> (rangeJoin _),
+    "skew_salted_join" -> (skewSaltedJoin _),
+    "skew_distinct_count" -> (skewDistinctCount _),
     "median_by_group" -> (medianByGroup _),
     "asof_join" -> (asofJoin _),
     "sessionize" -> (sessionize _),
@@ -383,6 +416,8 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "range_join" -> rangeJoinSql,
+    "skew_salted_join" -> skewSaltedJoinSql,
+    "skew_distinct_count" -> skewDistinctCountSql,
     "median_by_group" -> medianByGroupSql,
     "asof_join" -> asofJoinSql,
     "sessionize" -> sessionizeSql,
