@@ -100,6 +100,22 @@ object Dedup {
   def simhashes(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id), simhash32(wordHashes(col(text))).as("simhash"))
 
+  /** Edit-distance near-dup pairs, verified on the MinHash-LSH candidate
+    * set: Levenshtein is O(len²) per pair, so it only ever runs on the
+    * bounded candidate edges — texts join back by id, each crossing the
+    * wire once per candidate edge. An integer DP metric: bit-identical
+    * across engines by construction. */
+  def editDistancePairs(docs: DataFrame, id: String, text: String,
+      maxDist: Int): DataFrame = {
+    val t = docs.select(col(id), col(text))
+    lshCandidatePairs(docs, id, text)
+      .join(t.select(col(id).as("doc_a"), col(text).as("ta")), "doc_a")
+      .join(t.select(col(id).as("doc_b"), col(text).as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
   /** SimHash near-dup pairs by Hamming distance: the 32-bit fingerprint
     * splits into 4 bytes; by pigeonhole any pair within Hamming distance
     * 3 shares at least one byte at the same position, so candidates come

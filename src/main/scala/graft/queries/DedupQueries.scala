@@ -89,6 +89,24 @@ object DedupQueries {
        |    THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash
        |FROM w ORDER BY doc_id""".stripMargin
 
+  /** Levenshtein near-dup pairs over the LSH candidate set (threshold 40:
+    * wide enough to keep real near-dups at fixture text lengths). */
+  def editDistance(spark: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(Tables.documents(spark, dir), "doc_id", "text",
+        maxDist = 40)
+      .orderBy("doc_a", "doc_b")
+
+  val editDistanceSql: String =
+    s"""WITH $shingleCte,
+       |$bandsCte,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bb a JOIN bb b ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, edit_dist FROM (
+       |  SELECT c.doc_a, c.doc_b, CAST(levenshtein(da.text, db.text) AS INT) AS edit_dist
+       |  FROM cand c JOIN documents da ON da.doc_id = c.doc_a
+       |              JOIN documents db ON db.doc_id = c.doc_b) t
+       |WHERE edit_dist <= 40 ORDER BY doc_a, doc_b""".stripMargin
+
   /** SimHash Hamming near-dup pairs: byte-banded candidates (pigeonhole
     * over 4 bytes), exact bit_count(xor) check, bucket cap mirrored in
     * the HAVING. */
@@ -148,6 +166,7 @@ object DedupQueries {
     "dedup_minhash_pairs" -> (minhashPairs _),
     "dedup_simhash" -> (simhash _),
     "dedup_simhash_neardup" -> (simhashNearDup _),
+    "dedup_edit_distance" -> (editDistance _),
     "dedup_ngram_jaccard" -> (ngramJaccard _))
 
   val oracles: Map[String, String] = Map(
@@ -156,5 +175,6 @@ object DedupQueries {
     "dedup_minhash_pairs" -> minhashPairsSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_neardup" -> simhashNearDupSql,
+    "dedup_edit_distance" -> editDistanceSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql)
 }

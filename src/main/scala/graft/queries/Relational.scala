@@ -396,10 +396,48 @@ object Relational {
     """SELECT user_id, COUNT(DISTINCT event_type) AS n_distinct
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Left-anti join: customers with no high-value (>400k) order. Plans
+    * as a hash anti-join on the key with the price filter PUSHED BELOW
+    * the join build side — the NOT EXISTS shape that at scale beats any
+    * outer-join-plus-null-filter restatement (no wide row
+    * materialization, early per-key short-circuit). The fixtures'
+    * referential joins are complete, so the unfiltered variant would be
+    * a degenerate 0-row check. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  val antiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-semi join: customers with at least one high-value order —
+    * EXISTS without row duplication (a plain inner join would multiply
+    * by order count and need a distinct). */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  val semiJoinSql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "range_join" -> (rangeJoin _),
     "skew_salted_join" -> (skewSaltedJoin _),
     "skew_distinct_count" -> (skewDistinctCount _),
+    "anti_join" -> (antiJoin _),
+    "semi_join" -> (semiJoin _),
     "median_by_group" -> (medianByGroup _),
     "asof_join" -> (asofJoin _),
     "sessionize" -> (sessionize _),
@@ -418,6 +456,8 @@ object Relational {
     "range_join" -> rangeJoinSql,
     "skew_salted_join" -> skewSaltedJoinSql,
     "skew_distinct_count" -> skewDistinctCountSql,
+    "anti_join" -> antiJoinSql,
+    "semi_join" -> semiJoinSql,
     "median_by_group" -> medianByGroupSql,
     "asof_join" -> asofJoinSql,
     "sessionize" -> sessionizeSql,
