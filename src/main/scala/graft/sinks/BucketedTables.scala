@@ -35,4 +35,18 @@ object BucketedTables {
   def cobucketedJoin(spark: SparkSession, leftTable: String,
       rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Hive-style partitioned parquet write: one directory per value of
+    * `partitionCol`. The complement of bucketing: bucketing pre-shuffles
+    * for joins, partitioning prunes SCANS — a reader filtering on the
+    * partition column touches only matching directories (the plan shows
+    * it as PartitionFilters, zero I/O for pruned partitions). Partition
+    * by low-cardinality columns only: each (task × value) pair opens a
+    * file, so a high-cardinality partition column at 100 TB is a
+    * small-files explosion. */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(path)
 }

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sinks.BucketedTables
@@ -44,5 +45,20 @@ class BucketedTablesSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS orders_b")
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
+  }
+
+  test("partitioned write prunes non-matching partitions at scan time") {
+    val tmp = Files.createTempDirectory("graft_part").toString
+    val ev = Tables.events(spark, dir).select("event_id", "event_type", "value")
+    BucketedTables.writePartitioned(ev, s"$tmp/events_p", "event_type")
+    val one = spark.read.parquet(s"$tmp/events_p")
+      .filter(col("event_type") === "click")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"no partition filter:\n$plan")
+    assert(!plan.contains("PartitionFilters: []"),
+      s"partition filter not pushed:\n$plan")
+    val want = ev.filter(col("event_type") === "click").count()
+    assert(one.count() === want)
+    assert(want > 0)
   }
 }
