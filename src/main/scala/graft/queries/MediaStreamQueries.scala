@@ -131,6 +131,25 @@ object MediaStreamQueries {
       |QUALIFY session_no < MAX(session_no) OVER (PARTITION BY user_id)
       |ORDER BY user_id, session_no""".stripMargin
 
+  /** Stream-stream interval join in batch mode (watermarks no-op): same
+    * plan as the streaming query StreamingSpec pins. 1-hour follow
+    * window per user. */
+  def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select("user_id", "event_id", "ts")
+    graft.streaming.StreamJoins.followWithin(e, e, followSeconds = 3600L)
+      .orderBy("user_id", "event_a", "event_b")
+  }
+
+  val streamIntervalJoinSql: String =
+    """SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+      |       epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND epoch_us(b.ts) >= epoch_us(a.ts)
+      | AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000
+      | AND a.event_id != b.event_id
+      |ORDER BY a.user_id, event_a, event_b""".stripMargin
+
   /** Frame-sampling plan (Multimodal.sampleFrames): every 3rd frame index
     * per decoded video — a relational explode over decoded metadata, no
     * payload movement. Rebuilds the stub decode in SQL, so the whole
@@ -161,7 +180,8 @@ object MediaStreamQueries {
     "multimodal_features" -> (multimodalFeatures _),
     "stream_user_running" -> (streamUserRunning _),
     "sessionize_stateful" -> (sessionizeStateful _),
-    "sessionize_closed" -> (sessionizeClosed _))
+    "sessionize_closed" -> (sessionizeClosed _),
+    "stream_interval_join" -> (streamIntervalJoin _))
 
   val oracles: Map[String, String] = Map(
     "frame_sample" -> frameSampleSql,
@@ -170,5 +190,6 @@ object MediaStreamQueries {
     "multimodal_features" -> multimodalFeaturesSql,
     "stream_user_running" -> streamUserRunningSql,
     "sessionize_stateful" -> Relational.sessionizeSql,
-    "sessionize_closed" -> sessionizeClosedSql)
+    "sessionize_closed" -> sessionizeClosedSql,
+    "stream_interval_join" -> streamIntervalJoinSql)
 }

@@ -101,6 +101,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows === Set((10L, 1L, 2L)))
   }
 
+  test("stream-stream interval join equals the batch plan") {
+    implicit val sq = spark.sqlContext
+    val events = fixtureEvents(200).map(e => Ev(e.event_id, e.ts, e.user_id % 10, e.event_type, e.value))
+    val sa = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
+    val sb = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
+    val (h1, h2) = events.splitAt(100)
+
+    val q = graft.streaming.StreamJoins.followWithin(
+        sa.toDF().select("user_id", "event_id", "ts"),
+        sb.toDF().select("user_id", "event_id", "ts"), followSeconds = 3600L)
+      .writeStream.format("memory").queryName("sjoin_out")
+      .outputMode("append").start()
+    try {
+      sa.addData(h1); sb.addData(h1)
+      q.processAllAvailable()
+      sa.addData(h2); sb.addData(h2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ev = spark.createDataset(events)(Encoders.product[Ev])
+      .select("user_id", "event_id", "ts")
+    val batch = graft.streaming.StreamJoins.followWithin(ev, ev, 3600L)
+    val streamed = spark.table("sjoin_out")
+    assert(streamed.count() === batch.count())
+    assert(batch.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0)
+  }
+
   test("mapGroupsWithState accumulates across micro-batches") {
     implicit val sq = spark.sqlContext
     val events = fixtureEvents(100)
