@@ -432,12 +432,56 @@ object Relational {
       |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Exact multi-quantile per group: one sort-based aggregate computes
+    * all four cut points (p25/p50/p75/p90, linear interpolation — the
+    * same (n-1)·p definition DuckDB's quantile_cont uses). One shuffle
+    * on the group key; for hot groups at scale the approx_percentile
+    * sketch is the fallback, but the exact form is the oracle-able one. */
+  def quantilesByGroup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, array(0.25D, 0.5D, 0.75D, 0.9D))").as("qs"))
+      .select(col("event_type"),
+        col("qs")(0).as("p25"), col("qs")(1).as("p50"),
+        col("qs")(2).as("p75"), col("qs")(3).as("p90"))
+      .orderBy("event_type")
+
+  val quantilesByGroupSql: String =
+    """SELECT event_type,
+      |  quantile_cont(value, 0.25) AS p25, quantile_cont(value, 0.5) AS p50,
+      |  quantile_cont(value, 0.75) AS p75, quantile_cont(value, 0.9) AS p90
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Pivot: per-user event-type counts as columns. The value list is
+    * pinned (no extra distinct-scan job to discover it) and Catalyst
+    * compiles the pivot to ONE pass of conditional aggregates — same
+    * single-shuffle plan as a plain groupBy, however many columns. */
+  def pivotEventCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .select(col("user_id") +: Seq("click", "error", "purchase", "signup", "view")
+        .map(c => coalesce(col(c), lit(0L)).as(s"n_$c")): _*)
+      .orderBy("user_id")
+
+  val pivotEventCountsSql: String =
+    """SELECT user_id,
+      |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+      |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+      |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+      |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+      |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "range_join" -> (rangeJoin _),
     "skew_salted_join" -> (skewSaltedJoin _),
     "skew_distinct_count" -> (skewDistinctCount _),
     "anti_join" -> (antiJoin _),
     "semi_join" -> (semiJoin _),
+    "pivot_event_counts" -> (pivotEventCounts _),
+    "quantiles_by_group" -> (quantilesByGroup _),
     "median_by_group" -> (medianByGroup _),
     "asof_join" -> (asofJoin _),
     "sessionize" -> (sessionize _),
@@ -458,6 +502,8 @@ object Relational {
     "skew_distinct_count" -> skewDistinctCountSql,
     "anti_join" -> antiJoinSql,
     "semi_join" -> semiJoinSql,
+    "pivot_event_counts" -> pivotEventCountsSql,
+    "quantiles_by_group" -> quantilesByGroupSql,
     "median_by_group" -> medianByGroupSql,
     "asof_join" -> asofJoinSql,
     "sessionize" -> sessionizeSql,
