@@ -173,13 +173,21 @@ object Similarity {
     * (centroid_id, pos, x) triples: k·dim groups regardless of corpus
     * size, the scale shape of distributed k-means. */
   def ivfTrainedCentroids(corpus: DataFrame, id: String, vec: String,
-      k: Int = 16): DataFrame = {
+      k: Int = 16, iters: Int = 1): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = corpus.select(col(id), toDoubleVec(col(vec)).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    val c0 = e.filter(col(id) < k)
+    val seed = e.filter(col(id) < k)
       .select(col(id).as("c_id"), col("v").as("cv"), col("nrm").as("c_nrm"))
-    val a0 = assignTo(e, id, c0).select(col(id), col("centroid_id"))
-    val dims = e.join(a0, id)
+    (1 to iters).foldLeft(seed)((c, _) => lloydStep(e, id, c))
+  }
+
+  /** One Lloyd step: nearest-centroid assignment, then the quantized
+    * exact per-dimension mean per cell (cells that lose every member
+    * drop out — k can only shrink). */
+  private def lloydStep(e: DataFrame, id: String, c: DataFrame): DataFrame = {
+    val a = assignTo(e, id, c).select(col(id), col("centroid_id"))
+    val dims = e.join(a, id)
       .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
     val means = dims.groupBy("centroid_id", "pos")
       .agg((sum(round(col("x") * lit(1e6)).cast(DecimalType(38, 0))).cast("double") /
@@ -195,10 +203,10 @@ object Similarity {
   /** IVF assignment against the Lloyd-refined centroids — the trained
     * variant of [[ivfAssignments]]; probing/scoring plumbing unchanged. */
   def ivfTrainedAssignments(corpus: DataFrame, id: String, vec: String,
-      k: Int = 16): DataFrame = {
+      k: Int = 16, iters: Int = 1): DataFrame = {
     val e = corpus.select(col(id), toDoubleVec(col(vec)).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    assignTo(e, id, ivfTrainedCentroids(corpus, id, vec, k))
+    assignTo(e, id, ivfTrainedCentroids(corpus, id, vec, k, iters))
   }
 
   /** IVF approximate top-k: probe the query's `nProbe` nearest cells,

@@ -149,35 +149,51 @@ object SimilarityQueries {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM s) t
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
-  /** IVF assignment against Lloyd-refined centroids: one training
-    * iteration (assign to seeds → per-dimension decimal-exact mean →
-    * reassign). The oracle rebuilds the whole refinement in SQL, so the
-    * trained centroids themselves — not just the final assignment — are
-    * differentially checked bit-for-bit. */
+  /** IVF assignment against Lloyd-refined centroids: `TrainIters`
+    * training iterations (assign → per-dimension decimal-exact mean →
+    * reassign). The oracle UNROLLS the same loop into one CTE chain per
+    * iteration, so every intermediate centroid set — not just the final
+    * assignment — is differentially checked bit-for-bit. */
+  private val TrainIters = 2
+
   def ivfTrainAssign(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTrainedAssignments(Tables.embeddings(spark, dir), "vec_id", "embedding")
+    Similarity.ivfTrainedAssignments(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        k = 16, iters = TrainIters)
       .orderBy("vec_id")
 
-  val ivfTrainAssignSql: String =
-    s"""WITH $eCte,
-       |$cCte,
-       |a0 AS (SELECT vec_id, c_id FROM (
+  /** Assignment-vs-centroids CTE body (centroid relation `cRel` must
+    * expose c_id, cv, c_nrm). */
+  private def assignCte(cRel: String): String =
+    s"""SELECT vec_id, c_id FROM (
        |  SELECT s.*, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) AS rn
        |  FROM (SELECT e.vec_id, c.c_id, ${cosSql("e.embedding", "c.cv", "e.nrm", "c.c_nrm")} AS sim
-       |        FROM e0 e CROSS JOIN c) s) t WHERE rn = 1),
-       |d AS (SELECT a0.c_id, generate_subscripts(e.embedding, 1) AS pos, unnest(e.embedding) AS x
-       |      FROM e0 e JOIN a0 USING (vec_id)),
-       |m AS (SELECT c_id, pos,
+       |        FROM e0 e CROSS JOIN $cRel c) s) t WHERE rn = 1""".stripMargin
+
+  /** One unrolled Lloyd step: centroids `prev` → centroids `next`. */
+  private def lloydStepCtes(i: Int, prev: String, next: String): String =
+    s"""a$i AS (${assignCte(prev)}),
+       |d$i AS (SELECT a$i.c_id, generate_subscripts(e.embedding, 1) AS pos, unnest(e.embedding) AS x
+       |      FROM e0 e JOIN a$i USING (vec_id)),
+       |m$i AS (SELECT c_id, pos,
        |        CAST(SUM(CAST(round(x::DOUBLE * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
        |          / (1000000.0 * COUNT(*)) AS cval
-       |      FROM d GROUP BY c_id, pos),
-       |c1 AS (SELECT c_id, list(cval ORDER BY pos) AS cv FROM m GROUP BY c_id),
-       |c2 AS (SELECT c_id, cv, sqrt(${dotSql("cv", "cv")}) AS c_nrm FROM c1),
-       |s1 AS (SELECT e.vec_id, c.c_id, ${cosSql("e.embedding", "c.cv", "e.nrm", "c.c_nrm")} AS sim
-       |       FROM e0 e CROSS JOIN c2 c)
+       |      FROM d$i GROUP BY c_id, pos),
+       |l$i AS (SELECT c_id, list(cval ORDER BY pos) AS cv FROM m$i GROUP BY c_id),
+       |$next AS (SELECT c_id, cv, sqrt(${dotSql("cv", "cv")}) AS c_nrm FROM l$i)""".stripMargin
+
+  val ivfTrainAssignSql: String = {
+    val steps = (1 to TrainIters)
+      .map(i => lloydStepCtes(i, if (i == 1) "c" else s"t${i - 1}", s"t$i"))
+      .mkString(",\n")
+    s"""WITH $eCte,
+       |$cCte,
+       |$steps,
+       |sF AS (SELECT e.vec_id, c.c_id, ${cosSql("e.embedding", "c.cv", "e.nrm", "c.c_nrm")} AS sim
+       |       FROM e0 e CROSS JOIN t$TrainIters c)
        |SELECT vec_id, c_id AS centroid_id, sim FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) AS rn FROM s1) t
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) AS rn FROM sF) t
        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ivf_train_assign" -> (ivfTrainAssign _),
