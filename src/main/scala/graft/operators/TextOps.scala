@@ -12,6 +12,25 @@ import graft.functions.PolyHash
   */
 object TextOps {
 
+  /** Training-corpus chunking: split a document into fixed-size token
+    * windows with overlap (stride = chunkSize - overlap), the standard
+    * pre-tokenization shaping step. Pure per-row explode — no shuffle,
+    * scan-parallel at any corpus size; short tail chunks are kept (the
+    * trainer's packer decides their fate, not the chunker). */
+  def chunkTokens(docs: org.apache.spark.sql.DataFrame, id: String,
+      text: String, chunkSize: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got overlap=$overlap chunkSize=$chunkSize")
+    val stride = chunkSize - overlap
+    docs.select(col(id), split(col(text), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("s", explode(expr(s"sequence(0, n - 1, $stride)")))
+      .select(col(id),
+        (col("s") / stride).cast("int").as("chunk_no"),
+        array_join(slice(col("toks"), col("s") + 1, lit(chunkSize)), " ").as("chunk_text"),
+        least(lit(chunkSize), col("n") - col("s")).cast("int").as("n_tokens"))
+  }
+
   /** Whitespace tokens, empties dropped (reference split discipline,
     * etl_pipeline.py:311-314). */
   def words(text: Column): Column =

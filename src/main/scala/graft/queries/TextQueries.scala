@@ -198,7 +198,27 @@ object TextQueries {
        |        (a,b) -> (a*31+b) % ${PolyHash.Mod}) % 100 < 10
        |ORDER BY doc_id""".stripMargin
 
+  /** Fixed-window token chunking with overlap (32-token chunks, stride
+    * 24): the pre-tokenization shaping step of a training pipeline. */
+  def docChunking(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.chunkTokens(
+        Tables.documents(spark, dir), "doc_id", "text",
+        chunkSize = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_no")
+
+  val docChunkingSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |         len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |s AS (SELECT doc_id, toks, n, unnest(range(0, n, 24)) AS st FROM t)
+      |SELECT doc_id, CAST(st // 24 AS INT) AS chunk_no,
+      |       array_to_string(list_slice(toks, st + 1, st + 32), ' ') AS chunk_text,
+      |       CAST(least(32, n - st) AS INT) AS n_tokens
+      |FROM s ORDER BY doc_id, chunk_no""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_chunking" -> (docChunking _),
     "hash_sample" -> (hashSample _),
     "hll_distinct" -> (hllDistinct _),
     "token_count" -> (tokenCount _),
@@ -208,6 +228,7 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "doc_chunking" -> docChunkingSql,
     "hash_sample" -> hashSampleSql,
     "hll_distinct" -> hllDistinctSql,
     "token_count" -> tokenCountSql,

@@ -29,4 +29,14 @@ object StreamJoins {
         col("l.event_id").as("event_a"), col("r.event_id").as("event_b"),
         (unix_micros(col("r.ts")) - unix_micros(col("l.ts"))).as("delta_us"))
   }
+
+  /** Exactly-once ingestion dedup: drop re-deliveries of the same
+    * event_id across micro-batches. State holds one entry per event_id
+    * seen within the watermark horizon — `dropDuplicatesWithinWatermark`
+    * expires entries once the watermark passes their event time, so
+    * at-least-once sources (Kafka replays, retried writes) collapse to
+    * exactly-once without unbounded key state. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
 }

@@ -129,6 +129,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() === 0)
   }
 
+  test("dropDuplicatesWithinWatermark collapses re-deliveries across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val events = fixtureEvents(80)
+    val stream = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
+
+    val q = graft.streaming.StreamJoins.dedupEvents(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(events.take(50))
+      q.processAllAvailable()
+      // re-deliver an overlapping window — the 30 repeats must be dropped
+      stream.addData(events.drop(20))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("dedup_out")
+    assert(out.count() === events.length.toLong)
+    assert(out.select("event_id").distinct().count() === events.length.toLong)
+  }
+
   test("mapGroupsWithState accumulates across micro-batches") {
     implicit val sq = spark.sqlContext
     val events = fixtureEvents(100)
