@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The library's session entry point: one place for every config the
+  * engine depends on, so a user embedding graft in their own app gets
+  * the same behavior as the Verify/Bench mains.
+  *
+  *  - `spark.sql.legacy.parquet.nanosAsLong` — the events fixtures carry
+  *    TIMESTAMP(NANOS), which the vectorized reader otherwise rejects;
+  *    set once here instead of mutating a live session mid-read.
+  *  - `spark.sql.shuffle.partitions` sized to the core count — 200-way
+  *    shuffles of local data are pure overhead; on a real cluster pass
+  *    `shufflePartitions` ≈ 2-3× total executor cores.
+  *  - UTC session time zone — every date/timestamp oracle assumes it.
+  *  - [[graft.plans.GraftExtensions]] registered, so the abs-range join
+  *    rewrite (and future Catalyst extensions) are active.
+  */
+object GraftSession {
+
+  /** Builder preconfigured for a local run; call `.getOrCreate()`, or
+    * chain further `.config(...)` overrides first. */
+  def builder(cores: Int = Runtime.getRuntime.availableProcessors(),
+      shufflePartitions: Option[Int] = None): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions",
+        shufflePartitions.getOrElse(cores).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions())
+}

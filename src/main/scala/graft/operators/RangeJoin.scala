@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   /** Both inputs must already carry distinct column names; `leftTime` /
-    * `rightTime` are timestamp columns, keys any equi-joinable type. */
+    * `rightTime` are timestamp columns, keys any equi-joinable type.
+    * The bucket column uses [[graft.plans.RangeJoinRewrite]]'s marker
+    * name, so in a session with GraftExtensions active the rule
+    * recognizes this join as already bucketed and leaves it alone. */
   def timeRangeJoin(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
       leftTime: Column, rightTime: Column,
@@ -25,16 +28,17 @@ object RangeJoin {
     val l = left
       .withColumn("_k", leftKey)
       .withColumn("_lt", unix_micros(leftTime))
-      .withColumn("_b", expr(s"_lt div ${radiusMicros}L"))
+      .withColumn("_graft_bucket", expr(s"_lt div ${radiusMicros}L"))
     val r = right
       .withColumn("_k", rightKey)
       .withColumn("_rt", unix_micros(rightTime))
       .withColumn("_rb", expr(s"_rt div ${radiusMicros}L"))
-      .withColumn("_b", explode(array(col("_rb") - 1, col("_rb"), col("_rb") + 1)))
+      .withColumn("_graft_bucket",
+        explode(array(col("_rb") - 1, col("_rb"), col("_rb") + 1)))
       .drop("_rb")
-    l.join(r, Seq("_k", "_b"))
+    l.join(r, Seq("_k", "_graft_bucket"))
       .filter(abs(col("_lt") - col("_rt")) <= radiusMicros)
       .withColumn("delta_us", col("_lt") - col("_rt"))
-      .drop("_k", "_b", "_lt", "_rt")
+      .drop("_k", "_graft_bucket", "_lt", "_rt")
   }
 }
