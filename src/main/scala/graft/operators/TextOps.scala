@@ -22,9 +22,13 @@ object TextOps {
     require(overlap >= 0 && overlap < chunkSize,
       s"need 0 <= overlap < chunkSize, got overlap=$overlap chunkSize=$chunkSize")
     val stride = chunkSize - overlap
+    // Chunk starts run while s < n - overlap: the previous chunk ends at
+    // s + overlap, so a start past that bound would only re-emit tokens
+    // the previous chunk already covered (redundant tail chunks).
     docs.select(col(id), split(col(text), " ").as("toks"))
       .withColumn("n", size(col("toks")))
-      .withColumn("s", explode(expr(s"sequence(0, n - 1, $stride)")))
+      .withColumn("s",
+        explode(expr(s"sequence(0, greatest(n - ${overlap + 1}, 0), $stride)")))
       .select(col(id),
         (col("s") / stride).cast("int").as("chunk_no"),
         array_join(slice(col("toks"), col("s") + 1, lit(chunkSize)), " ").as("chunk_text"),

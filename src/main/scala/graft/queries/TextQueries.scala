@@ -211,7 +211,7 @@ object TextQueries {
       |  SELECT doc_id, string_split(text, ' ') AS toks,
       |         len(string_split(text, ' ')) AS n
       |  FROM documents),
-      |s AS (SELECT doc_id, toks, n, unnest(range(0, n, 24)) AS st FROM t)
+      |s AS (SELECT doc_id, toks, n, unnest(range(0, greatest(n - 8, 1), 24)) AS st FROM t)
       |SELECT doc_id, CAST(st // 24 AS INT) AS chunk_no,
       |       array_to_string(list_slice(toks, st + 1, st + 32), ' ') AS chunk_text,
       |       CAST(least(32, n - st) AS INT) AS n_tokens

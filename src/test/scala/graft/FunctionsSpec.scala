@@ -38,6 +38,27 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkTokens with overlap=0 reconstructs every document exactly (property)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val rebuilt = TextOps.chunkTokens(docs, "doc_id", "text", chunkSize = 7, overlap = 0)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("chunk_no"), col("chunk_text")))),
+          s => s.getField("chunk_text"))).as("rebuilt"))
+    val mismatch = docs.join(rebuilt, "doc_id")
+      .filter(col("text") =!= col("rebuilt")).count()
+    assert(mismatch === 0)
+    // with overlap, every chunk except a doc's last must be full-size
+    val chunks = TextOps.chunkTokens(docs, "doc_id", "text", chunkSize = 32, overlap = 8)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val short = chunks
+      .withColumn("last_no", max("chunk_no").over(w))
+      .filter(col("chunk_no") < col("last_no") && col("n_tokens") =!= 32)
+      .count()
+    assert(short === 0)
+  }
+
   test("codegen VecDot equals the HOF left-fold on every embedding pair") {
     import graft.operators.Similarity
     def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
