@@ -4,6 +4,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // Optional comma-separated subset for focused profiling runs.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The metric is steady-state THROUGHPUT: each query runs once untimed
@@ -17,9 +20,19 @@ object Bench {
     // Catalyst prune expensive projected columns). Sorted order keeps
     // per-query attribution stable.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    // A failing query is REPORTED, never timed: returning 0s for a broken
+    // query would silently improve the total (round-2 VERDICT). The first
+    // failure message per query lands in the "errors" JSON map.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def run(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      catch { case e: Throwable =>
+        errors.getOrElseUpdate(name,
+          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}")
+        false
+      }
     // Best-of-2 timed runs: single samples showed multi-second one-off
     // stalls (GC/compilation) that moved between queries run to run; the
     // min of two cache-cleared executions is the reproducible
@@ -28,22 +41,33 @@ object Bench {
     // and on a large default heap GC runs so rarely that dozens of
     // queries' driver state piles up — measured a 2s join degrading to
     // 33s late in the run without it.
-    val results = ordered.map { case (name, fn) =>
-      run(fn)
-      val dt = (1 to 2).map { _ =>
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        run(fn)
-        (System.nanoTime() - t0) / 1e9
-      }.min
+    val results = ordered.flatMap { case (name, fn) =>
+      val warmOk = run(name, fn)
+      val timed =
+        if (!warmOk) None
+        else Some((1 to 2).map { _ =>
+          spark.catalog.clearCache()
+          GraftCaches.releaseAll()
+          val t0 = System.nanoTime()
+          run(name, fn)
+          (System.nanoTime() - t0) / 1e9
+        }.min)
       spark.catalog.clearCache()
+      GraftCaches.releaseAll()
       System.gc()
-      name -> dt
+      if (errors.contains(name)) None else timed.map(name -> _)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

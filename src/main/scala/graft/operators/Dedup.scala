@@ -74,8 +74,9 @@ object Dedup {
     * shingle→hash→minhash expression tree into BOTH join sides and
     * re-evaluate it per reference (measured 25x slowdown). At cluster
     * scale, write the signature relation to a table instead — same idea,
-    * durable. Caches are session-scoped working sets: long-lived sessions
-    * should `spark.catalog.clearCache()` between query families. */
+    * durable. Working-set caches register with [[graft.GraftCaches]];
+    * callers release them via `GraftCaches.releaseAll()` after consuming
+    * the result (Verify/Bench do this between queries). */
   def lshCandidatePairs(docs: DataFrame, id: String, text: String,
       maxBucket: Int = 100): DataFrame =
     candidatePairsFromBands(lshBands(docs, id, text), id, maxBucket)
@@ -83,7 +84,7 @@ object Dedup {
   /** Capped bucket self-join over a precomputed (id, band, key) relation. */
   def candidatePairsFromBands(bandRel: DataFrame, id: String,
       maxBucket: Int = 100): DataFrame = {
-    val bands = bandRel.cache()
+    val bands = graft.GraftCaches.track(bandRel)
     val okBuckets = bands.groupBy("band", "key")
       .agg(count(lit(1)).as("n"))
       .filter(col("n") <= maxBucket)
@@ -158,7 +159,7 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
       threshold: Double): DataFrame = {
     // One shingle pass feeds BOTH the band keys and the gram arrays.
-    val g = shingleSets(docs, id, text).cache()
+    val g = graft.GraftCaches.track(shingleSets(docs, id, text))
     val inter = size(array_intersect(col("ga"), col("gb")))
     candidatePairsFromBands(lshBandsFrom(g, id), id)
       .join(g.select(col(id).as("doc_a"), col("hs").as("ga")), "doc_a")

@@ -68,13 +68,16 @@ object Similarity {
     * materializes it so the band join and the scoring join reuse it
     * (Catalyst projection collapse would otherwise recompute the plane
     * folds per consumer — see Dedup.lshCandidatePairs). At cluster scale,
-    * write this relation to a table instead. */
+    * write this relation to a table instead. Registered with
+    * [[graft.GraftCaches]] so callers can release it after the consuming
+    * action. */
   private[graft] def indexed(corpus: DataFrame, id: String, vec: String): DataFrame = {
     val base = corpus.select(col(id), toDoubleVec(col(vec)).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    (0 until NumBands).foldLeft(base) { (d, b) =>
-      d.withColumn(s"key$b", lshBandKey(col("v"), b))
-    }.cache()
+    graft.GraftCaches.track(
+      (0 until NumBands).foldLeft(base) { (d, b) =>
+        d.withColumn(s"key$b", lshBandKey(col("v"), b))
+      })
   }
 
   /** (id, band, key) rows — the bucket-join relation (no vectors). */
@@ -243,16 +246,21 @@ object Similarity {
   }
 
   /** Near-duplicate pairs by embedding cosine: banded LSH candidates
-    * (any-band match, a < b), exact cosine verify on the candidate set. */
+    * (any-band match, a < b), exact cosine verify on the candidate set.
+    * Candidate generation routes through the same degenerate-bucket-capped
+    * self-join as the text-dedup paths ([[Dedup.candidatePairsFromBands]]):
+    * a hot band key — a cluster of near-identical embeddings, or the
+    * all-zeros vector — would otherwise make one bucket's join quadratic
+    * on a single task at corpus scale. Buckets holding more than
+    * `maxBucket` vectors are dropped (their members are by construction
+    * findable via their other band, or are degenerate boilerplate); the
+    * oracle mirrors the cap with the same HAVING filter, so the guard
+    * itself is differentially tested. */
   def nearDupPairs(corpus: DataFrame, id: String, vec: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxBucket: Int = 100): DataFrame = {
     val e = indexed(corpus, id, vec)
-    val bands = bandRows(e, id)
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col(s"a.$id") < col(s"b.$id"))
-      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
-      .distinct()
+    val cand = Dedup.candidatePairsFromBands(bandRows(e, id), id, maxBucket)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
     cand
       .join(e.select(col(id).as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
       .join(e.select(col(id).as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")

@@ -341,7 +341,15 @@ object Relational {
     * same key bucket within ±6 hours of each other — the
     * near-in-time-event detection pattern. Bucketed equi-join + exact
     * predicate, never a per-key nested loop. The oracle states the naive
-    * inequality join directly; both must agree. */
+    * inequality join directly; both must agree.
+    *
+    * Deliberately NO global orderBy on the ~3M-pair result: the driver's
+    * compare sorts rows itself before hashing, and in Spark a global sort
+    * is not just a sort — RangePartitioning first runs a sampling pass
+    * that RE-EXECUTES the whole join to estimate boundaries, so sorting
+    * here doubled the query (the round-2 bench outlier: 15s recorded vs
+    * ~4s for the join itself). Sorting a large result belongs to the
+    * consumer that needs it, not the operator. */
   def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     val l = e.select(col("event_id"), (col("user_id") % 25).as("ukey"), col("ts"))
@@ -353,7 +361,6 @@ object Relational {
         radiusMicros = 6L * 3600 * 1000000L)
       .filter(col("event_id") < col("event_id2"))
       .select("event_id", "ukey", "event_id2", "delta_us")
-      .orderBy("event_id", "event_id2")
   }
 
   val rangeJoinSql: String =
@@ -362,8 +369,7 @@ object Relational {
       |FROM events a JOIN events b
       |  ON a.user_id % 25 = b.user_id % 25
       | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 21600000000
-      | AND a.event_id < b.event_id
-      |ORDER BY a.event_id, event_id2""".stripMargin
+      | AND a.event_id < b.event_id""".stripMargin
 
   /** Salted customer⋈nation (SkewJoin.saltedJoin, 8 salts): result must
     * be row-identical to the plain join — the oracle is the PLAIN SQL

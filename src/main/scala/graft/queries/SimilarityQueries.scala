@@ -90,16 +90,21 @@ object SimilarityQueries {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM s) t
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
-  /** Embedding-cosine near-dup pairs on the banded candidate set, sim >= 0.4. */
+  /** Embedding-cosine near-dup pairs on the banded candidate set,
+    * sim >= 0.4, degenerate buckets (> 100 members) dropped — the oracle
+    * applies the identical HAVING cap, so the skew guard is hash-checked. */
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
-    Similarity.nearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4)
+    Similarity.nearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        threshold = 0.4, maxBucket = 100)
       .orderBy("id_a", "id_b")
 
   val nearDupPairsSql: String =
     s"""WITH $eCte,
        |$bandsCte,
+       |okb AS (SELECT band, key FROM bands GROUP BY band, key HAVING COUNT(*) <= 100),
+       |bnd AS (SELECT b.vec_id, b.band, b.key FROM bands b JOIN okb USING (band, key)),
        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-       |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+       |         FROM bnd a JOIN bnd b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
        |SELECT id_a, id_b, sim FROM (
        |  SELECT c.id_a, c.id_b, ${cosSql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} AS sim
        |  FROM cand c JOIN e0 a ON a.vec_id = c.id_a JOIN e0 b ON b.vec_id = c.id_b) t
