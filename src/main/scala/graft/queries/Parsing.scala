@@ -109,6 +109,25 @@ object Parsing {
       |  COALESCE(TRY_CAST(rtrim(event_type, '%') AS DOUBLE), 0.0) AS wt
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** The built-in JSON path for the same extraction: `get_json_object`
+    * parses the document once per row with a real JSON parser instead of
+    * a regex scan per key — the variant to use at scale (try_cast_defaults
+    * keeps the regex deliberately, as the reference-parity artifact whose
+    * oracle pays the identical regex; round-2 VERDICT item 6). */
+  def propsJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        coalesce(get_json_object(col("props"), "$.k").cast("int"), lit(0)).as("k"),
+        coalesce(get_json_object(col("props"), "$.zz").cast("int"), lit(-1)).as("missing_k"))
+      .orderBy("event_id")
+
+  val propsJsonExtractSql: String =
+    """SELECT event_id,
+      |  COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS INT), 0) AS k,
+      |  COALESCE(TRY_CAST(json_extract_string(props, '$.zz') AS INT), -1) AS missing_k
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** T9 (etl_pipeline.py:299): positional arity guard + case-folded
     * substring flag. */
   def recoverableFlag(spark: SparkSession, dir: String): DataFrame = {
@@ -291,6 +310,7 @@ object Parsing {
     "bullet_split_filter" -> (bulletSplitFilter _),
     "name_code_split" -> (nameCodeSplit _),
     "try_cast_defaults" -> (tryCastDefaults _),
+    "props_json_extract" -> (propsJsonExtract _),
     "recoverable_flag" -> (recoverableFlag _),
     "replace_normalize" -> (replaceNormalize _),
     "multiline_areas_regex" -> (multilineAreasRegex _),
@@ -305,6 +325,7 @@ object Parsing {
     "bullet_split_filter" -> bulletSplitFilterSql,
     "name_code_split" -> nameCodeSplitSql,
     "try_cast_defaults" -> tryCastDefaultsSql,
+    "props_json_extract" -> propsJsonExtractSql,
     "recoverable_flag" -> recoverableFlagSql,
     "replace_normalize" -> replaceNormalizeSql,
     "multiline_areas_regex" -> multilineAreasRegexSql,

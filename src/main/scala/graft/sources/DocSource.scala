@@ -40,6 +40,69 @@ object DocSource {
         element_at(split(col("path"), "/"), -1).as("filename"),
         col("content"))
 
+  /** S2 — the binary→pages decode seam. A decoder turns the `binaryScan`
+    * relation (path, filename, content) into the UNROUTED per-page
+    * contract (doc_id, filename, page_no, text, page_table) that
+    * [[graft.operators.SectionRouting.assembleDocs]] /
+    * [[graft.operators.Syllabus.parseFromPages]] consume — the exact
+    * surface of the reference's pdfplumber adapter
+    * (etl_infrastructure.py:9-16 text, :18-55 per-page `extract_table()`).
+    * A production PDF decoder (PDFBox et al. — not present in this
+    * environment) implements this same trait with `mapPartitions` over
+    * `content`; the engine-side plumbing is identical either way. */
+  trait PageDecoder {
+    def decode(scanned: DataFrame): DataFrame
+  }
+
+  /** Built-in decoder for a trivial delimited binary page format, so the
+    * binary path runs end-to-end without any PDF library:
+    *
+    *  - pages separated by form feed `\f` (the classic page break);
+    *  - within a page, an optional GROUP SEPARATOR (0x1D) splits page
+    *    text from the page's (single, like `extract_table()`) table;
+    *  - table rows separated by RECORD SEPARATOR (0x1E), cells by UNIT
+    *    SEPARATOR (0x1F).
+    *
+    * Fully columnar (split/posexplode/transform — whole-stage codegen,
+    * no UDF): decoding distributes with the file scan. */
+  object DelimitedPages extends PageDecoder {
+    val PageSep = "\f"
+    val TableSep = "\u001d" // GROUP SEPARATOR
+    val RowSep = "\u001e"   // RECORD SEPARATOR
+    val CellSep = "\u001f"  // UNIT SEPARATOR
+
+    override def decode(scanned: DataFrame): DataFrame = {
+      val parts = split(col("page_raw"), TableSep, 2)
+      scanned
+        .select(col("filename").as("doc_id"), col("filename"),
+          posexplode(split(
+            org.apache.spark.sql.functions.decode(col("content"), "UTF-8"),
+            PageSep))
+            .as(Seq("page_no", "page_raw")))
+        .select(col("doc_id"), col("filename"), col("page_no"),
+          element_at(parts, 1).as("text"),
+          when(size(parts) === 2,
+            transform(split(element_at(parts, 2), RowSep),
+              r => split(r, CellSep))).as("page_table"))
+    }
+
+    /** Inverse of [[decode]] for one document — fixture/writer aid;
+      * round-trip pinned in DocSourceSpec. */
+    def encodeDoc(pages: Seq[(String, Seq[Seq[String]])]): Array[Byte] =
+      pages.map { case (text, table) =>
+        if (table == null || table.isEmpty) text
+        else text + TableSep + table.map(_.mkString(CellSep)).mkString(RowSep)
+      }.mkString(PageSep).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** S1+S2 composed: recursive glob scan, then binary→pages decode. Feed
+    * the result to `Syllabus.parseFromPages` for the full reference
+    * pipeline from real binary input. */
+  def decodedScan(spark: SparkSession, dir: String,
+      glob: String = "UG-*_1A*-*.pdf",
+      decoder: PageDecoder = DelimitedPages): DataFrame =
+    decoder.decode(binaryScan(spark, dir, glob))
+
   /** Pre-extracted documents from JSONL (the test-fixture adapter). */
   def readJsonl(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(schema).json(path)
