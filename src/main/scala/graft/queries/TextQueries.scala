@@ -217,7 +217,127 @@ object TextQueries {
       |       CAST(least(32, n - st) AS INT) AS n_tokens
       |FROM s ORDER BY doc_id, chunk_no""".stripMargin
 
+  /** Training-sequence packing (operators/Packing): 32-token chunks
+    * (no overlap — packed sequences must not duplicate tokens) greedily
+    * first-fit into 128-token sequences per doc_id%8 shard. The oracle
+    * re-runs the identical greedy fold as a recursive CTE, so the packing
+    * decisions themselves — not just counts — are differentially tested. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packSequences(
+        graft.operators.TextOps.chunkTokens(
+          Tables.documents(spark, dir), "doc_id", "text",
+          chunkSize = 32, overlap = 0),
+        "doc_id", "chunk_no", "n_tokens", shards = 8, budget = 128)
+      .toDF()
+      .orderBy("shard", "seq_no")
+
+  val packSequencesSql: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+      |c0 AS (SELECT doc_id, unnest(range(0, greatest(n - 1, 0) + 1, 32)) AS st, n FROM t),
+      |ch AS (SELECT doc_id % 8 AS shard, doc_id,
+      |         CAST(st // 32 AS INT) AS chunk_no,
+      |         CAST(least(32, n - st) AS INT) AS n_tokens,
+      |         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, st) AS rn
+      |       FROM c0),
+      |rec AS (
+      |  SELECT shard, rn, doc_id, chunk_no, n_tokens,
+      |         0::BIGINT AS seq_no, n_tokens::BIGINT AS cum
+      |  FROM ch WHERE rn = 1
+      |  UNION ALL
+      |  SELECT c.shard, c.rn, c.doc_id, c.chunk_no, c.n_tokens,
+      |         CASE WHEN r.cum + c.n_tokens > 128 THEN r.seq_no + 1 ELSE r.seq_no END,
+      |         CASE WHEN r.cum + c.n_tokens > 128 THEN c.n_tokens::BIGINT
+      |              ELSE r.cum + c.n_tokens END
+      |  FROM rec r JOIN ch c ON c.shard = r.shard AND c.rn = r.rn + 1)
+      |SELECT shard, seq_no, COUNT(*)::BIGINT AS n_chunks,
+      |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |       string_agg(doc_id || ':' || chunk_no, ',' ORDER BY rn) AS chunks
+      |FROM rec GROUP BY shard, seq_no ORDER BY shard, seq_no""".stripMargin
+
+  /** Repetition ratio (the Gopher-style duplicate-3-gram quality signal):
+    * 1 - distinct_grams/total_grams per document — high values flag the
+    * boilerplate/spam documents a training pipeline down-weights. One
+    * division, identical operation tree both engines. */
+  def repetitionRatio(spark: SparkSession, dir: String): DataFrame = {
+    val ws = graft.operators.TextOps.words(col("text"))
+    val grams = when(size(col("ws")) >= 3,
+      transform(sequence(lit(1), size(col("ws")) - 2),
+        i => concat_ws(" ", element_at(col("ws"), i),
+          element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"),
+        greatest(size(col("ws")) - 2, lit(0)).cast("bigint").as("n_grams"),
+        size(array_distinct(grams)).cast("bigint").as("n_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_grams") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+  }
+
+  val repetitionRatioSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+      |  FROM documents),
+      |g AS (SELECT doc_id,
+      |        CAST(greatest(len(ws) - 2, 0) AS BIGINT) AS n_grams,
+      |        CASE WHEN len(ws) >= 3
+      |             THEN list_transform(range(1, len(ws) - 1),
+      |                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      |             ELSE [] END AS grams
+      |      FROM w)
+      |SELECT doc_id, n_grams,
+      |       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+      |       CASE WHEN n_grams > 0
+      |            THEN 1.0::DOUBLE - (CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(n_grams AS DOUBLE))
+      |            ELSE 0.0::DOUBLE END AS rep_ratio
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  /** Redaction pass: mask digit runs (ids, counters — the PII-scrub shape)
+    * and count the replacements, one codegen regex pass per row. */
+  def textRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        regexp_replace(col("props"), "\\d+", "<NUM>").as("redacted"),
+        regexp_count(col("props"), lit("\\d+")).cast("bigint").as("n_redacted"))
+      .orderBy("event_id")
+
+  val textRedactSql: String =
+    """SELECT event_id,
+      |  regexp_replace(props, '\d+', '<NUM>', 'g') AS redacted,
+      |  CAST(len(regexp_extract_all(props, '\d+')) AS BIGINT) AS n_redacted
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Stratified deterministic sampling: per-language keep rates (en 50%,
+    * fr 25%, rest 10%) decided by the same seeded content hash as
+    * hash_sample — the domain-mixing step of corpus assembly, reproducible
+    * across engines, partitionings and reruns. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val h = pmod(PolyHash.hash(concat(col("doc_id").cast("string"), lit(":s7"))), lit(100))
+    val rate = when(col("lang") === "en", 50)
+      .when(col("lang") === "fr", 25).otherwise(10)
+    Tables.documents(spark, dir)
+      .filter(h < rate)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val stratifiedSampleSql: String =
+    s"""SELECT doc_id, lang, n_chars FROM documents
+       |WHERE list_reduce(list_prepend(0::BIGINT, list_transform(
+       |        string_split(CAST(doc_id AS VARCHAR) || ':s7',''), c -> ascii(c)::BIGINT)),
+       |        (a,b) -> (a*31+b) % ${PolyHash.Mod}) % 100
+       |      < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'fr' THEN 25 ELSE 10 END
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_sequences" -> (packSequences _),
+    "repetition_ratio" -> (repetitionRatio _),
+    "text_redact" -> (textRedact _),
+    "stratified_sample" -> (stratifiedSample _),
     "doc_chunking" -> (docChunking _),
     "hash_sample" -> (hashSample _),
     "hll_distinct" -> (hllDistinct _),
@@ -228,6 +348,10 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "pack_sequences" -> packSequencesSql,
+    "repetition_ratio" -> repetitionRatioSql,
+    "text_redact" -> textRedactSql,
+    "stratified_sample" -> stratifiedSampleSql,
     "doc_chunking" -> docChunkingSql,
     "hash_sample" -> hashSampleSql,
     "hll_distinct" -> hllDistinctSql,
