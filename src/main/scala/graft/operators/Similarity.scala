@@ -164,6 +164,67 @@ object Similarity {
       .agg(max(col("sc")).as("m"))
       .select(col(id), (-col("m.nc")).as("centroid_id"), col("m.s").as("sim"))
 
+  private[graft] final case class Centroid(c_id: Long, cv: Seq[Double], c_nrm: Double)
+
+  /** Deterministic k-means++-style seeding by farthest-point (maxmin)
+    * traversal: start from the lowest-id vector, then repeatedly pick the
+    * vector with the LARGEST minimum cosine distance to the centroids
+    * chosen so far (ties → lowest id). The classic D²-sampling of
+    * k-means++ is randomized; maxmin is its deterministic counterpart
+    * with the same "spread the seeds" intent — and deterministic means
+    * the whole seeding trajectory is DuckDB-checkable (the oracle unrolls
+    * all k-1 selection rounds).
+    *
+    * Scale shape: k-1 rounds, each ONE distributed pass — corpus ×
+    * broadcast(chosen) cross score, per-vector MIN (partial-aggregated),
+    * global top-1. Only the single winning centroid row lands on the
+    * driver per round (the same contract as MLlib's k-means init); the
+    * corpus is never collected and the vector relation is computed once
+    * (tracked cache). */
+  def kmeansPlusPlusCentroids(corpus: DataFrame, id: String, vec: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = corpus.sparkSession
+    val e = graft.GraftCaches.track(
+      corpus.select(col(id).cast("long").as("vid"), toDoubleVec(col(vec)).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v")))))
+    def toCentroid(r: org.apache.spark.sql.Row): Centroid =
+      Centroid(r.getLong(0), r.getSeq[Double](1), r.getDouble(2))
+    val first = toCentroid(e.orderBy(col("vid")).limit(1).collect()(0))
+    val chosen = scala.collection.mutable.ArrayBuffer(first)
+    while (chosen.length < k) {
+      val cDf = spark.createDataset(chosen.toSeq)(
+        org.apache.spark.sql.Encoders.product[Centroid]).toDF()
+      val picked = e
+        .crossJoin(broadcast(cDf))
+        .select(col("vid"), col("v"), col("nrm"),
+          (lit(1.0) - dot(col("v"), col("cv")) / (col("nrm") * col("c_nrm"))).as("d"))
+        .groupBy("vid").agg(min(col("d")).as("mind"))
+        .filter(!col("vid").isin(chosen.map(_.c_id).toSeq: _*))
+        .join(e, "vid")
+        .orderBy(col("mind").desc, col("vid").asc)
+        .limit(1)
+        .select(col("vid"), col("v"), col("nrm"))
+        .collect()
+      if (picked.isEmpty) return toCentroidDf(spark, chosen.toSeq) // corpus smaller than k
+      chosen += toCentroid(picked(0))
+    }
+    toCentroidDf(spark, chosen.toSeq)
+  }
+
+  private def toCentroidDf(spark: org.apache.spark.sql.SparkSession,
+      cs: Seq[Centroid]): DataFrame =
+    spark.createDataset(cs)(org.apache.spark.sql.Encoders.product[Centroid]).toDF()
+
+  /** IVF assignment against maxmin-seeded centroids — the quality-seeded
+    * variant of [[ivfAssignments]] (probing plumbing identical). */
+  def ivfKmeansPlusPlusAssignments(corpus: DataFrame, id: String, vec: String,
+      k: Int = 8): DataFrame = {
+    val e = corpus.select(col(id), toDoubleVec(col(vec)).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    assignTo(e, id, kmeansPlusPlusCentroids(corpus, id, vec, k))
+  }
+
   /** One Lloyd refinement of the seed centroids: assign every vector to
     * its nearest seed, then recompute each cell's centroid as the
     * per-dimension mean of its members, quantized to 1e-6: members are

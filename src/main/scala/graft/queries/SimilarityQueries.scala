@@ -200,7 +200,45 @@ object SimilarityQueries {
        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
   }
 
+  /** IVF assignment against deterministic k-means++ (maxmin) seeds: 8
+    * centroids picked by farthest-point traversal from the lowest id.
+    * The oracle unrolls all 7 selection rounds as CTE chains — every
+    * intermediate seed choice, not just the final assignment, is
+    * differentially checked. */
+  private val KppK = 8
+
+  def ivfKppAssign(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfKmeansPlusPlusAssignments(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", k = KppK)
+      .orderBy("vec_id")
+
+  /** One maxmin selection round: seeds s{j-1} → s{j}. */
+  private def kppStepCtes(j: Int): String =
+    s"""m$j AS (SELECT e.vec_id,
+       |        MIN(1.0::DOUBLE - ${cosSql("e.embedding", "c.cv", "e.nrm", "c.c_nrm")}) AS mind
+       |      FROM e0 e CROSS JOIN s${j - 1} c GROUP BY e.vec_id),
+       |p$j AS (SELECT vec_id FROM m$j
+       |      WHERE vec_id NOT IN (SELECT c_id FROM s${j - 1})
+       |      ORDER BY mind DESC, vec_id ASC LIMIT 1),
+       |s$j AS (SELECT * FROM s${j - 1} UNION ALL
+       |      SELECT vec_id AS c_id, embedding AS cv, nrm AS c_nrm
+       |      FROM e0 WHERE vec_id IN (SELECT vec_id FROM p$j))""".stripMargin
+
+  val ivfKppAssignSql: String = {
+    val steps = (1 until KppK).map(kppStepCtes).mkString(",\n")
+    s"""WITH $eCte,
+       |s0 AS (SELECT vec_id AS c_id, embedding AS cv, nrm AS c_nrm
+       |       FROM e0 WHERE vec_id = (SELECT MIN(vec_id) FROM e0)),
+       |$steps,
+       |sc AS (SELECT e.vec_id, c.c_id, ${cosSql("e.embedding", "c.cv", "e.nrm", "c.c_nrm")} AS sim
+       |       FROM e0 e CROSS JOIN s${KppK - 1} c)
+       |SELECT vec_id, c_id AS centroid_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) AS rn FROM sc) t
+       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ivf_kmeanspp_assign" -> (ivfKppAssign _),
     "ivf_train_assign" -> (ivfTrainAssign _),
     "embed_cosine_topk" -> (cosineTopK _),
     "embed_lsh_buckets" -> (lshBuckets _),
@@ -210,6 +248,7 @@ object SimilarityQueries {
     "ivf_topk" -> (ivfTopK _))
 
   val oracles: Map[String, String] = Map(
+    "ivf_kmeanspp_assign" -> ivfKppAssignSql,
     "embed_cosine_topk" -> cosineTopKSql,
     "embed_lsh_buckets" -> lshBucketsSql,
     "ann_lsh_topk" -> annLshTopKSql,

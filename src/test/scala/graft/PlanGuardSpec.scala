@@ -20,7 +20,8 @@ class PlanGuardSpec extends AnyFunSuite {
   // by definition; ivf_*: the index build/probe broadcasts 16 tiny centroids
   // against a scan — a deliberate broadcast nested loop over a constant side.
   private val bnljAllowed =
-    Set("embed_cosine_topk", "ivf_assign", "ivf_topk", "ivf_train_assign")
+    Set("embed_cosine_topk", "ivf_assign", "ivf_topk", "ivf_train_assign",
+      "ivf_kmeanspp_assign")
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString

@@ -71,6 +71,30 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("maxmin seeding: k distinct seeds, first is the lowest id, spread monotone") {
+    val seeds = Similarity.kmeansPlusPlusCentroids(emb, "vec_id", "embedding", 8)
+      .collect().map(_.getLong(0))
+    assert(seeds.length === 8)
+    assert(seeds.distinct.length === 8, "seeds must be distinct vectors")
+    assert(seeds.head === emb.agg(org.apache.spark.sql.functions.min("vec_id"))
+      .collect()(0).getLong(0))
+    // greedy maxmin: each later seed's min-distance to its predecessors
+    // can only shrink or hold (the farthest point is taken first)
+    val vecs = emb.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cosDist(a: Array[Double], b: Array[Double]): Double = {
+      def d(x: Array[Double], y: Array[Double]) =
+        x.zip(y).map { case (p, q) => p * q }.sum
+      1.0 - d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    }
+    val spreads = (1 until seeds.length).map { j =>
+      (0 until j).map(i => cosDist(vecs(seeds(j)), vecs(seeds(i)))).min
+    }
+    assert(spreads.zip(spreads.tail).forall { case (a, b) => b <= a + 1e-12 },
+      s"maxmin spread must be non-increasing: $spreads")
+    GraftCaches.releaseAll()
+  }
+
   test("a degenerate hot bucket is capped, normal buckets still pair") {
     // 150 identical vectors share every band key: an uncapped self-join
     // would emit 150*149/2 = 11175 pairs from ONE bucket (the quadratic
