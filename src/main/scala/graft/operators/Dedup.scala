@@ -147,6 +147,63 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Duplicate-cluster resolution: turn the near-dup candidate EDGES into
+    * cluster labels so a keeper can be chosen per cluster (the step after
+    * pair generation in every dedup pipeline). Bounded min-label
+    * propagation: comp(v) starts as v; each iteration takes the min of a
+    * node's label and its neighbors' labels. A FIXED iteration count
+    * keeps the operator deterministic and oracle-unrollable; near-dup
+    * clusters are bucket-local and near-clique, so the graph diameter is
+    * tiny and a few iterations converge in practice (at web scale this
+    * is the standard iterated-join CC shape — alternating large/small
+    * star — with each round one shuffle on node id; past a handful of
+    * rounds, materialize labels per round (checkpoint/table) so the
+    * lazily-composed plan doesn't double per iteration).
+    * Returns (doc_id, comp_id, is_keeper): comp_id = min doc id reachable
+    * within `iters` hops, keeper = the cluster minimum itself. */
+  def duplicateComponents(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val bidir = graft.GraftCaches.track(
+      edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    val init = bidir.select(col("src").as("doc_id")).distinct()
+      .withColumn("comp_id", col("doc_id"))
+    val labeled = (1 to iters).foldLeft(init) { (lab, _) =>
+      val nbrMin = bidir.join(lab, col("src") === col("doc_id"))
+        .groupBy("dst").agg(min("comp_id").as("nbr_min"))
+      lab.join(nbrMin, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"),
+          least(col("comp_id"), coalesce(col("nbr_min"), col("comp_id"))).as("comp_id"))
+    }
+    labeled.withColumn("is_keeper", col("doc_id") === col("comp_id"))
+  }
+
+  /** Benchmark decontamination: fraction of each corpus document's
+    * distinct 3-gram shingles that appear in a benchmark set — the
+    * eval-contamination check a training pipeline runs before the corpus
+    * ships. The benchmark gram set is small (eval suites are), so it
+    * broadcasts and the corpus is never shuffled: explode grams, semi
+    * match against the broadcast set, partial-aggregate the per-doc
+    * match count. At 100 TB the broadcast side becomes a bloom filter —
+    * same plan shape, one-sided error only. Documents under `benchPred`
+    * form the benchmark and are excluded from the output. */
+  def contaminationOverlap(docs: DataFrame, id: String, text: String,
+      benchPred: Column, threshold: Double): DataFrame = {
+    val g = graft.GraftCaches.track(shingleSets(docs, id, text))
+    val bench = g.filter(benchPred)
+      .select(explode(col("hs")).as("h")).distinct()
+    val corpus = g.filter(!benchPred)
+    val matched = corpus.select(col(id), explode(col("hs")).as("h"))
+      .join(broadcast(bench), "h")
+      .groupBy(id).agg(count(lit(1)).as("n_matched"))
+    corpus.select(col(id), size(col("hs")).cast("bigint").as("n_grams"))
+      .join(matched, Seq(id), "left")
+      .select(col(id), col("n_grams"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+      .withColumn("overlap",
+        col("n_matched").cast("double") / col("n_grams").cast("double"))
+      .withColumn("contaminated", col("overlap") >= threshold)
+  }
+
   /** n-gram Jaccard near-dup pairs, verified on the MinHash-LSH candidate
     * set: candidate generation is the banded signature join (bounded by
     * the bucket cap, shuffling only (id, band, key) rows), and only the

@@ -160,7 +160,59 @@ object DedupQueries {
        |  FROM cand c JOIN w ga ON ga.doc_id = c.doc_a JOIN w gb ON gb.doc_id = c.doc_b) t
        |WHERE jacc >= 0.12 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Duplicate clusters from the LSH candidate edges: 3 rounds of
+    * min-label propagation, keeper = cluster-min doc. The oracle unrolls
+    * the same three rounds, so every intermediate labeling is checked. */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateComponents(
+        Dedup.lshCandidatePairs(Tables.documents(spark, dir), "doc_id", "text"),
+        iters = 3)
+      .orderBy("doc_id")
+
+  private def labelStepCte(j: Int): String =
+    s"""l$j AS (
+       |  SELECT l.doc_id,
+       |         least(l.comp_id, COALESCE(m.nm, l.comp_id)) AS comp_id
+       |  FROM l${j - 1} l LEFT JOIN (
+       |    SELECT e2.dst, MIN(p.comp_id) AS nm
+       |    FROM e2 JOIN l${j - 1} p ON p.doc_id = e2.src GROUP BY e2.dst) m
+       |  ON m.dst = l.doc_id)""".stripMargin
+
+  val dedupComponentsSql: String =
+    s"""WITH $shingleCte,
+       |$bandsCte,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bb a JOIN bb b ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id),
+       |e2 AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+       |       UNION ALL SELECT doc_b, doc_a FROM cand),
+       |l0 AS (SELECT DISTINCT src AS doc_id, src AS comp_id FROM e2),
+       |${(1 to 3).map(labelStepCte).mkString(",\n")}
+       |SELECT doc_id, comp_id, doc_id = comp_id AS is_keeper
+       |FROM l3 ORDER BY doc_id""".stripMargin
+
+  /** Benchmark decontamination: 3-gram overlap of each corpus doc
+    * (doc_id >= 10) against the doc_id < 10 benchmark set. */
+  def benchmarkOverlap(spark: SparkSession, dir: String): DataFrame =
+    Dedup.contaminationOverlap(Tables.documents(spark, dir), "doc_id", "text",
+        benchPred = col("doc_id") < 10, threshold = 0.3)
+      .orderBy("doc_id")
+
+  val benchmarkOverlapSql: String =
+    s"""WITH $shingleCte,
+       |bench AS (SELECT DISTINCT unnest(hs) AS h FROM w WHERE doc_id < 10),
+       |corp AS (SELECT doc_id, unnest(hs) AS h FROM w WHERE NOT (doc_id < 10)),
+       |m AS (SELECT c.doc_id, COUNT(*) AS n_matched
+       |      FROM corp c JOIN bench USING (h) GROUP BY c.doc_id)
+       |SELECT w.doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+       |       CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
+       |       CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / CAST(len(hs) AS DOUBLE) AS overlap,
+       |       (CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / CAST(len(hs) AS DOUBLE)) >= 0.3::DOUBLE AS contaminated
+       |FROM w LEFT JOIN m ON m.doc_id = w.doc_id
+       |WHERE NOT (w.doc_id < 10) ORDER BY w.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_components" -> (dedupComponents _),
+    "benchmark_overlap" -> (benchmarkOverlap _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_sig" -> (minhashSig _),
     "dedup_minhash_pairs" -> (minhashPairs _),
@@ -170,6 +222,8 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> (ngramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_components" -> dedupComponentsSql,
+    "benchmark_overlap" -> benchmarkOverlapSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash_sig" -> minhashSigSql,
     "dedup_minhash_pairs" -> minhashPairsSql,
