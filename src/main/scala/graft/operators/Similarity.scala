@@ -164,6 +164,24 @@ object Similarity {
       .agg(max(col("sc")).as("m"))
       .select(col(id), (-col("m.nc")).as("centroid_id"), col("m.s").as("sim"))
 
+  /** Int8 quantization of an embedding column: per-vector symmetric
+    * max-abs scaling, q_i = floor(x_i/scale + 0.5) with scale =
+    * max|x|/127 — 4x storage shrink for the ANN index with bounded error
+    * (|x - q*scale| <= scale/2). floor(x+0.5) rather than round():
+    * engines disagree on round's tie behavior (half-even vs half-away),
+    * floor is bit-identical everywhere. Pure per-row column math,
+    * shuffle-free. */
+  def quantizeInt8(corpus: DataFrame, id: String, vec: String): DataFrame = {
+    val v = toDoubleVec(col(vec))
+    corpus
+      .select(col(id), v.as("v"),
+        array_max(transform(v, x => abs(x))).as("m"))
+      .withColumn("scale",
+        when(col("m") > 0, col("m") / lit(127.0)).otherwise(lit(1.0)))
+      .select(col(id), col("scale"),
+        transform(col("v"), x => floor(x / col("scale") + lit(0.5)).cast("int")).as("q"))
+  }
+
   private[graft] final case class Centroid(c_id: Long, cv: Seq[Double], c_nrm: Double)
 
   /** Deterministic k-means++-style seeding by farthest-point (maxmin)

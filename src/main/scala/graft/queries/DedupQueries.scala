@@ -18,7 +18,7 @@ object DedupQueries {
   private val B = TextOps.MinhashSeeds.map(_._2)
 
   /** Shared oracle CTE: distinct 3-shingle poly-hashes per doc. */
-  private val shingleCte: String =
+  private[queries] val shingleCte: String =
     s"""w AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(
@@ -52,7 +52,7 @@ object DedupQueries {
 
   /** Shared oracle CTEs: banded signatures + the degenerate-bucket cap
     * (mirrors Dedup.lshCandidatePairs maxBucket=100). */
-  private val bandsCte: String =
+  private[queries] val bandsCte: String =
     s"""bands AS (
        |  SELECT doc_id, 0 AS j, ${bandKeySql(Seq(0, 1, 2, 3))} AS key FROM w
        |  UNION ALL
@@ -169,7 +169,7 @@ object DedupQueries {
         iters = 3)
       .orderBy("doc_id")
 
-  private def labelStepCte(j: Int): String =
+  private[queries] def labelStepCte(j: Int): String =
     s"""l$j AS (
        |  SELECT l.doc_id,
        |         least(l.comp_id, COALESCE(m.nm, l.comp_id)) AS comp_id

@@ -88,6 +88,21 @@ object MediaStreamQueries {
     """SELECT user_id, COUNT(*) AS n_events, arg_max(value, event_id) AS last_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Stateful bounded top-3 per user in one-shot batch mode: must equal
+    * the relational row_number window — the leaderboard differential. */
+  def streamTopK(spark: SparkSession, dir: String): DataFrame =
+    StreamingCalendar.topKPerUser(Tables.events(spark, dir), k = 3)
+      .orderBy("user_id", "rank")
+      .toDF()
+
+  val streamTopKSql: String =
+    """SELECT user_id, rank, event_id, value FROM (
+      |  SELECT user_id, event_id, value,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY value DESC, event_id ASC) AS rank
+      |  FROM events) t
+      |WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin
+
   /** flatMapGroupsWithState sessionizer in one-shot batch mode: must
     * reproduce the window-based `sessionize` exactly — hash-checked
     * against the SAME DuckDB oracle (typed-stateful vs relational
@@ -179,6 +194,7 @@ object MediaStreamQueries {
     "binary_meta_extract" -> (binaryMetaExtract _),
     "multimodal_features" -> (multimodalFeatures _),
     "stream_user_running" -> (streamUserRunning _),
+    "stream_topk" -> (streamTopK _),
     "sessionize_stateful" -> (sessionizeStateful _),
     "sessionize_closed" -> (sessionizeClosed _),
     "stream_interval_join" -> (streamIntervalJoin _))
@@ -189,6 +205,7 @@ object MediaStreamQueries {
     "binary_meta_extract" -> binaryMetaExtractSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "stream_user_running" -> streamUserRunningSql,
+    "stream_topk" -> streamTopKSql,
     "sessionize_stateful" -> Relational.sessionizeSql,
     "sessionize_closed" -> sessionizeClosedSql,
     "stream_interval_join" -> streamIntervalJoinSql)

@@ -237,7 +237,30 @@ object SimilarityQueries {
        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
   }
 
+  /** Int8 symmetric quantization of every embedding (scale + int codes,
+    * the ANN-index storage-shrink pass). Codes serialize to a CSV string
+    * for the compare — the driver's row sort can't order array cells. */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(Tables.embeddings(spark, dir), "vec_id", "embedding")
+      .select(col("vec_id"), col("scale"),
+        array_join(transform(col("q"), x => x.cast("string")), ",").as("q_codes"))
+      .orderBy("vec_id")
+
+  val embedQuantizeSql: String =
+    """WITH m AS (
+      |  SELECT vec_id, embedding,
+      |         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+      |  FROM embeddings),
+      |s AS (SELECT vec_id, embedding,
+      |        CASE WHEN mx > 0 THEN mx / 127.0::DOUBLE ELSE 1.0::DOUBLE END AS scale
+      |      FROM m)
+      |SELECT vec_id, scale,
+      |       COALESCE(array_to_string(list_transform(embedding,
+      |         x -> CAST(CAST(floor(x::DOUBLE / scale + 0.5::DOUBLE) AS INT) AS VARCHAR)), ','), '') AS q_codes
+      |FROM s ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_quantize_int8" -> (embedQuantize _),
     "ivf_kmeanspp_assign" -> (ivfKppAssign _),
     "ivf_train_assign" -> (ivfTrainAssign _),
     "embed_cosine_topk" -> (cosineTopK _),
@@ -248,6 +271,7 @@ object SimilarityQueries {
     "ivf_topk" -> (ivfTopK _))
 
   val oracles: Map[String, String] = Map(
+    "embed_quantize_int8" -> embedQuantizeSql,
     "ivf_kmeanspp_assign" -> ivfKppAssignSql,
     "embed_cosine_topk" -> cosineTopKSql,
     "embed_lsh_buckets" -> lshBucketsSql,

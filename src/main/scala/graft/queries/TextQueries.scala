@@ -231,29 +231,36 @@ object TextQueries {
       .toDF()
       .orderBy("shard", "seq_no")
 
-  val packSequencesSql: String =
-    """WITH RECURSIVE t AS (
-      |  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
-      |c0 AS (SELECT doc_id, unnest(range(0, greatest(n - 1, 0) + 1, 32)) AS st, n FROM t),
-      |ch AS (SELECT doc_id % 8 AS shard, doc_id,
-      |         CAST(st // 32 AS INT) AS chunk_no,
-      |         CAST(least(32, n - st) AS INT) AS n_tokens,
-      |         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, st) AS rn
-      |       FROM c0),
-      |rec AS (
-      |  SELECT shard, rn, doc_id, chunk_no, n_tokens,
-      |         0::BIGINT AS seq_no, n_tokens::BIGINT AS cum
-      |  FROM ch WHERE rn = 1
-      |  UNION ALL
-      |  SELECT c.shard, c.rn, c.doc_id, c.chunk_no, c.n_tokens,
-      |         CASE WHEN r.cum + c.n_tokens > 128 THEN r.seq_no + 1 ELSE r.seq_no END,
-      |         CASE WHEN r.cum + c.n_tokens > 128 THEN c.n_tokens::BIGINT
-      |              ELSE r.cum + c.n_tokens END
-      |  FROM rec r JOIN ch c ON c.shard = r.shard AND c.rn = r.rn + 1)
-      |SELECT shard, seq_no, COUNT(*)::BIGINT AS n_chunks,
+  /** Chunk + greedy-pack CTE chain over `srcRel(doc_id, text)` — shared by
+    * pack_sequences and corpus_pipeline. */
+  private def packingCtes(srcRel: String): String =
+    s"""t AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n FROM $srcRel),
+       |c0 AS (SELECT doc_id, unnest(range(0, greatest(n - 1, 0) + 1, 32)) AS st, n FROM t),
+       |ch AS (SELECT doc_id % 8 AS shard, doc_id,
+       |         CAST(st // 32 AS INT) AS chunk_no,
+       |         CAST(least(32, n - st) AS INT) AS n_tokens,
+       |         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, st) AS rn
+       |       FROM c0),
+       |rec AS (
+       |  SELECT shard, rn, doc_id, chunk_no, n_tokens,
+       |         0::BIGINT AS seq_no, n_tokens::BIGINT AS cum
+       |  FROM ch WHERE rn = 1
+       |  UNION ALL
+       |  SELECT c.shard, c.rn, c.doc_id, c.chunk_no, c.n_tokens,
+       |         CASE WHEN r.cum + c.n_tokens > 128 THEN r.seq_no + 1 ELSE r.seq_no END,
+       |         CASE WHEN r.cum + c.n_tokens > 128 THEN c.n_tokens::BIGINT
+       |              ELSE r.cum + c.n_tokens END
+       |  FROM rec r JOIN ch c ON c.shard = r.shard AND c.rn = r.rn + 1)""".stripMargin
+
+  private val packingSelect: String =
+    """SELECT shard, seq_no, COUNT(*)::BIGINT AS n_chunks,
       |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
       |       string_agg(doc_id || ':' || chunk_no, ',' ORDER BY rn) AS chunks
       |FROM rec GROUP BY shard, seq_no ORDER BY shard, seq_no""".stripMargin
+
+  val packSequencesSql: String =
+    s"WITH RECURSIVE ${packingCtes("documents")}\n$packingSelect"
 
   /** Repetition ratio (the Gopher-style duplicate-3-gram quality signal):
     * 1 - distinct_grams/total_grams per document — high values flag the
@@ -333,7 +340,104 @@ object TextQueries {
        |      < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'fr' THEN 25 ELSE 10 END
        |ORDER BY doc_id""".stripMargin
 
+  /** The flagship composition: the full corpus-preparation DAG —
+    * quality filter (token count + repetition ratio) → near-dup cluster
+    * resolution (only keepers survive) → chunk → greedy-pack into
+    * training sequences — as ONE declarative query, hash-checked end to
+    * end. This is the query a real training-data pipeline ships; every
+    * stage reuses an operator that is also oracle-checked in isolation,
+    * and Catalyst fuses the whole thing (the quality filter pushes below
+    * the shingle computation; one shuffle for the LSH bands, one for the
+    * component labels, one for the pack shards). */
+  def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val drops = graft.operators.Dedup.duplicateComponents(
+        graft.operators.Dedup.lshCandidatePairs(docs, "doc_id", "text"), iters = 3)
+      .filter(!col("is_keeper")).select("doc_id")
+    val ws = graft.operators.TextOps.words(col("text"))
+    val grams = when(size(col("ws")) >= 3,
+      transform(sequence(lit(1), size(col("ws")) - 2),
+        i => concat_ws(" ", element_at(col("ws"), i),
+          element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val quality = docs.select(col("doc_id"), col("text"), ws.as("ws"))
+      .withColumn("n_toks", size(col("ws")))
+      .withColumn("n_grams", greatest(size(col("ws")) - 2, lit(0)))
+      .withColumn("rep_ratio",
+        when(col("n_grams") > 0,
+          lit(1.0) - size(array_distinct(grams)).cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)))
+      .filter(col("n_toks") >= 20 && col("rep_ratio") <= 0.6)
+      .select("doc_id", "text")
+    val survivors = quality.join(drops, Seq("doc_id"), "left_anti")
+    graft.operators.Packing.packSequences(
+        graft.operators.TextOps.chunkTokens(survivors, "doc_id", "text",
+          chunkSize = 32, overlap = 0),
+        "doc_id", "chunk_no", "n_tokens", shards = 8, budget = 128)
+      .toDF()
+      .orderBy("shard", "seq_no")
+  }
+
+  val corpusPipelineSql: String =
+    s"""WITH RECURSIVE ${DedupQueries.shingleCte},
+       |${DedupQueries.bandsCte},
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bb a JOIN bb b ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id),
+       |e2 AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+       |       UNION ALL SELECT doc_b, doc_a FROM cand),
+       |l0 AS (SELECT DISTINCT src AS doc_id, src AS comp_id FROM e2),
+       |${(1 to 3).map(DedupQueries.labelStepCte).mkString(",\n")},
+       |drops AS (SELECT doc_id FROM l3 WHERE doc_id != comp_id),
+       |qd AS (SELECT doc_id, text,
+       |         list_filter(string_split(text, ' '), x -> x != '') AS ws
+       |       FROM documents),
+       |q AS (SELECT doc_id, text FROM (
+       |  SELECT doc_id, text, len(ws) AS n_toks,
+       |         greatest(len(ws) - 2, 0) AS n_grams,
+       |         CASE WHEN len(ws) >= 3
+       |              THEN list_transform(range(1, len(ws) - 1),
+       |                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+       |              ELSE [] END AS grams
+       |  FROM qd) z
+       |  WHERE n_toks >= 20
+       |    AND (CASE WHEN n_grams > 0
+       |              THEN 1.0::DOUBLE - (CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(n_grams AS DOUBLE))
+       |              ELSE 0.0::DOUBLE END) <= 0.6::DOUBLE),
+       |surv AS (SELECT * FROM q WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+       |${packingCtes("surv")}
+       |$packingSelect""".stripMargin
+
+  /** Domain-mixing weights: per-source token inventory and the sampling
+    * weight that equalizes each source's share (target = uniform across
+    * sources; weight_s = total/(k * tokens_s)). Exact integer sums, one
+    * double division — the corpus-mixing bookkeeping every multi-source
+    * training run starts from. */
+  def sourceMixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(graft.operators.TextOps.words(col("text"))).cast("bigint").as("nt"))
+    val per = tok.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").as("total"), count(lit(1)).as("k"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("total").cast("double") / (col("k") * col("n_tokens")).cast("double")).as("weight"))
+      .orderBy("source")
+  }
+
+  val sourceMixWeightsSql: String =
+    """WITH per AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |         CAST(SUM(len(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total, COUNT(*) AS k FROM per)
+      |SELECT source, n_docs, n_tokens,
+      |       CAST(total AS DOUBLE) / CAST(k * n_tokens AS DOUBLE) AS weight
+      |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_mix_weights" -> (sourceMixWeights _),
+    "corpus_pipeline" -> (corpusPipeline _),
     "pack_sequences" -> (packSequences _),
     "repetition_ratio" -> (repetitionRatio _),
     "text_redact" -> (textRedact _),
@@ -348,6 +452,8 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "source_mix_weights" -> sourceMixWeightsSql,
+    "corpus_pipeline" -> corpusPipelineSql,
     "pack_sequences" -> packSequencesSql,
     "repetition_ratio" -> repetitionRatioSql,
     "text_redact" -> textRedactSql,

@@ -157,6 +157,39 @@ object StreamingCalendar {
       })(Encoders.product[SessState], Encoders.product[SessionRow])
   }
 
+  final case class TopKEntry(value: Double, event_id: Long)
+  final case class TopKState(entries: Seq[TopKEntry])
+  final case class UserTopK(user_id: Long, rank: Long, event_id: Long, value: Double)
+
+  /** Stateful bounded top-k per user: state holds at most k
+    * (value desc, event_id asc) entries per key — O(k) state per user
+    * regardless of history, the streaming leaderboard shape. Each
+    * micro-batch emits the key's refreshed top-k (Update-mode sink
+    * semantics); ranks at a given position only ever improve. In one-shot
+    * batch mode this reproduces the relational `row_number() <= k` window
+    * exactly, which is how the query is hash-checked against DuckDB
+    * (typed-stateful vs relational differential, like sessionize). */
+  def topKPerUser(events: DataFrame, k: Int): Dataset[UserTopK] = {
+    val byUser = events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("value").cast("double"))
+      .as(Encoders.product[(Long, Long, Double)])
+      .groupByKey(_._1)(Encoders.scalaLong)
+    byUser.flatMapGroupsWithState[TopKState, UserTopK](
+      OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+      (user: Long, rows: Iterator[(Long, Long, Double)],
+          state: GroupState[TopKState]) => {
+        val merged = (state.getOption.map(_.entries).getOrElse(Seq.empty) ++
+            rows.map { case (_, eid, v) => TopKEntry(v, eid) })
+          .sortBy(e => (-e.value, e.event_id))
+          .take(k)
+        state.update(TopKState(merged))
+        merged.iterator.zipWithIndex.map { case (e, i) =>
+          UserTopK(user, i + 1L, e.event_id, e.value)
+        }
+      })(Encoders.product[TopKState], Encoders.product[UserTopK])
+  }
+
   final case class UserRunning(user_id: Long, n_events: Long, last_value: Double)
 
   /** State carries the max event id seen so "last" is defined by the data

@@ -19,9 +19,11 @@ class PlanGuardSpec extends AnyFunSuite {
   // embed_cosine_topk: the exact baseline scores the whole corpus per query
   // by definition; ivf_*: the index build/probe broadcasts 16 tiny centroids
   // against a scan — a deliberate broadcast nested loop over a constant side.
+  // source_mix_weights: the corpus-total side is ONE aggregated row
+  // cross-broadcast to k source rows — a deliberate scalar broadcast.
   private val bnljAllowed =
     Set("embed_cosine_topk", "ivf_assign", "ivf_topk", "ivf_train_assign",
-      "ivf_kmeanspp_assign")
+      "ivf_kmeanspp_assign", "source_mix_weights")
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString

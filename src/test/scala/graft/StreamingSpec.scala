@@ -150,6 +150,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.select("event_id").distinct().count() === events.length.toLong)
   }
 
+  test("stateful top-k refines across micro-batches toward the global top-k") {
+    implicit val sq = spark.sqlContext
+    val events = fixtureEvents(200)
+    val (first, second) = events.splitAt(100)
+    val stream = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
+
+    val q = StreamingCalendar.topKPerUser(stream.toDF(), k = 3)
+      .writeStream.format("memory").queryName("topk_out")
+      .outputMode("update").start()
+    try {
+      stream.addData(first)
+      q.processAllAvailable()
+      stream.addData(second)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // a rank's value only improves, so the max emission per (user, rank)
+    // is the final state — and must equal the batch run over all data
+    val last = spark.table("topk_out")
+      .groupBy("user_id", "rank").agg(max("value").as("value"))
+    val batch = StreamingCalendar.topKPerUser(
+        spark.createDataset(events)(Encoders.product[Ev]).toDF(), k = 3)
+      .select(col("user_id"), col("rank"), col("value"))
+    val mismatch = last.as("a").join(batch.as("b"), Seq("user_id", "rank"))
+      .filter(col("a.value") =!= col("b.value")).count()
+    assert(mismatch === 0)
+    assert(last.count() === batch.count())
+  }
+
   test("mapGroupsWithState accumulates across micro-batches") {
     implicit val sq = spark.sqlContext
     val events = fixtureEvents(100)
