@@ -167,10 +167,15 @@ object Dedup {
         .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
     val init = bidir.select(col("src").as("doc_id")).distinct()
       .withColumn("comp_id", col("doc_id"))
+    // Each round references the previous labels TWICE (neighbor-min join
+    // + own-label carry): without materialization the lineage doubles per
+    // round — persist each round's labels (one row per node, released via
+    // GraftCaches like every operator working set).
     val labeled = (1 to iters).foldLeft(init) { (lab, _) =>
-      val nbrMin = bidir.join(lab, col("src") === col("doc_id"))
+      val l = graft.GraftCaches.track(lab)
+      val nbrMin = bidir.join(l, col("src") === col("doc_id"))
         .groupBy("dst").agg(min("comp_id").as("nbr_min"))
-      lab.join(nbrMin, col("doc_id") === col("dst"), "left")
+      l.join(nbrMin, col("doc_id") === col("dst"), "left")
         .select(col("doc_id"),
           least(col("comp_id"), coalesce(col("nbr_min"), col("comp_id"))).as("comp_id"))
     }
