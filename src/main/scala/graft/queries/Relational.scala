@@ -274,6 +274,62 @@ object Relational {
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
+  /** CUBE grouping sets — all four (status × priority) marginal
+    * combinations in one pass of partial aggregates (the full
+    * grouping-sets surface next to rollup's prefix chain). */
+  def cubeRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        sum(col("o_totalprice").cast(DecimalType(14, 2))).cast("double").as("total_price"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("total_price"), col("n_orders"))
+      .orderBy("status", "priority")
+
+  val cubeRevenueSql: String =
+    """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+      |       COALESCE(o_orderpriority, '(all)') AS priority,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price,
+      |       COUNT(*) AS n_orders
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** Running share within a partition: each order's cumulative fraction
+    * of its priority class's total — one window sort per class, exact
+    * decimal running sum and class total, a single double division per
+    * row. */
+  def runningShare(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy("o_orderpriority")
+    val p = col("o_totalprice").cast(DecimalType(14, 2))
+    Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        sum(p).over(ord).cast("double").as("running"),
+        sum(p).over(all).cast("double").as("class_total"))
+      .withColumn("running_share", col("running") / col("class_total"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  val runningShareSql: String =
+    """SELECT o_orderpriority, o_orderkey, running, class_total,
+      |       running / class_total AS running_share
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+      |      PARTITION BY o_orderpriority ORDER BY o_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+      |      PARTITION BY o_orderpriority) AS DOUBLE) AS class_total
+      |  FROM orders WHERE o_totalprice > 400000) t
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
   /** As-of join (AsOfJoin.asOf): each event picks up the latest order of
     * its key bucket placed on or before the event time — union + running
     * last-non-null window, one hash exchange on the key, no row blow-up.
@@ -492,6 +548,8 @@ object Relational {
     "asof_join" -> (asofJoin _),
     "sessionize" -> (sessionize _),
     "rollup_revenue" -> (rollupRevenue _),
+    "cube_revenue" -> (cubeRevenue _),
+    "running_share" -> (runningShare _),
     "calendar_weekly" -> (calendarWeekly _),
     "pricing_summary" -> (pricingSummary _),
     "week_date_enrich" -> (weekDateEnrich _),
@@ -514,6 +572,8 @@ object Relational {
     "asof_join" -> asofJoinSql,
     "sessionize" -> sessionizeSql,
     "rollup_revenue" -> rollupRevenueSql,
+    "cube_revenue" -> cubeRevenueSql,
+    "running_share" -> runningShareSql,
     "calendar_weekly" -> calendarWeeklySql,
     "pricing_summary" -> pricingSummarySql,
     "week_date_enrich" -> weekDateEnrichSql,
