@@ -19,7 +19,7 @@ object DedupQueries {
 
   /** Shared oracle CTE: distinct 3-shingle poly-hashes per doc. */
   private[queries] val shingleCte: String =
-    s"""w AS (
+    s"""w AS MATERIALIZED (
        |  SELECT doc_id,
        |    list_distinct(list_transform(
        |      list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
@@ -58,7 +58,7 @@ object DedupQueries {
        |  UNION ALL
        |  SELECT doc_id, 1 AS j, ${bandKeySql(Seq(4, 5, 6, 7))} AS key FROM w),
        |ok AS (SELECT j, key FROM bands GROUP BY j, key HAVING COUNT(*) <= 100),
-       |bb AS (SELECT bands.* FROM bands JOIN ok USING (j, key))""".stripMargin
+       |bb AS MATERIALIZED (SELECT bands.* FROM bands JOIN ok USING (j, key))""".stripMargin
 
   /** LSH candidate pairs (2 bands x 4 rows, bucket cap 100). */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
@@ -170,7 +170,7 @@ object DedupQueries {
       .orderBy("doc_id")
 
   private[queries] def labelStepCte(j: Int): String =
-    s"""l$j AS (
+    s"""l$j AS MATERIALIZED (
        |  SELECT l.doc_id,
        |         least(l.comp_id, COALESCE(m.nm, l.comp_id)) AS comp_id
        |  FROM l${j - 1} l LEFT JOIN (
@@ -181,9 +181,9 @@ object DedupQueries {
   val dedupComponentsSql: String =
     s"""WITH $shingleCte,
        |$bandsCte,
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bb a JOIN bb b ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id),
-       |e2 AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+       |e2 AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM cand
        |       UNION ALL SELECT doc_b, doc_a FROM cand),
        |l0 AS (SELECT DISTINCT src AS doc_id, src AS comp_id FROM e2),
        |${(1 to 3).map(labelStepCte).mkString(",\n")}

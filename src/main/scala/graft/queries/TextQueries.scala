@@ -232,12 +232,15 @@ object TextQueries {
       .orderBy("shard", "seq_no")
 
   /** Chunk + greedy-pack CTE chain over `srcRel(doc_id, text)` — shared by
-    * pack_sequences and corpus_pipeline. */
+    * pack_sequences and corpus_pipeline. `ch` is MATERIALIZED: the
+    * recursive fold scans it once per iteration (one per chunk rank), and
+    * without materialization DuckDB re-evaluates the whole upstream chain
+    * each time — quadratic blowup at larger SFs. */
   private def packingCtes(srcRel: String): String =
     s"""t AS (
        |  SELECT doc_id, len(string_split(text, ' ')) AS n FROM $srcRel),
        |c0 AS (SELECT doc_id, unnest(range(0, greatest(n - 1, 0) + 1, 32)) AS st, n FROM t),
-       |ch AS (SELECT doc_id % 8 AS shard, doc_id,
+       |ch AS MATERIALIZED (SELECT doc_id % 8 AS shard, doc_id,
        |         CAST(st // 32 AS INT) AS chunk_no,
        |         CAST(least(32, n - st) AS INT) AS n_tokens,
        |         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, st) AS rn
@@ -381,9 +384,9 @@ object TextQueries {
   val corpusPipelineSql: String =
     s"""WITH RECURSIVE ${DedupQueries.shingleCte},
        |${DedupQueries.bandsCte},
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bb a JOIN bb b ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id),
-       |e2 AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+       |e2 AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM cand
        |       UNION ALL SELECT doc_b, doc_a FROM cand),
        |l0 AS (SELECT DISTINCT src AS doc_id, src AS comp_id FROM e2),
        |${(1 to 3).map(DedupQueries.labelStepCte).mkString(",\n")},
@@ -403,7 +406,7 @@ object TextQueries {
        |    AND (CASE WHEN n_grams > 0
        |              THEN 1.0::DOUBLE - (CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(n_grams AS DOUBLE))
        |              ELSE 0.0::DOUBLE END) <= 0.6::DOUBLE),
-       |surv AS (SELECT * FROM q WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+       |surv AS MATERIALIZED (SELECT * FROM q WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
        |${packingCtes("surv")}
        |$packingSelect""".stripMargin
 
