@@ -97,6 +97,31 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash Jaccard ESTIMATE on the candidate pairs: fraction of equal
+    * signature components — the estimator that makes MinHash useful when
+    * the gram sets are too big to rejoin (E[estimate] = true Jaccard;
+    * with 8 permutations it is coarse but unbiased). Joins only the
+    * 8-long signatures back by id, never the gram arrays — at scale this
+    * replaces the exact verify when ±1/8 resolution suffices. */
+  def minhashEstimatePairs(docs: DataFrame, id: String, text: String,
+      maxBucket: Int = 100): DataFrame = {
+    val g = graft.GraftCaches.track(shingleSets(docs, id, text))
+    val sig = g.select(
+      col(id) +: MinhashSeeds.zipWithIndex.map { case ((a, b), i) =>
+        minhash(col("hs"), a, b).as(s"mh$i")
+      }: _*)
+    val agree = (0 until MinhashSeeds.length).map(i =>
+      when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    candidatePairsFromBands(lshBandsFrom(g, id), id, maxBucket)
+      .join(sig.select(col(id).as("doc_a") +:
+        (0 until MinhashSeeds.length).map(i => col(s"mh$i").as(s"a_mh$i")): _*), "doc_a")
+      .join(sig.select(col(id).as("doc_b") +:
+        (0 until MinhashSeeds.length).map(i => col(s"mh$i").as(s"b_mh$i")): _*), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (agree.cast("double") / lit(MinhashSeeds.length.toDouble)).as("est_jaccard"))
+  }
+
   /** SimHash relation: id, 32-bit simhash of the distinct word-hash set. */
   def simhashes(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id), simhash32(wordHashes(col(text))).as("simhash"))

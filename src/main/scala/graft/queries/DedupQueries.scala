@@ -72,6 +72,29 @@ object DedupQueries {
        |FROM bb a JOIN bb b ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** MinHash Jaccard estimate (signature-agreement fraction) on the
+    * candidate pairs — the estimator the exact n-gram verify replaces
+    * only when gram sets are small enough to rejoin. */
+  def minhashEstimate(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashEstimatePairs(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_a", "doc_b")
+
+  val minhashEstimateSql: String = {
+    val agree = (0 until 8).map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val sigCols = (0 until 8).map(i => s"${mhSql(i)} AS mh$i").mkString(", ")
+    s"""WITH $shingleCte,
+       |$bandsCte,
+       |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bb a JOIN bb b ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id),
+       |sig AS MATERIALIZED (SELECT doc_id, $sigCols FROM w)
+       |SELECT c.doc_a, c.doc_b,
+       |       CAST($agree AS DOUBLE) / 8.0::DOUBLE AS est_jaccard
+       |FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+       |            JOIN sig sb ON sb.doc_id = c.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** 32-bit SimHash over the distinct word-hash set. */
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashes(Tables.documents(spark, dir), "doc_id", "text").orderBy("doc_id")
@@ -212,6 +235,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_components" -> (dedupComponents _),
+    "dedup_minhash_estimate" -> (minhashEstimate _),
     "benchmark_overlap" -> (benchmarkOverlap _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_sig" -> (minhashSig _),
@@ -223,6 +247,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "dedup_components" -> dedupComponentsSql,
+    "dedup_minhash_estimate" -> minhashEstimateSql,
     "benchmark_overlap" -> benchmarkOverlapSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash_sig" -> minhashSigSql,
