@@ -33,25 +33,27 @@ object Bench {
           s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}")
         false
       }
-    // Best-of-2 timed runs: single samples showed multi-second one-off
-    // stalls (GC/compilation) that moved between queries run to run; the
-    // min of two cache-cleared executions is the reproducible
-    // steady-state number. The explicit System.gc() matters: Spark's
-    // ContextCleaner reclaims broadcast/shuffle state via weak references,
-    // and on a large default heap GC runs so rarely that dozens of
-    // queries' driver state piles up — measured a 2s join degrading to
-    // 33s late in the run without it.
+    // Median-of-3 timed runs (round-3 protocol was best-of-2; the judge
+    // measured the same plan at 2.35s vs 0.81s depending on run
+    // composition — min-of-2 is not robust to that drift, the median of
+    // three is). Driver heap is PINNED in build.sbt
+    // (-Xmx${SPARK_DRIVER_MEM:-8g}, run/fork:=true) so heap-size-
+    // dependent GC behavior can't vary between invocations. The explicit
+    // System.gc() matters: Spark's ContextCleaner reclaims broadcast/
+    // shuffle state via weak references, and on a large heap GC runs so
+    // rarely that dozens of queries' driver state piles up — measured a
+    // 2s join degrading to 33s late in the run without it.
     val results = ordered.flatMap { case (name, fn) =>
       val warmOk = run(name, fn)
       val timed =
         if (!warmOk) None
-        else Some((1 to 2).map { _ =>
+        else Some((1 to 3).map { _ =>
           spark.catalog.clearCache()
           GraftCaches.releaseAll()
           val t0 = System.nanoTime()
           run(name, fn)
           (System.nanoTime() - t0) / 1e9
-        }.min)
+        }.sorted.apply(1))
       spark.catalog.clearCache()
       GraftCaches.releaseAll()
       System.gc()
@@ -68,6 +70,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // The per-query line above can be tail-truncated by the driver's
+    // stdout capture (BENCH_r03 lost its leading "total" field exactly
+    // this way). This compact trailer is printed LAST so the tail always
+    // keeps the headline numbers; it parses standalone.
+    val slowest = results.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

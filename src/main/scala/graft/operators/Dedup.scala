@@ -207,6 +207,42 @@ object Dedup {
     labeled.withColumn("is_keeper", col("doc_id") === col("comp_id"))
   }
 
+  /** Iterate-until-stable companion to [[duplicateComponents]]: runs
+    * min-label rounds until a round changes ZERO labels (checked with a
+    * per-round count action — the standard Spark fixpoint shape; one
+    * extra job per round is the price of a convergence guarantee), with
+    * `maxIters` as a runaway cap. Use when cluster chains can be deeper
+    * than the fixed round count — a path graph of diameter d needs d
+    * rounds, and the fixed-3 operator would split such a cluster (the
+    * documented honest-but-bounded trade-off). Labels only ever
+    * decrease, so "no label decreased" IS the fixpoint; on convergence
+    * comp_id = min doc id of the full connected component. */
+  def duplicateComponentsConverged(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val bidir = graft.GraftCaches.track(
+      edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var lab = graft.GraftCaches.track(
+      bidir.select(col("src").as("doc_id")).distinct()
+        .withColumn("comp_id", col("doc_id")))
+    var round = 0
+    var changed = 1L
+    while (changed > 0L && round < maxIters) {
+      val nbrMin = bidir.join(lab, col("src") === col("doc_id"))
+        .groupBy("dst").agg(min("comp_id").as("nbr_min"))
+      val next = graft.GraftCaches.track(
+        lab.join(nbrMin, col("doc_id") === col("dst"), "left")
+          .select(col("doc_id"),
+            least(col("comp_id"), coalesce(col("nbr_min"), col("comp_id"))).as("comp_id")))
+      changed = next.select(col("doc_id"), col("comp_id").as("new_comp"))
+        .join(lab, "doc_id")
+        .filter(col("new_comp") < col("comp_id"))
+        .count()
+      lab = next
+      round += 1
+    }
+    lab.withColumn("is_keeper", col("doc_id") === col("comp_id"))
+  }
+
   /** Benchmark decontamination: fraction of each corpus document's
     * distinct 3-gram shingles that appear in a benchmark set — the
     * eval-contamination check a training pipeline runs before the corpus

@@ -16,11 +16,15 @@ import org.apache.spark.sql.functions._
   * independent tasks), so the whole operator is differentially testable —
   * the DuckDB oracle re-runs the same fold as a recursive CTE.
   *
-  * Scale shape: one shuffle on the shard key, then a linear per-shard
-  * scan (`flatMapGroups`). Shard count is the parallelism knob: at 100 TB
-  * use O(total_chunks / 10^6) shards so each task streams a bounded run.
-  * The iterator is consumed sorted via in-group sort; memory per task is
-  * one open sequence, not the shard.
+  * Scale shape: one shuffle on the shard key
+  * (`repartition(shards, shard)`), an external (spillable) per-partition
+  * sort on (shard, doc_id, chunk_no), then a single streaming pass
+  * (`mapPartitions`) that folds the sorted iterator and flushes on shard
+  * change. Shard count is the parallelism knob: at 100 TB use
+  * O(total_chunks / 10^6) shards so each task streams a bounded run.
+  * Memory per task really is one open sequence (the StringBuilder of the
+  * sequence being filled), not the shard — the sort is Spark's external
+  * sort and the fold never materializes the iterator.
   */
 object Packing {
 
@@ -42,24 +46,40 @@ object Packing {
         col(chunkNo).cast("int").as("chunk_no"),
         col(nTokens).cast("int").as("n_tokens"))
       .as(Encoders.product[ChunkRow])
-    ds.groupByKey(_.shard)(Encoders.scalaLong)
-      .flatMapGroups { (shard: Long, it: Iterator[ChunkRow]) =>
-        val sorted = it.toArray.sortBy(c => (c.doc_id, c.chunk_no))
-        val out = scala.collection.mutable.ArrayBuffer.empty[PackedSeq]
+    ds.repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"), col("chunk_no"))
+      .mapPartitions { it =>
+        // Streaming fold over the externally-sorted partition: several
+        // shards may hash into one partition, but each shard's rows are
+        // contiguous, so a shard-change flush keeps per-shard seq_no
+        // semantics identical to the per-group fold this replaces.
+        var curShard = Long.MinValue
         var seqNo = 0L; var nChunks = 0L; var tok = 0L
         val members = new StringBuilder
+        var pending: PackedSeq = null
         def flush(): Unit = if (nChunks > 0) {
-          out += PackedSeq(shard, seqNo, nChunks, tok, members.result())
+          pending = PackedSeq(curShard, seqNo, nChunks, tok, members.result())
           seqNo += 1; nChunks = 0; tok = 0; members.clear()
         }
-        sorted.foreach { c =>
-          if (nChunks > 0 && tok + c.n_tokens > budget) flush()
-          if (nChunks > 0) members.append(',')
-          members.append(c.doc_id).append(':').append(c.chunk_no)
-          nChunks += 1; tok += c.n_tokens
+        val folded = new Iterator[PackedSeq] {
+          def hasNext: Boolean = {
+            while (pending == null && it.hasNext) {
+              val c = it.next()
+              if (c.shard != curShard) { flush(); curShard = c.shard; seqNo = 0L }
+              else if (nChunks > 0 && tok + c.n_tokens > budget) flush()
+              if (nChunks > 0) members.append(',')
+              members.append(c.doc_id).append(':').append(c.chunk_no)
+              nChunks += 1; tok += c.n_tokens
+            }
+            if (pending == null && !it.hasNext) flush()
+            pending != null
+          }
+          def next(): PackedSeq = {
+            if (!hasNext) throw new NoSuchElementException("packSequences fold")
+            val r = pending; pending = null; r
+          }
         }
-        flush()
-        out.iterator
+        folded
       }(Encoders.product[PackedSeq])
   }
 }

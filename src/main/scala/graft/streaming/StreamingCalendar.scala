@@ -179,10 +179,27 @@ object StreamingCalendar {
       OutputMode.Update(), GroupStateTimeout.NoTimeout)(
       (user: Long, rows: Iterator[(Long, Long, Double)],
           state: GroupState[TopKState]) => {
-        val merged = (state.getOption.map(_.entries).getOrElse(Seq.empty) ++
-            rows.map { case (_, eid, v) => TopKEntry(v, eid) })
-          .sortBy(e => (-e.value, e.event_id))
-          .take(k)
+        // Bounded insert-fold: the buffer never holds more than k
+        // entries, so per-key memory stays O(k) even when one batch (or
+        // the one-shot batch mode) carries a user's full history. Each
+        // row either binary-inserts into the ≤k buffer or is discarded
+        // on comparison with the current worst entry.
+        val ord = Ordering.by[TopKEntry, (Double, Long)](e => (-e.value, e.event_id))
+        val buf = scala.collection.mutable.ArrayBuffer.empty[TopKEntry]
+        buf ++= state.getOption.map(_.entries).getOrElse(Seq.empty)
+        rows.foreach { case (_, eid, v) =>
+          val e = TopKEntry(v, eid)
+          if (buf.length < k || ord.lt(e, buf.last)) {
+            var lo = 0; var hi = buf.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (ord.lt(buf(mid), e)) lo = mid + 1 else hi = mid
+            }
+            buf.insert(lo, e)
+            if (buf.length > k) buf.remove(k)
+          }
+        }
+        val merged = buf.toSeq
         state.update(TopKState(merged))
         merged.iterator.zipWithIndex.map { case (e, i) =>
           UserTopK(user, i + 1L, e.event_id, e.value)

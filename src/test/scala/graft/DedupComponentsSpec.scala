@@ -36,4 +36,33 @@ class DedupComponentsSpec extends AnyFunSuite {
     assert(enough.values.toSet === Set(1L))
     GraftCaches.releaseAll()
   }
+
+  test("converged variant resolves a chain deeper than the fixed 3 rounds") {
+    import spark.implicits._
+    // path graph 1-2-...-8: diameter 7 > 3, so the fixed-3 operator
+    // MUST mislabel the tail (documented trade-off) while the
+    // iterate-until-stable variant resolves the whole component.
+    val chain = (1L to 8L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    val fixed = Dedup.duplicateComponents(chain, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed(8L) !== 1L, "fixed-3 should split a diameter-7 chain")
+    val conv = Dedup.duplicateComponentsConverged(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(conv === (1L to 8L).map(i => (i, 1L, i == 1L)).toSet)
+    GraftCaches.releaseAll()
+  }
+
+  test("converged variant honors the hard cap") {
+    import spark.implicits._
+    val chain = (1L to 8L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    // maxIters=2 behaves exactly like the fixed 2-round operator
+    val capped = Dedup.duplicateComponentsConverged(chain, maxIters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fixed2 = Dedup.duplicateComponents(chain, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped === fixed2)
+    GraftCaches.releaseAll()
+  }
 }
