@@ -16,5 +16,6 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => RangeJoinRewrite)
+    extensions.injectPlannerStrategy(_ => BucketedJoinStrategy)
   }
 }

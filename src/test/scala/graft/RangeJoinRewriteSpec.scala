@@ -39,24 +39,34 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     } yield (li, ri)).toSet
   }
 
-  test("keyless abs-range join: BNLJ without the rule, equi-join with it, same rows") {
+  test("keyless abs-range join rewrites to an equi-join via session extensions") {
+    // TestSpark runs with GraftExtensions active (production wiring), so
+    // the rule fires with no per-query registration: the naive plan for
+    // this predicate would be a BroadcastNestedLoopJoin.
     val (l, r) = frames()
     val q = l.join(r, abs(col("lt") - col("rt")) <= lit(100L))
       .select("lid", "rid")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"rule did not rewrite to an equi-join:\n$plan")
+    assert(plan.contains("_graft_bucket"), s"bucket column missing:\n$plan")
+    val got = q.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === expected(100L))
+  }
 
-    val naivePlan = q.queryExecution.executedPlan.toString
-    assert(naivePlan.contains("BroadcastNestedLoopJoin"),
-      "precondition: naive plan should be a nested loop")
-
+  test("rule is a fixpoint: double registration neither loops nor duplicates") {
+    // extraOptimizations ADDS a second copy of the rule on top of the
+    // extensions copy — the _graft_bucket marker must keep the second
+    // application a no-op (rows would duplicate if the right side
+    // exploded twice).
+    val (l, r) = frames()
     withRule {
-      val q2 = l.join(r, abs(col("lt") - col("rt")) <= lit(100L))
+      val q = l.join(r, abs(col("lt") - col("rt")) <= lit(100L))
         .select("lid", "rid")
-      val plan = q2.queryExecution.executedPlan.toString
-      assert(!plan.contains("BroadcastNestedLoopJoin") &&
-        !plan.contains("CartesianProduct"),
-        s"rule did not rewrite to an equi-join:\n$plan")
-      val got = q2.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
-      assert(got === expected(100L))
+      val got = q.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+      assert(got.size === got.toSet.size, "double rewrite duplicated rows")
+      assert(got.toSet === expected(100L))
     }
   }
 
@@ -67,12 +77,8 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     val r = Seq((11L, "a", 50L), (12L, "b", 199L), (13L, "b", 201L)).toDF("rid", "k2", "rt")
     def q() = l.join(r, col("k") === col("k2") &&
       abs(col("lt") - col("rt")) <= lit(100L)).select("lid", "rid")
-    val naive = q().collect().map(x => (x.getLong(0), x.getLong(1))).toSet
-    withRule {
-      val got = q().collect().map(x => (x.getLong(0), x.getLong(1))).toSet
-      assert(got === naive)
-      assert(naive === Set((1L, 11L), (2L, 11L), (3L, 12L)))
-    }
+    val got = q().collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === Set((1L, 11L), (2L, 11L), (3L, 12L)))
   }
 
   test("GraftExtensions registers the rule without error") {
