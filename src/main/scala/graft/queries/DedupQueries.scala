@@ -213,6 +213,31 @@ object DedupQueries {
        |SELECT doc_id, comp_id, doc_id = comp_id AS is_keeper
        |FROM l3 ORDER BY doc_id""".stripMargin
 
+  /** Iterate-until-stable cluster resolution over the same LSH candidate
+    * edges. The oracle is deliberately DIFFERENT math: a recursive
+    * reachability closure computing TRUE connected components (min
+    * reachable label per node) — so this query cross-checks that the
+    * Spark fixpoint loop actually converges to the exact component
+    * labeling, not just to three unrolled rounds like dedup_components. */
+  def dedupComponentsConverged(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateComponentsConverged(
+        Dedup.lshCandidatePairs(Tables.documents(spark, dir), "doc_id", "text"))
+      .orderBy("doc_id")
+
+  val dedupComponentsConvergedSql: String =
+    s"""WITH RECURSIVE $shingleCte,
+       |$bandsCte,
+       |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bb a JOIN bb b ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id),
+       |e2 AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM cand
+       |       UNION ALL SELECT doc_b, doc_a FROM cand),
+       |reach(doc_id, lab) AS (
+       |  SELECT DISTINCT src, src FROM e2
+       |  UNION
+       |  SELECT e2.dst, r.lab FROM reach r JOIN e2 ON e2.src = r.doc_id)
+       |SELECT doc_id, MIN(lab) AS comp_id, doc_id = MIN(lab) AS is_keeper
+       |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Benchmark decontamination: 3-gram overlap of each corpus doc
     * (doc_id >= 10) against the doc_id < 10 benchmark set. */
   def benchmarkOverlap(spark: SparkSession, dir: String): DataFrame =
@@ -235,6 +260,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_components" -> (dedupComponents _),
+    "dedup_components_converged" -> (dedupComponentsConverged _),
     "dedup_minhash_estimate" -> (minhashEstimate _),
     "benchmark_overlap" -> (benchmarkOverlap _),
     "dedup_exact" -> (dedupExact _),
@@ -247,6 +273,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "dedup_components" -> dedupComponentsSql,
+    "dedup_components_converged" -> dedupComponentsConvergedSql,
     "dedup_minhash_estimate" -> minhashEstimateSql,
     "benchmark_overlap" -> benchmarkOverlapSql,
     "dedup_exact" -> dedupExactSql,

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.operators.Multimodal
 import graft.sources.Tables
@@ -27,6 +28,55 @@ object MediaStreamQueries {
       |       event_type, COUNT(*) AS n,
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Sliding 14-day/7-day windows — the overlapping-window streaming
+    * surface next to the tumbling one; oracle explodes each event into
+    * its two covering window starts. */
+  def slidingEventAgg(spark: SparkSession, dir: String): DataFrame =
+    StreamingCalendar.slidingTypeCounts(Tables.events(spark, dir))
+      .orderBy("window_start", "event_type")
+
+  val slidingEventAggSql: String =
+    """WITH e AS (SELECT (epoch_us(ts) // 604800000000) * 604800000000 AS s0,
+      |                  event_type, value
+      |           FROM events),
+      |x AS (SELECT unnest([s0, s0 - 604800000000]) AS ws, event_type, value FROM e)
+      |SELECT make_timestamp(ws) AS window_start,
+      |       make_timestamp(ws + 1209600000000) AS window_end,
+      |       event_type, COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM x GROUP BY ws, event_type ORDER BY 1, 3""".stripMargin
+
+  /** Spark's built-in `session_window` (dynamic-gap-capable session
+    * windows as a grouping expression — the declarative alternative to
+    * the flatMapGroupsWithState sessionizers, state merged by Spark's
+    * session-window aggregation). 7-day gap like `sessionize`; session
+    * end = last event + gap by definition, which the gaps-and-islands
+    * oracle reproduces. */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "7 days").as("w"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n"), col("total_value"))
+      .orderBy("user_id", "session_start")
+
+  val sessionWindowAggSql: String =
+    """WITH o AS (SELECT user_id, event_id, ts, epoch_us(ts) AS t, value FROM events),
+      |m AS (SELECT *, CASE WHEN t - lag(t) OVER w > 604800000000
+      |                     OR lag(t) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      |      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+      |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                               ROWS UNBOUNDED PRECEDING) AS grp
+      |      FROM m)
+      |SELECT user_id,
+      |       make_timestamp(MIN(t)) AS session_start,
+      |       make_timestamp(MAX(t) + 604800000000) AS session_end,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM g GROUP BY user_id, grp ORDER BY user_id, session_start""".stripMargin
 
   /** Multimodal binary-column plumbing, oracle-checkable slice: modality
     * tagging + byte-level metadata on the opaque payload. */
@@ -191,6 +241,8 @@ object MediaStreamQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "frame_sample" -> (frameSample _),
     "windowed_event_agg" -> (windowedEventAgg _),
+    "sliding_event_agg" -> (slidingEventAgg _),
+    "session_window_agg" -> (sessionWindowAgg _),
     "binary_meta_extract" -> (binaryMetaExtract _),
     "multimodal_features" -> (multimodalFeatures _),
     "stream_user_running" -> (streamUserRunning _),
@@ -202,6 +254,8 @@ object MediaStreamQueries {
   val oracles: Map[String, String] = Map(
     "frame_sample" -> frameSampleSql,
     "windowed_event_agg" -> windowedEventAggSql,
+    "sliding_event_agg" -> slidingEventAggSql,
+    "session_window_agg" -> sessionWindowAggSql,
     "binary_meta_extract" -> binaryMetaExtractSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "stream_user_running" -> streamUserRunningSql,

@@ -297,6 +297,57 @@ object Relational {
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
+  /** GROUPING SETS beyond cube/rollup: an explicit, non-lattice set
+    * list — (status, priority), (status), () but NOT (priority) — the
+    * shape reports actually want (cube computes 4 sets; this computes
+    * exactly the 3 asked for, one pass, partial-aggregated per set).
+    * Spark 4's `Dataset.groupingSets` API. */
+  def groupingSetsMix(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        sum(col("o_totalprice").cast(DecimalType(14, 2))).cast("double").as("total_price"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("total_price"), col("n_orders"))
+
+  val groupingSetsMixSql: String =
+    """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+      |       COALESCE(o_orderpriority, '(all)') AS priority,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price,
+      |       COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin
+
+  /** lag/lead neighbors within a user's event sequence — the
+    * feature-engineering window every sequence model starts from
+    * (inter-event value deltas). One window sort per user partition,
+    * event_id as the deterministic order; edge rows carry NULLs.
+    * Doubles subtract bit-identically on both engines (IEEE 754), so
+    * the delta is hash-checkable without decimal laundering. */
+  def leadLagDelta(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("next_value", lead(col("value"), 1).over(w))
+      .withColumn("delta", col("value") - col("prev_value"))
+  }
+
+  val leadLagDeltaSql: String =
+    """SELECT user_id, event_id, value,
+      |       lag(value) OVER w AS prev_value,
+      |       lead(value) OVER w AS next_value,
+      |       value - lag(value) OVER w AS delta
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""".stripMargin
+
   /** Running share within a partition: each order's cumulative fraction
     * of its priority class's total — one window sort per class, exact
     * decimal running sum and class total, a single double division per
@@ -549,6 +600,8 @@ object Relational {
     "sessionize" -> (sessionize _),
     "rollup_revenue" -> (rollupRevenue _),
     "cube_revenue" -> (cubeRevenue _),
+    "grouping_sets_mix" -> (groupingSetsMix _),
+    "lead_lag_delta" -> (leadLagDelta _),
     "running_share" -> (runningShare _),
     "calendar_weekly" -> (calendarWeekly _),
     "pricing_summary" -> (pricingSummary _),
@@ -573,6 +626,8 @@ object Relational {
     "sessionize" -> sessionizeSql,
     "rollup_revenue" -> rollupRevenueSql,
     "cube_revenue" -> cubeRevenueSql,
+    "grouping_sets_mix" -> groupingSetsMixSql,
+    "lead_lag_delta" -> leadLagDeltaSql,
     "running_share" -> runningShareSql,
     "calendar_weekly" -> calendarWeeklySql,
     "pricing_summary" -> pricingSummarySql,

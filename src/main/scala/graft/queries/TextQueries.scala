@@ -32,6 +32,50 @@ object TextQueries {
       |  n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** BPE-ish pre-tokenization count: the alternation every byte-pair
+    * tokenizer's pre-split uses — alphabetic runs | single digits |
+    * single non-alnum marks (GPT-2-style digit splitting). The resulting
+    * count tracks real tokenizer token counts far better than whitespace
+    * words (punctuation and numbers dominate the gap), which is what
+    * token budgeting and pricing at corpus scale need. Pure scan-speed
+    * column math; the pattern is RE2-safe so both engines agree. */
+  def bpeTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val rx = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_count(lower(col("text")), lit(rx)).cast("bigint").as("n_bpe_tokens"),
+        regexp_count(lower(col("text")), lit("[a-z]+")).cast("bigint").as("n_word_tokens"))
+      .withColumn("n_nonword_tokens", col("n_bpe_tokens") - col("n_word_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val bpeTokenCountSql: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS n_bpe_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]+')) AS n_word_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))
+      |    - len(regexp_extract_all(lower(text), '[a-z]+')) AS n_nonword_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Curriculum binning: ntile quartiles of document length within each
+    * language — the "order the corpus easy→hard, feed in quartiles"
+    * step of curriculum training. ntile is the SQL-standard balanced
+    * binning (floor/ceil bucket sizes), deterministic here because the
+    * order key (n_chars, doc_id) is a total order. One window sort per
+    * language partition — at 100 TB, partition-parallel per language. */
+  def ntileQualityBins(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("bin", ntile(4).over(w).cast("bigint"))
+      .orderBy("doc_id")
+  }
+
+  val ntileQualityBinsSql: String =
+    """SELECT doc_id, lang, n_chars,
+      |       ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS bin
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   private val enRx = "\\b(the|a|an|of)\\b"
   private val esRx = "\\b(el|la|los|de)\\b"
   private val deRx = "\\b(der|die|das|und)\\b"
@@ -461,6 +505,8 @@ object TextQueries {
     "hash_sample" -> (hashSample _),
     "hll_distinct" -> (hllDistinct _),
     "token_count" -> (tokenCount _),
+    "bpe_token_count" -> (bpeTokenCount _),
+    "ntile_quality_bins" -> (ntileQualityBins _),
     "lang_id_heuristic" -> (langIdHeuristic _),
     "quality_score" -> (qualityScore _),
     "doc_fingerprint" -> (docFingerprint _),
@@ -477,6 +523,8 @@ object TextQueries {
     "hash_sample" -> hashSampleSql,
     "hll_distinct" -> hllDistinctSql,
     "token_count" -> tokenCountSql,
+    "bpe_token_count" -> bpeTokenCountSql,
+    "ntile_quality_bins" -> ntileQualityBinsSql,
     "lang_id_heuristic" -> langIdHeuristicSql,
     "quality_score" -> qualityScoreSql,
     "doc_fingerprint" -> docFingerprintSql,

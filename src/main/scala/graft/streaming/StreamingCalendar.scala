@@ -30,6 +30,21 @@ object StreamingCalendar {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
 
+  /** Sliding 14-day windows every 7 days: each event lands in exactly 2
+    * overlapping windows (ceil(duration/slide)). Same watermark + partial
+    * aggregation shape as the tumbling variant — the state grows by the
+    * overlap factor, not the history; batch mode is hash-checked against
+    * a DuckDB oracle that explodes each event to its 2 window starts. */
+  def slidingTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "14 days", "7 days").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+
   final case class SessionRow(
       user_id: Long, session_no: Long, n_events: Long,
       session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
