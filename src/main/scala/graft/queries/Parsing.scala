@@ -101,7 +101,10 @@ object Parsing {
         coalesce(expr("try_cast(regexp_extract(props, '\"k\": (\\\\d+)', 1) as int)"), lit(0)).as("k"),
         coalesce(expr("try_cast(regexp_extract(props, '\"zz\": (\\\\d+)', 1) as int)"), lit(-1)).as("missing_k"),
         coalesce(expr("try_cast(rtrim(event_type, '%') as double)"), lit(0.0)).as("wt"))
-      .orderBy("event_id")
+      // No result-side orderBy: RangePartitioning's sampling pass would
+      // re-execute the regex projection (the expensive part) a second
+      // time; the driver's compare sorts rows itself. The REGEX is the
+      // deliberate parity artifact here — the sort never was.
 
   val tryCastDefaultsSql: String =
     """SELECT event_id,
