@@ -348,6 +348,84 @@ object Relational {
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""".stripMargin
 
+  /** RANGE-frame window: per-user trailing 24h sum of `value` — the
+    * time-decayed feature window (RANGE frames bound by the ORDER-BY
+    * VALUE distance, not row count, so ties and gaps behave correctly
+    * where a ROWS frame would not). Exact decimal running sums. */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayMicros = 24L * 3600 * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(col("t"))
+      .rangeBetween(-dayMicros, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+      .withColumn("trailing_24h", sum(col("v")).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"), col("trailing_24h"))
+  }
+
+  val windowRangeFrameSql: String =
+    """SELECT user_id, event_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY user_id ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS trailing_24h
+      |FROM events""".stripMargin
+
+  /** Ranking-function breadth in one pass: dense_rank / percent_rank /
+    * cume_dist over the same window. All three are rank-based (tie rows
+    * get identical outputs), so the result is deterministic without a
+    * unique tiebreak — the property that makes them safe on real data
+    * where the order key repeats. */
+  def rankMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("drank", dense_rank().over(w).cast("bigint"))
+      .withColumn("prank", percent_rank().over(w))
+      .withColumn("cdist", cume_dist().over(w))
+  }
+
+  val rankMetricsSql: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  dense_rank() OVER w AS drank,
+      |  percent_rank() OVER w AS prank,
+      |  cume_dist() OVER w AS cdist
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)""".stripMargin
+
+  /** Snapshot upsert (MERGE without a table format): the incremental-
+    * refresh shape — updates replace base rows by key, inserts append —
+    * as anti-join + union. Both legs shuffle on the key once; at 100 TB
+    * this is the compaction job every parquet-lake pipeline runs. The
+    * "updates" batch is derived deterministically from the fixture
+    * (every 10th order re-priced) so the oracle replays the same merge. */
+  def upsertSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(14, 2)).as("price"))
+    val updates = base.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("price", (col("price") * 2).cast(DecimalType(14, 2)))
+      .withColumn("o_orderstatus", lit("R"))
+    base.join(updates.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .unionByName(updates)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("price").cast("double").as("price"))
+  }
+
+  val upsertSnapshotSql: String =
+    """WITH base AS (SELECT o_orderkey, o_orderstatus,
+      |                     CAST(o_totalprice AS DECIMAL(14,2)) AS price
+      |              FROM orders),
+      |upd AS (SELECT o_orderkey, 'R' AS o_orderstatus,
+      |               CAST(price * 2 AS DECIMAL(14,2)) AS price
+      |        FROM base WHERE o_orderkey % 10 = 0)
+      |SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price
+      |FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price FROM upd""".stripMargin
+
   /** Running share within a partition: each order's cumulative fraction
     * of its priority class's total — one window sort per class, exact
     * decimal running sum and class total, a single double division per
@@ -602,6 +680,9 @@ object Relational {
     "cube_revenue" -> (cubeRevenue _),
     "grouping_sets_mix" -> (groupingSetsMix _),
     "lead_lag_delta" -> (leadLagDelta _),
+    "window_range_frame" -> (windowRangeFrame _),
+    "rank_metrics" -> (rankMetrics _),
+    "upsert_snapshot" -> (upsertSnapshot _),
     "running_share" -> (runningShare _),
     "calendar_weekly" -> (calendarWeekly _),
     "pricing_summary" -> (pricingSummary _),
@@ -628,6 +709,9 @@ object Relational {
     "cube_revenue" -> cubeRevenueSql,
     "grouping_sets_mix" -> groupingSetsMixSql,
     "lead_lag_delta" -> leadLagDeltaSql,
+    "window_range_frame" -> windowRangeFrameSql,
+    "rank_metrics" -> rankMetricsSql,
+    "upsert_snapshot" -> upsertSnapshotSql,
     "running_share" -> runningShareSql,
     "calendar_weekly" -> calendarWeeklySql,
     "pricing_summary" -> pricingSummarySql,
