@@ -224,19 +224,28 @@ object Dedup {
     var lab = graft.GraftCaches.track(
       bidir.select(col("src").as("doc_id")).distinct()
         .withColumn("comp_id", col("doc_id")))
+    // Labels only ever DECREASE, so sum(comp_id) is strictly monotone
+    // while anything changes: "sum unchanged" IS the fixpoint test. One
+    // single-row aggregate per round (exact integer sum over the cached
+    // labels) instead of a join-and-count — the cheapest convergence
+    // probe that is still exact.
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum("comp_id")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0) // null = empty edge set
+    }
+    var prevSum = labelSum(lab)
     var round = 0
-    var changed = 1L
-    while (changed > 0L && round < maxIters) {
+    var converged = false
+    while (!converged && round < maxIters) {
       val nbrMin = bidir.join(lab, col("src") === col("doc_id"))
         .groupBy("dst").agg(min("comp_id").as("nbr_min"))
       val next = graft.GraftCaches.track(
         lab.join(nbrMin, col("doc_id") === col("dst"), "left")
           .select(col("doc_id"),
             least(col("comp_id"), coalesce(col("nbr_min"), col("comp_id"))).as("comp_id")))
-      changed = next.select(col("doc_id"), col("comp_id").as("new_comp"))
-        .join(lab, "doc_id")
-        .filter(col("new_comp") < col("comp_id"))
-        .count()
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       lab = next
       round += 1
     }

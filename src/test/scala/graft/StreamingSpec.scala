@@ -44,6 +44,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming sliding-window aggregation equals the batch plan") {
+    implicit val sq = spark.sqlContext
+    val events = fixtureEvents(400)
+    val stream = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
+    stream.addData(events)
+
+    val q = StreamingCalendar.slidingTypeCounts(stream.toDF())
+      .writeStream.format("memory").queryName("sliding_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("sliding_out")
+      .orderBy("window_start", "event_type").collect().toSeq
+    val batch = StreamingCalendar.slidingTypeCounts(
+        spark.createDataset(events)(Encoders.product[Ev]).toDF())
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed === batch)
+    // every event is in exactly 2 overlapping windows: the sliding total
+    // count is exactly twice the event count
+    val totalN = spark.table("sliding_out").agg(sum("n")).head().getLong(0)
+    assert(totalN === 2L * events.size)
+  }
+
   test("flatMapGroupsWithState sessionizer accumulates across micro-batches") {
     implicit val sq = spark.sqlContext
     val gap = 7L * 24 * 3600 * 1000000L
