@@ -426,6 +426,31 @@ object Relational {
       |UNION ALL
       |SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price FROM upd""".stripMargin
 
+  /** Equi-width histogram via `width_bucket` — the profiling scan every
+    * ingest runs (distribution sketch per type, one partial-aggregated
+    * groupBy; bucket index math is identical SQL-standard semantics on
+    * both engines, including the under/overflow buckets 0 and n+1). */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        width_bucket(col("value"), lit(0d), lit(500d), lit(10L)).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("bucket_sum"))
+      .orderBy("event_type", "bucket")
+
+  // DuckDB has no width_bucket: the oracle spells out the SQL-standard
+  // semantics (underflow 0, overflow n+1, else floor((v-low)/width)+1;
+  // width = 50.0 is exact in binary so the division is bit-identical).
+  val valueHistogramSql: String =
+    """SELECT event_type,
+      |       CASE WHEN value < 0.0 THEN 0
+      |            WHEN value >= 500.0 THEN 11
+      |            ELSE CAST(FLOOR(value / 50.0) AS BIGINT) + 1 END AS bucket,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bucket_sum
+      |FROM events GROUP BY event_type, bucket
+      |ORDER BY event_type, bucket""".stripMargin
+
   /** Running share within a partition: each order's cumulative fraction
     * of its priority class's total — one window sort per class, exact
     * decimal running sum and class total, a single double division per
@@ -683,6 +708,7 @@ object Relational {
     "window_range_frame" -> (windowRangeFrame _),
     "rank_metrics" -> (rankMetrics _),
     "upsert_snapshot" -> (upsertSnapshot _),
+    "value_histogram" -> (valueHistogram _),
     "running_share" -> (runningShare _),
     "calendar_weekly" -> (calendarWeekly _),
     "pricing_summary" -> (pricingSummary _),
@@ -712,6 +738,7 @@ object Relational {
     "window_range_frame" -> windowRangeFrameSql,
     "rank_metrics" -> rankMetricsSql,
     "upsert_snapshot" -> upsertSnapshotSql,
+    "value_histogram" -> valueHistogramSql,
     "running_share" -> runningShareSql,
     "calendar_weekly" -> calendarWeeklySql,
     "pricing_summary" -> pricingSummarySql,
