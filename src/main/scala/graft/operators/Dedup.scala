@@ -252,6 +252,28 @@ object Dedup {
     lab.withColumn("is_keeper", col("doc_id") === col("comp_id"))
   }
 
+  /** Final dedup resolution: ONE canonical document per duplicate
+    * cluster — the highest-score member (ties to the lowest id), i.e.
+    * the "keep the longest/best copy" policy real pipelines apply after
+    * clustering (cluster-min keeps an ARBITRARY member; score-argmax
+    * keeps the best one). One `row_number` + count window per comp_id —
+    * partition-parallel across clusters, and clusters are tiny by
+    * construction, so no skew concern. `components` is
+    * [[duplicateComponents]]' output; `docs` supplies the score. */
+  def keepBest(components: DataFrame, docs: DataFrame, id: String, score: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labeled = components.select(col("doc_id").as("_member_id"), col("comp_id"))
+      .join(docs.select(col(id).as("_member_id"), col(score)), "_member_id")
+    val w = Window.partitionBy("comp_id")
+    labeled
+      .withColumn("rn", row_number().over(w.orderBy(col(score).desc, col("_member_id"))))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select(col("comp_id"), col("_member_id").as("keeper_id"),
+        col(score).as("keeper_score"), col("n_members"),
+        (col("n_members") - 1).as("n_dropped"))
+  }
+
   /** Benchmark decontamination: fraction of each corpus document's
     * distinct 3-gram shingles that appear in a benchmark set — the
     * eval-contamination check a training pipeline runs before the corpus

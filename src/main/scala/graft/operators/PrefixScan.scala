@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact prefix scan (global running sum) over a total order.
+  *
+  * `Window.orderBy(...)` with no partition key is the textbook
+  * does-not-scale plan: Spark moves the WHOLE relation into one task to
+  * satisfy the global ordering. This operator computes the identical
+  * result with every stage partition-parallel — the classic two-phase
+  * scan:
+  *
+  *   1. `repartitionByRange` on the order key: ranges are disjoint and
+  *      ordered, so partition p holds exactly the rows that precede
+  *      partition p+1 in the total order.
+  *   2. per-partition totals — ONE row per partition — are collected,
+  *      prefix-scanned on the driver (bounded: `numShufflePartitions`
+  *      rows, same driver-traffic shape as k-means++ seeding), and
+  *      broadcast back as per-partition offsets.
+  *   3. a `_pid`-partitioned running-sum window (parallel across
+  *      partitions) plus the offset yields the global cumulative sum.
+  *
+  * Bit-equal to the global window for integer/decimal values because
+  * addition is associative and the order key is total. The order key MUST
+  * be a total order (include a unique id as tie-break); with duplicate
+  * keys crossing a range boundary the per-partition windows could not
+  * reconstruct one global order.
+  */
+object PrefixScan {
+
+  /** Adds `outCol` = running sum of `valueCol` (long) over the total
+    * order `order`. Partition count follows `spark.sql.shuffle.partitions`
+    * (AQE may coalesce small inputs — harmless: the result is partition-
+    * count-invariant); pass [[runningSumLongPartitioned]] to pin it. */
+  def runningSumLong(df: DataFrame, valueCol: String, outCol: String, order: Column*): DataFrame =
+    scan(df.repartitionByRange(order: _*), valueCol, outCol, order)
+
+  /** [[runningSumLong]] with an explicit range-partition count. */
+  def runningSumLongPartitioned(df: DataFrame, numPartitions: Int, valueCol: String,
+      outCol: String, order: Column*): DataFrame =
+    scan(df.repartitionByRange(numPartitions, order: _*), valueCol, outCol, order)
+
+  private def scan(ranged: DataFrame, valueCol: String, outCol: String,
+      order: Seq[Column]): DataFrame = {
+    val spark = ranged.sparkSession
+    val parted = ranged.withColumn("_pid", spark_partition_id())
+
+    // One row per partition; empty partitions simply don't appear.
+    val totals = parted.groupBy("_pid")
+      .agg(sum(col(valueCol)).as("_tot"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+
+    // Exclusive prefix: offset of partition p = sum of totals of partitions < p
+    // (zip against scanLeft(0)(+) truncates the trailing grand total).
+    val offsetRows = totals.map(_._1).zip(totals.map(_._2).scanLeft(0L)(_ + _)).toSeq
+    val offDf = spark.createDataFrame(offsetRows).toDF("_pid", "_off")
+
+    val w = Window.partitionBy("_pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted.join(broadcast(offDf), "_pid")
+      .withColumn(outCol, col("_off") + sum(col(valueCol)).over(w))
+      .drop("_pid", "_off")
+  }
+}

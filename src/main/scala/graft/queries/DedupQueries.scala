@@ -238,6 +238,36 @@ object DedupQueries {
        |SELECT doc_id, MIN(lab) AS comp_id, doc_id = MIN(lab) AS is_keeper
        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Cluster → canonical-document resolution: per duplicate cluster keep
+    * the longest member (ties to the lowest id) — the final "write the
+    * deduplicated corpus" stage, composed from the same 3-round label
+    * CTEs as dedup_components so the whole chain is differentially
+    * checked through the argmax. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.keepBest(
+        Dedup.duplicateComponents(Dedup.lshCandidatePairs(docs, "doc_id", "text"), iters = 3),
+        docs, "doc_id", "n_chars")
+      .orderBy("comp_id")
+  }
+
+  val dedupKeepBestSql: String =
+    s"""WITH $shingleCte,
+       |$bandsCte,
+       |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bb a JOIN bb b ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id),
+       |e2 AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM cand
+       |       UNION ALL SELECT doc_b, doc_a FROM cand),
+       |l0 AS (SELECT DISTINCT src AS doc_id, src AS comp_id FROM e2),
+       |${(1 to 3).map(labelStepCte).mkString(",\n")}
+       |SELECT comp_id, keeper_id, keeper_score, n_members, n_dropped FROM (
+       |  SELECT l.comp_id, d.doc_id AS keeper_id, CAST(d.n_chars AS BIGINT) AS keeper_score,
+       |         row_number() OVER (PARTITION BY l.comp_id ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+       |         COUNT(*) OVER (PARTITION BY l.comp_id) AS n_members,
+       |         COUNT(*) OVER (PARTITION BY l.comp_id) - 1 AS n_dropped
+       |  FROM l3 l JOIN documents d USING (doc_id)) t
+       |WHERE rn = 1 ORDER BY comp_id""".stripMargin
+
   /** Benchmark decontamination: 3-gram overlap of each corpus doc
     * (doc_id >= 10) against the doc_id < 10 benchmark set. */
   def benchmarkOverlap(spark: SparkSession, dir: String): DataFrame =
@@ -259,6 +289,7 @@ object DedupQueries {
        |WHERE NOT (w.doc_id < 10) ORDER BY w.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_components" -> (dedupComponents _),
     "dedup_components_converged" -> (dedupComponentsConverged _),
     "dedup_minhash_estimate" -> (minhashEstimate _),
@@ -272,6 +303,7 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> (ngramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_keep_best" -> dedupKeepBestSql,
     "dedup_components" -> dedupComponentsSql,
     "dedup_components_converged" -> dedupComponentsConvergedSql,
     "dedup_minhash_estimate" -> minhashEstimateSql,

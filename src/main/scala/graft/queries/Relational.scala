@@ -690,7 +690,207 @@ object Relational {
       |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** TPC-H-Q3-shaped shipping priority: segment-filtered customers join
+    * the two date-filtered fact tables, exact-decimal revenue per open
+    * order, top 10. Both date predicates reach the parquet scans as
+    * PushedFilters; the customer side is a filtered dimension (AQE
+    * broadcasts it when it fits, falls back to shuffle join when it
+    * doesn't — no manual hint, so the plan adapts to the real
+    * cardinality at any SF). The top-10 is a TakeOrderedAndProject:
+    * per-partition heaps, only 10 rows cross to the driver. */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = to_timestamp(lit("1995-03-15"))
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
+    val revenue = col("l_extendedprice").cast(DecimalType(12, 2)) *
+      (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(revenue).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  val shippingPrioritySql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1995-03-15'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin
+
+  /** Correlation/covariance statistics from EXACT mergeable moments.
+    * Native `corr`/`covar_pop` accumulate doubles in partition order, so
+    * two engines (or two shuffles) disagree in the last bits; instead the
+    * five sufficient moments (Σx, Σy, Σxy, Σx², Σy²) are summed as exact
+    * decimals — associative, so partition-parallel partial aggregation is
+    * bit-stable — and the statistics are derived with the identical
+    * double expression tree on both engines. This is also the correct
+    * 100-TB shape: moments are one map-side-combined pass; the final
+    * arithmetic touches |groups| rows. */
+  def corrStats(spark: SparkSession, dir: String): DataFrame = {
+    val q = col("l_quantity").cast(DecimalType(12, 2))
+    val p = col("l_extendedprice").cast(DecimalType(12, 2))
+    val nd  = col("n_rows").cast("double")
+    val sx  = col("sx").cast("double")
+    val sy  = col("sy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val sx2 = col("sx2").cast("double")
+    val sy2 = col("sy2").cast("double")
+    val covar = (sxy - sx * sy / nd) / nd
+    val stdQ = sqrt((sx2 - sx * sx / nd) / nd)
+    val stdP = sqrt((sy2 - sy * sy / nd) / nd)
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(q).as("sx"), sum(p).as("sy"), sum(q * p).as("sxy"),
+        sum(q * q).as("sx2"), sum(p * p).as("sy2"))
+      .select(col("l_returnflag"), col("n_rows"),
+        covar.as("covar_qp"), stdQ.as("std_q"), stdP.as("std_p"),
+        (covar / (stdQ * stdP)).as("corr_qp"))
+      .orderBy("l_returnflag")
+  }
+
+  // NB the moment casts go DECIMAL → VARCHAR → DOUBLE: DuckDB's direct
+  // decimal→double cast divides the int128 payload by 10^scale in double
+  // arithmetic (two roundings — off by an ulp for some values), while
+  // Spark's Decimal.toDouble is correctly rounded; the strtod round-trip
+  // forces DuckDB to the correctly-rounded value too.
+  val corrStatsSql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, COUNT(*) AS n_rows,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxy,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sx2,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy2
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n_rows,
+      |  (sxy - sx * sy / n_rows::DOUBLE) / n_rows::DOUBLE AS covar_qp,
+      |  sqrt((sx2 - sx * sx / n_rows::DOUBLE) / n_rows::DOUBLE) AS std_q,
+      |  sqrt((sy2 - sy * sy / n_rows::DOUBLE) / n_rows::DOUBLE) AS std_p,
+      |  ((sxy - sx * sy / n_rows::DOUBLE) / n_rows::DOUBLE)
+      |    / (sqrt((sx2 - sx * sx / n_rows::DOUBLE) / n_rows::DOUBLE)
+      |       * sqrt((sy2 - sy * sy / n_rows::DOUBLE) / n_rows::DOUBLE)) AS corr_qp
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  /** Set operators: viewers who never purchase (EXCEPT) and viewers who
+    * do (INTERSECT), tagged and unioned. Both compile to aggregate-free
+    * hash joins after dedup — the shuffle moves distinct user ids only. */
+  def setOpUsers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val viewers = e.filter(col("event_type") === "view").select("user_id")
+    val buyers  = e.filter(col("event_type") === "purchase").select("user_id")
+    viewers.except(buyers).withColumn("op", lit("view_no_purchase"))
+      .unionByName(viewers.intersect(buyers).withColumn("op", lit("view_and_purchase")))
+      .select("op", "user_id")
+      .orderBy("op", "user_id")
+  }
+
+  val setOpUsersSql: String =
+    """SELECT 'view_no_purchase' AS op, user_id FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'view'
+      |  EXCEPT
+      |  SELECT user_id FROM events WHERE event_type = 'purchase')
+      |UNION ALL
+      |SELECT 'view_and_purchase' AS op, user_id FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'view'
+      |  INTERSECT
+      |  SELECT user_id FROM events WHERE event_type = 'purchase')
+      |ORDER BY op, user_id""".stripMargin
+
+  /** Ordered 3-stage funnel (view → later click → later purchase): each
+    * stage is a per-user MIN over events strictly after the previous
+    * stage's timestamp — sequenced, not mere per-type existence. Stages
+    * chain as user-keyed aggregate→join steps (all on the same key, so
+    * one partitioning serves every hop), then one tagged union counts the
+    * survivors per stage in a single global row. */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    v.select(lit(1).as("stage")).unionByName(c.select(lit(2).as("stage")))
+      .unionByName(p.select(lit(3).as("stage")))
+      .agg(
+        sum(when(col("stage") === 1, 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("stage") === 2, 1L).otherwise(0L)).as("n_click_after_view"),
+        sum(when(col("stage") === 3, 1L).otherwise(0L)).as("n_purchase_after_click"))
+  }
+
+  val funnelStagesSql: String =
+    """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+      |      FROM events e JOIN v USING (user_id)
+      |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+      |      FROM events e JOIN c USING (user_id)
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+      |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+      |       (SELECT COUNT(*) FROM c) AS n_click_after_view,
+      |       (SELECT COUNT(*) FROM p) AS n_purchase_after_click""".stripMargin
+
+  /** Time-series densification: per-user daily counts gap-filled over the
+    * user's own [first, last] day via `sequence` + left join, with the
+    * last observed daily value carried forward (`last(..., ignoreNulls)`
+    * over a running frame). The calendar explode is driven by the
+    * per-user span relation — tiny next to the fact table — and the fill
+    * window re-uses the join's user partitioning. Day sums are exact
+    * decimals so the carried values are bit-stable. */
+  def timeGapFill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .filter(col("user_id") < 10)
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("day_value"))
+    val cal = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day").cast("timestamp").as("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("carried_value"),
+        col("n_events").isNull.as("is_gap"))
+      .orderBy("user_id", "day")
+  }
+
+  val timeGapFillSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+      |  FROM events WHERE user_id < 10 GROUP BY user_id, CAST(ts AS DATE)),
+      |cal AS (
+      |  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      |  FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id) s)
+      |SELECT c.user_id, CAST(c.day AS TIMESTAMP) AS day, COALESCE(d.n_events, 0) AS n_events,
+      |  last_value(d.day_value IGNORE NULLS) OVER (
+      |    PARTITION BY c.user_id ORDER BY c.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_value,
+      |  d.n_events IS NULL AS is_gap
+      |FROM cal c LEFT JOIN daily d USING (user_id, day)
+      |ORDER BY user_id, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "shipping_priority" -> (shippingPriority _),
+    "corr_stats" -> (corrStats _),
+    "set_op_users" -> (setOpUsers _),
+    "funnel_stages" -> (funnelStages _),
+    "time_gap_fill" -> (timeGapFill _),
     "range_join" -> (rangeJoin _),
     "skew_salted_join" -> (skewSaltedJoin _),
     "skew_distinct_count" -> (skewDistinctCount _),
@@ -721,6 +921,11 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "shipping_priority" -> shippingPrioritySql,
+    "corr_stats" -> corrStatsSql,
+    "set_op_users" -> setOpUsersSql,
+    "funnel_stages" -> funnelStagesSql,
+    "time_gap_fill" -> timeGapFillSql,
     "range_join" -> rangeJoinSql,
     "skew_salted_join" -> skewSaltedJoinSql,
     "skew_distinct_count" -> skewDistinctCountSql,

@@ -259,7 +259,36 @@ object SimilarityQueries {
       |         x -> CAST(CAST(floor(x::DOUBLE / scale + 0.5::DOUBLE) AS INT) AS VARCHAR)), ','), '') AS q_codes
       |FROM s ORDER BY vec_id""".stripMargin
 
+  /** Per-dimension corpus statistics over the embedding column — the
+    * calibration pass quantization/whitening/feature-scaling needs.
+    * posexplode + one groupBy(dim): the shuffle moves (dim, scaled-int)
+    * pairs, 64 groups, fully map-side combined. Means use the scaled-
+    * integer exact-sum pattern (floats are exact at 1e6 scaling well
+    * past the fixture range, and decimal addition is associative, so
+    * partition order can't perturb the result); min/max/count are
+    * order-free anyway. */
+  def embedDimStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("bigint").as("dim"), col("x").cast("double").as("x"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("x") * 1000000.0).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double") / (lit(1000000.0) * count(lit(1)))).as("mean_x"),
+        min("x").as("min_x"), max("x").as("max_x"))
+      .orderBy("dim")
+
+  val embedDimStatsSql: String =
+    """SELECT dim, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+      |    / (1000000.0 * COUNT(*)) AS mean_x,
+      |  MIN(x) AS min_x, MAX(x) AS max_x
+      |FROM (SELECT generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding)::DOUBLE AS x
+      |      FROM embeddings) t
+      |GROUP BY dim ORDER BY dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_dim_stats" -> (embedDimStats _),
     "embed_quantize_int8" -> (embedQuantize _),
     "ivf_kmeanspp_assign" -> (ivfKppAssign _),
     "ivf_train_assign" -> (ivfTrainAssign _),
@@ -271,6 +300,7 @@ object SimilarityQueries {
     "ivf_topk" -> (ivfTopK _))
 
   val oracles: Map[String, String] = Map(
+    "embed_dim_stats" -> embedDimStatsSql,
     "embed_quantize_int8" -> embedQuantizeSql,
     "ivf_kmeanspp_assign" -> ivfKppAssignSql,
     "embed_cosine_topk" -> cosineTopKSql,

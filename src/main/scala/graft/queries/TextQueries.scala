@@ -494,7 +494,65 @@ object TextQueries {
       |       CAST(total AS DOUBLE) / CAST(k * n_tokens AS DOUBLE) AS weight
       |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
 
+  /** Corpus-level n-gram statistics: top-30 word bigrams by count.
+    * Bigram construction is SHUFFLE-FREE array math (`zip_with` over two
+    * shifted slices of the token array — no posexplode + self-join on
+    * position, which would shuffle the corpus twice); the only exchange
+    * is the count aggregation's, and that is map-side combined on the
+    * heavy hitters by definition. Tie-break on the bigram string keeps
+    * the top-k deterministic. */
+  def ngramTop(spark: SparkSession, dir: String): DataFrame = {
+    val words = filter(split(col("text"), " "), w => w =!= "")
+    val bigrams = zip_with(
+      slice(words, lit(1), size(words) - 1),
+      slice(words, lit(2), size(words) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    Tables.documents(spark, dir)
+      .select(explode(bigrams).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(30)
+  }
+
+  val ngramTopSql: String =
+    """SELECT bigram, COUNT(*) AS n FROM (
+      |  SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS bigram
+      |  FROM (SELECT list_filter(string_split(text, ' '), x -> x != '') AS l FROM documents) t)
+      |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30""".stripMargin
+
+  /** Token-budget curriculum sampling: walk the corpus best-first
+    * (longest docs first — the stand-in quality key; any score column
+    * slots in) and keep documents while the RUNNING token total fits the
+    * budget — the standard "select the next N-billion-token training
+    * slice" job. The cumulative sum is [[graft.operators.PrefixScan]]'s
+    * distributed two-phase scan, NOT a global `Window.orderBy` (which
+    * would drag the whole corpus into one task); integer math, so the cut
+    * point is identical on both engines. */
+  def tokenBudgetSample(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2500L
+    val nTokens = size(filter(split(col("text"), " "), w => w =!= "")).cast("bigint")
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), nTokens.as("n_tokens"))
+    graft.operators.PrefixScan
+      .runningSumLong(scored, "n_tokens", "cum_tokens", col("n_chars").desc, col("doc_id"))
+      .filter(col("cum_tokens") <= budget)
+      .orderBy("doc_id")
+  }
+
+  val tokenBudgetSampleSql: String =
+    """SELECT doc_id, n_chars, n_tokens, cum_tokens FROM (
+      |  SELECT doc_id, n_chars,
+      |         len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+      |         SUM(len(list_filter(string_split(text, ' '), x -> x != ''))) OVER (
+      |           ORDER BY n_chars DESC, doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      |  FROM documents) t
+      |WHERE cum_tokens <= 2500 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ngram_top" -> (ngramTop _),
+    "token_budget_sample" -> (tokenBudgetSample _),
     "source_mix_weights" -> (sourceMixWeights _),
     "corpus_pipeline" -> (corpusPipeline _),
     "pack_sequences" -> (packSequences _),
@@ -513,6 +571,8 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "ngram_top" -> ngramTopSql,
+    "token_budget_sample" -> tokenBudgetSampleSql,
     "source_mix_weights" -> sourceMixWeightsSql,
     "corpus_pipeline" -> corpusPipelineSql,
     "pack_sequences" -> packSequencesSql,

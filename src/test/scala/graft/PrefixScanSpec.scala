@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.PrefixScan
+
+/** PrefixScan must equal the global-window cumsum bit-for-bit while
+  * keeping every stage partition-parallel (that's its whole point: the
+  * global window drags the relation into ONE task). */
+class PrefixScanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("distributed scan equals the global window cumsum (ascending key)") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (i.toLong, ((i * 37) % 101 + 1).toLong)).toDF("id", "v")
+    val got = PrefixScan.runningSumLong(df, "v", "cum", col("id"))
+      .orderBy("id").select("id", "v", "cum").collect().toSeq
+    val w = Window.orderBy(col("id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("cum", sum("v").over(w))
+      .orderBy("id").select("id", "v", "cum").collect().toSeq
+    assert(got == want)
+  }
+
+  test("composite descending order with tie-break matches the window") {
+    import spark.implicits._
+    // Heavy key collisions: the tie-break column must carry the order.
+    val df = (1 to 500).map(i => (i.toLong, (i % 7).toLong, (i % 13 + 1).toLong))
+      .toDF("id", "k", "v")
+    val order = Seq(col("k").desc, col("id"))
+    val got = PrefixScan.runningSumLong(df, "v", "cum", order: _*)
+      .orderBy("id").select("id", "cum").collect().toSeq
+    val w = Window.orderBy(order: _*).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("cum", sum("v").over(w))
+      .orderBy("id").select("id", "cum").collect().toSeq
+    assert(got == want)
+  }
+
+  test("scan runs over MULTIPLE range partitions (not one global-sort task)") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (i.toLong, 1L)).toDF("id", "v")
+    // Pin 8 range partitions (on tiny data AQE would coalesce to 1 —
+    // correct too, since the result is partition-count-invariant, but the
+    // point here is to exercise the multi-partition offset math).
+    val ranged = df.repartitionByRange(8, col("id"))
+    assert(ranged.rdd.getNumPartitions > 1,
+      "repartitionByRange must spread the scan; a single partition would be the global-window shape")
+    val got = PrefixScan.runningSumLongPartitioned(df, 8, "v", "cum", col("id"))
+      .orderBy("id").select("cum").as[Long].collect()
+    assert(got.toSeq == (1L to 2000L))
+  }
+
+  test("empty input yields empty output") {
+    import spark.implicits._
+    val df = Seq.empty[(Long, Long)].toDF("id", "v")
+    assert(PrefixScan.runningSumLong(df, "v", "cum", col("id")).count() == 0)
+  }
+}
