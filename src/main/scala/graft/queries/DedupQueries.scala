@@ -268,6 +268,37 @@ object DedupQueries {
        |  FROM l3 l JOIN documents d USING (doc_id)) t
        |WHERE rn = 1 ORDER BY comp_id""".stripMargin
 
+  /** Triangle enumeration over the LSH candidate graph — the structure
+    * probe for near-dup clusters (triangle-dense components are true
+    * duplicate families; sparse chains are LSH accidents). Classic
+    * two-join triangle listing on the a<b<c ordered edge relation: each
+    * join shuffles only (src, dst) id pairs, and the orientation bound
+    * means every triangle is emitted exactly once. At web scale this is
+    * the standard edge-iterator algorithm; the candidate graph is already
+    * degree-capped by the LSH bucket cap upstream. */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.GraftCaches.track(
+      Dedup.lshCandidatePairs(Tables.documents(spark, dir), "doc_id", "text"))
+    val e1 = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val e2 = e.select(col("doc_a").as("b2"), col("doc_b").as("c"))
+    val e3 = e.select(col("doc_a").as("a3"), col("doc_b").as("c3"))
+    e1.join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      .select("a", "b", "c")
+      .orderBy("a", "b", "c")
+  }
+
+  val graphTrianglesSql: String =
+    s"""WITH $shingleCte,
+       |$bandsCte,
+       |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bb a JOIN bb b ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+       |FROM cand e1
+       |JOIN cand e2 ON e2.doc_a = e1.doc_b
+       |JOIN cand e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+       |ORDER BY a, b, c""".stripMargin
+
   /** Benchmark decontamination: 3-gram overlap of each corpus doc
     * (doc_id >= 10) against the doc_id < 10 benchmark set. */
   def benchmarkOverlap(spark: SparkSession, dir: String): DataFrame =
@@ -290,6 +321,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_keep_best" -> (dedupKeepBest _),
+    "graph_triangles" -> (graphTriangles _),
     "dedup_components" -> (dedupComponents _),
     "dedup_components_converged" -> (dedupComponentsConverged _),
     "dedup_minhash_estimate" -> (minhashEstimate _),
@@ -304,6 +336,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "dedup_keep_best" -> dedupKeepBestSql,
+    "graph_triangles" -> graphTrianglesSql,
     "dedup_components" -> dedupComponentsSql,
     "dedup_components_converged" -> dedupComponentsConvergedSql,
     "dedup_minhash_estimate" -> minhashEstimateSql,

@@ -885,7 +885,102 @@ object Relational {
       |FROM cal c LEFT JOIN daily d USING (user_id, day)
       |ORDER BY user_id, day""".stripMargin
 
+  /** Month-over-month revenue growth: date_trunc bucketing, exact decimal
+    * month sums, lag window for the delta. The month relation is tiny
+    * (one row per month), so the unpartitioned lag window is safe at any
+    * corpus size — the heavy lifting happened in the map-side-combined
+    * aggregation below it. Growth is one double division with the same
+    * tree on both engines. */
+  def monthlyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("month")
+    Tables.orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(14, 2))).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("prev_revenue", lag("revenue", 1).over(w))
+      .withColumn("growth",
+        (col("revenue") - col("prev_revenue")) / col("prev_revenue"))
+      .orderBy("month")
+  }
+
+  val monthlyGrowthSql: String =
+    """WITH m AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+      |         COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1)
+      |SELECT month, revenue, n_orders,
+      |       lag(revenue, 1) OVER (ORDER BY month) AS prev_revenue,
+      |       (revenue - lag(revenue, 1) OVER (ORDER BY month))
+      |         / lag(revenue, 1) OVER (ORDER BY month) AS growth
+      |FROM m ORDER BY month""".stripMargin
+
+  /** SCD2 (slowly-changing-dimension type 2) history build: collapse each
+    * user's event stream into validity intervals per regime — a new
+    * interval starts when the attribute (event_type) changes; valid_to is
+    * the next change's start, null while current. Change-point detection
+    * is one lag over the (user, time) window; interval close is one lead
+    * over the filtered change points — both reuse the same user_id
+    * partitioning, so the whole history build is a single exchange. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 20)
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to", lead("ts", 1).over(w))
+      .select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from")
+  }
+
+  val scd2HistorySql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |         lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events WHERE user_id < 20),
+      |chg AS (
+      |  SELECT user_id, event_type, ts, event_id FROM marked
+      |  WHERE prev_type IS NULL OR prev_type != event_type)
+      |SELECT user_id, event_type, ts AS valid_from,
+      |       lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |       lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+      |FROM chg ORDER BY user_id, valid_from""".stripMargin
+
+  /** Wide→long profiling: `Dataset.unpivot` (melt) of the categorical
+    * order columns into (col_name, col_value) rows, then one aggregation
+    * per column name — the data-profiling pass (cardinality + null count
+    * per column) warehouses run before ingesting a new feed. unpivot is
+    * zero-shuffle (a generate over each row); the profile aggregation
+    * shuffles |columns| × |distinct| tiny rows. */
+  def unpivotProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .unpivot(
+        Array(col("o_orderkey")),
+        Array(col("o_orderstatus"), col("o_orderpriority")),
+        "col_name", "col_value")
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("col_value")).as("n_distinct"),
+        sum(when(col("col_value").isNull, 1L).otherwise(0L)).as("n_nulls"))
+      .orderBy("col_name")
+
+  val unpivotProfileSql: String =
+    """SELECT col_name, COUNT(*) AS n_rows,
+      |       COUNT(DISTINCT col_value) AS n_distinct,
+      |       SUM(CASE WHEN col_value IS NULL THEN 1 ELSE 0 END) AS n_nulls
+      |FROM (
+      |  SELECT o_orderkey, 'o_orderstatus' AS col_name, o_orderstatus AS col_value FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 'o_orderpriority', o_orderpriority FROM orders)
+      |GROUP BY col_name ORDER BY col_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "monthly_growth" -> (monthlyGrowth _),
+    "scd2_history" -> (scd2History _),
+    "unpivot_profile" -> (unpivotProfile _),
     "shipping_priority" -> (shippingPriority _),
     "corr_stats" -> (corrStats _),
     "set_op_users" -> (setOpUsers _),
@@ -921,6 +1016,9 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "monthly_growth" -> monthlyGrowthSql,
+    "scd2_history" -> scd2HistorySql,
+    "unpivot_profile" -> unpivotProfileSql,
     "shipping_priority" -> shippingPrioritySql,
     "corr_stats" -> corrStatsSql,
     "set_op_users" -> setOpUsersSql,

@@ -259,6 +259,35 @@ object SimilarityQueries {
       |         x -> CAST(CAST(floor(x::DOUBLE / scale + 0.5::DOUBLE) AS INT) AS VARCHAR)), ','), '') AS q_codes
       |FROM s ORDER BY vec_id""".stripMargin
 
+  /** Recall@10 of the LSH-approximate top-k against the brute-force
+    * ground truth — the evaluation loop every ANN index ships with (you
+    * don't deploy an index whose recall you haven't measured). Composes
+    * the two existing operators and joins their (q_id, vec_id) result
+    * sets; the oracle nests both differential CTE chains, so the recall
+    * number is itself hash-checked end to end. Left join direction: the
+    * truth set is the denominator (always k rows per query). */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.GraftCaches.track(Tables.embeddings(spark, dir))
+    val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 5, k = 10)
+      .select(col("q_id"), col("vec_id"))
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", col("vec_id") < 5, k = 10)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / col("k").cast("double"))
+      .orderBy("q_id")
+  }
+
+  val annRecallSql: String =
+    s"""WITH truth AS (SELECT q_id, vec_id FROM ($cosineTopKSql)),
+       |approx AS (SELECT q_id, vec_id, 1::BIGINT AS hit FROM ($annLshTopKSql))
+       |SELECT t.q_id, COUNT(*) AS k,
+       |       SUM(COALESCE(a.hit, 0)) AS n_hits,
+       |       CAST(SUM(COALESCE(a.hit, 0)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+       |FROM truth t LEFT JOIN approx a USING (q_id, vec_id)
+       |GROUP BY t.q_id ORDER BY q_id""".stripMargin
+
   /** Per-dimension corpus statistics over the embedding column — the
     * calibration pass quantization/whitening/feature-scaling needs.
     * posexplode + one groupBy(dim): the shuffle moves (dim, scaled-int)
@@ -289,6 +318,7 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_dim_stats" -> (embedDimStats _),
+    "ann_recall" -> (annRecall _),
     "embed_quantize_int8" -> (embedQuantize _),
     "ivf_kmeanspp_assign" -> (ivfKppAssign _),
     "ivf_train_assign" -> (ivfTrainAssign _),
@@ -301,6 +331,7 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "embed_dim_stats" -> embedDimStatsSql,
+    "ann_recall" -> annRecallSql,
     "embed_quantize_int8" -> embedQuantizeSql,
     "ivf_kmeanspp_assign" -> ivfKppAssignSql,
     "embed_cosine_topk" -> cosineTopKSql,

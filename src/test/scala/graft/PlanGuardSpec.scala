@@ -21,9 +21,11 @@ class PlanGuardSpec extends AnyFunSuite {
   // against a scan — a deliberate broadcast nested loop over a constant side.
   // source_mix_weights: the corpus-total side is ONE aggregated row
   // cross-broadcast to k source rows — a deliberate scalar broadcast.
+  // ann_recall composes the brute-force baseline (embed_cosine_topk's
+  // deliberate exact-scoring BNLJ) as its ground-truth side.
   private val bnljAllowed =
     Set("embed_cosine_topk", "ivf_assign", "ivf_topk", "ivf_train_assign",
-      "ivf_kmeanspp_assign", "source_mix_weights")
+      "ivf_kmeanspp_assign", "source_mix_weights", "ann_recall")
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
