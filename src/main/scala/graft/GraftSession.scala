@@ -13,6 +13,10 @@ import org.apache.spark.sql.SparkSession
   *    shuffles of local data are pure overhead; on a real cluster pass
   *    `shufflePartitions` ≈ 2-3× total executor cores.
   *  - UTC session time zone — every date/timestamp oracle assumes it.
+  *  - RocksDB state store provider — required by `transformWithState`
+  *    (TypeStats) even in batch mode, and the right default at scale
+  *    anyway: state lives off-heap/on-disk with incremental checkpoints
+  *    instead of the HDFS-backed provider's full in-memory maps.
   *  - [[graft.plans.GraftExtensions]] registered, so the abs-range join
   *    rewrite (and future Catalyst extensions) are active.
   */
@@ -29,5 +33,7 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .withExtensions(new graft.plans.GraftExtensions())
 }

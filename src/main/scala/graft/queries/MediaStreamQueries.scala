@@ -238,7 +238,25 @@ object MediaStreamQueries {
       |FROM f WHERE modality = 'video'
       |ORDER BY id, frame_no""".stripMargin
 
+  /** transformWithState (Spark 4 named-state API) per-user type profile
+    * in one-shot batch mode: ValueState total + MapState per-type counts,
+    * hash-checked against the relational GROUP BY — the named-state
+    * differential next to the mapGroupsWithState one above. */
+  def streamTypeStats(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.TypeStats.userTypeStats(Tables.events(spark, dir))
+      .orderBy("user_id")
+      .toDF()
+
+  val streamTypeStatsSql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY user_id, event_type)
+      |SELECT user_id, SUM(n) AS n_events, COUNT(*) AS n_types,
+      |       STRING_AGG(event_type || ':' || n, ',' ORDER BY event_type) AS type_counts
+      |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_type_stats" -> (streamTypeStats _),
     "frame_sample" -> (frameSample _),
     "windowed_event_agg" -> (windowedEventAgg _),
     "sliding_event_agg" -> (slidingEventAgg _),
@@ -252,6 +270,7 @@ object MediaStreamQueries {
     "stream_interval_join" -> (streamIntervalJoin _))
 
   val oracles: Map[String, String] = Map(
+    "stream_type_stats" -> streamTypeStatsSql,
     "frame_sample" -> frameSampleSql,
     "windowed_event_agg" -> windowedEventAggSql,
     "sliding_event_agg" -> slidingEventAggSql,
