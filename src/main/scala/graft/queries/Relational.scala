@@ -977,7 +977,59 @@ object Relational {
       |  SELECT o_orderkey, 'o_orderpriority', o_orderpriority FROM orders)
       |GROUP BY col_name ORDER BY col_name""".stripMargin
 
+  /** Interval-overlap join, bucketed: user sessions (from `sessionize`)
+    * against month-long campaign windows. The SCALABLE implementation of
+    * an overlap join is not a theta join — it's "explode each interval
+    * into the time buckets it touches, equi-join on the bucket, keep the
+    * residual overlap predicate": every stage shuffles on a month key.
+    * The ORACLE deliberately computes the same result with the direct
+    * inequality join (different math), so the bucketing rewrite's
+    * equivalence is hash-checked. */
+  def intervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val sess = sessionize(spark, dir)
+    // Campaign window = any ISO week with at least one purchase event
+    // (same time domain as the sessions; a dimension-table read would
+    // work the same way).
+    val camp = e.filter(col("event_type") === "purchase")
+      .select(date_trunc("week", col("ts")).as("week")).distinct()
+    val bucketed = sess.withColumn("week",
+      explode(sequence(
+        date_trunc("week", col("session_start")),
+        date_trunc("week", col("session_end")),
+        expr("interval 1 week"))))
+    bucketed.join(camp, "week")
+      .filter(col("session_start") < col("week") + expr("interval 1 week") &&
+        col("week") <= col("session_end"))
+      .groupBy("week")
+      .agg(count_distinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_sessions"))
+      .orderBy("week")
+  }
+
+  val intervalOverlapSql: String =
+    """WITH x AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 604800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+      |  FROM x),
+      |sess AS (
+      |  SELECT user_id, session_no, MIN(ts) AS session_start, MAX(ts) AS session_end
+      |  FROM s GROUP BY user_id, session_no),
+      |camp AS (SELECT DISTINCT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+      |         FROM events WHERE event_type = 'purchase')
+      |SELECT week, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_sessions
+      |FROM sess JOIN camp
+      |  ON sess.session_start < week + INTERVAL 1 WEEK AND week <= sess.session_end
+      |GROUP BY week ORDER BY week""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "interval_overlap" -> (intervalOverlap _),
     "monthly_growth" -> (monthlyGrowth _),
     "scd2_history" -> (scd2History _),
     "unpivot_profile" -> (unpivotProfile _),
@@ -1016,6 +1068,7 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "interval_overlap" -> intervalOverlapSql,
     "monthly_growth" -> monthlyGrowthSql,
     "scd2_history" -> scd2HistorySql,
     "unpivot_profile" -> unpivotProfileSql,

@@ -550,7 +550,43 @@ object TextQueries {
       |  FROM documents) t
       |WHERE cum_tokens <= 2500 ORDER BY doc_id""".stripMargin
 
+  /** Per-document word-length profile computed ENTIRELY with array
+    * higher-order functions — sort_array for order statistics (max and
+    * lower-median by index), `aggregate` for the character total — no
+    * explode, no shuffle: the whole profile is one codegen'd scan-speed
+    * projection, which is the point (exploding to rows would shuffle
+    * |tokens| × |corpus| rows for a per-document answer). */
+  def arrayStats(spark: SparkSession, dir: String): DataFrame = {
+    val words = filter(split(col("text"), " "), w => w =!= "")
+    val lens = sort_array(transform(words, w => length(w).cast("bigint")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), lens.as("lens"),
+        aggregate(transform(words, w => length(w).cast("bigint")),
+          lit(0L), (acc, x) => acc + x).as("total_chars"))
+      .filter(size(col("lens")) > 0)
+      .select(col("doc_id"),
+        size(col("lens")).cast("bigint").as("n_words"),
+        element_at(col("lens"), lit(1)).as("min_len"),
+        element_at(col("lens"), size(col("lens"))).as("max_len"),
+        element_at(col("lens"),
+          floor((size(col("lens")) + 1) / 2).cast("int")).as("median_len"),
+        col("total_chars"))
+      .orderBy("doc_id")
+  }
+
+  val arrayStatsSql: String =
+    """SELECT doc_id, len(ll) AS n_words, ll[1] AS min_len, ll[len(ll)] AS max_len,
+      |       ll[CAST(floor((len(ll) + 1) / 2) AS INT)] AS median_len,
+      |       list_reduce(list_prepend(0::BIGINT, l), (a, b) -> a + b) AS total_chars
+      |FROM (
+      |  SELECT doc_id,
+      |         list_transform(list_filter(string_split(text, ' '), x -> x != ''), w -> len(w)) AS l,
+      |         list_sort(list_transform(list_filter(string_split(text, ' '), x -> x != ''), w -> len(w))) AS ll
+      |  FROM documents) t
+      |WHERE len(ll) > 0 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "array_stats" -> (arrayStats _),
     "ngram_top" -> (ngramTop _),
     "token_budget_sample" -> (tokenBudgetSample _),
     "source_mix_weights" -> (sourceMixWeights _),
@@ -571,6 +607,7 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "array_stats" -> arrayStatsSql,
     "ngram_top" -> ngramTopSql,
     "token_budget_sample" -> tokenBudgetSampleSql,
     "source_mix_weights" -> sourceMixWeightsSql,
