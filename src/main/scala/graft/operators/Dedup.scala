@@ -283,6 +283,41 @@ object Dedup {
     * match count. At 100 TB the broadcast side becomes a bloom filter —
     * same plan shape, one-sided error only. Documents under `benchPred`
     * form the benchmark and are excluded from the output. */
+  /** [[contaminationOverlap]]'s at-scale variant: instead of broadcasting
+    * the benchmark gram SET (fine for eval suites, unbounded for a large
+    * holdout), build a BLOOM FILTER over the benchmark gram hashes with
+    * `df.stat.bloomFilter` (a distributed treeAggregate build — each
+    * partition ORs its bits, the driver holds only the final fixed-size
+    * bit array) and broadcast that. One-sided error: NO false negatives —
+    * every truly contaminated document is flagged at least as strongly as
+    * by the exact operator (`overlap_bloom >= overlap`); false positives
+    * inflate the estimate by at most the configured fpp. The filter
+    * membership test is a deterministic function of the inserted set
+    * (bitwise OR is order-insensitive), so results are stable run to run;
+    * they are NOT DuckDB-reproducible (Spark's private murmur layout),
+    * which is why this variant is pinned by a differential spec against
+    * the exact operator instead of a SQL oracle. */
+  def contaminationOverlapBloom(docs: DataFrame, id: String, text: String,
+      benchPred: Column, threshold: Double, fpp: Double = 0.01): DataFrame = {
+    val g = graft.GraftCaches.track(shingleSets(docs, id, text))
+    val bench = g.filter(benchPred).select(explode(col("hs")).as("h")).distinct()
+    val nBench = math.max(bench.count(), 1L) // bounded: one count over distinct grams
+    val bloom = bench.stat.bloomFilter("h", nBench, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    val corpus = g.filter(!benchPred)
+    val matched = corpus.select(col(id), explode(col("hs")).as("h"))
+      .filter(mightContain(col("h")))
+      .groupBy(id).agg(count(lit(1)).as("n_matched"))
+    corpus.select(col(id), size(col("hs")).cast("bigint").as("n_grams"))
+      .join(matched, Seq(id), "left")
+      .select(col(id), col("n_grams"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+      .withColumn("overlap",
+        col("n_matched").cast("double") / col("n_grams").cast("double"))
+      .withColumn("contaminated", col("overlap") >= threshold)
+  }
+
   def contaminationOverlap(docs: DataFrame, id: String, text: String,
       benchPred: Column, threshold: Double): DataFrame = {
     val g = graft.GraftCaches.track(shingleSets(docs, id, text))
