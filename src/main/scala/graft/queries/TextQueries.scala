@@ -585,7 +585,76 @@ object TextQueries {
       |  FROM documents) t
       |WHERE len(ll) > 0 ORDER BY doc_id""".stripMargin
 
+  /** Tokenizer vocabulary build: top-100 corpus words by frequency with
+    * DENSE STABLE ids (rank by count desc, word asc — deterministic under
+    * any partitioning). The count aggregation is the only corpus-size
+    * shuffle; the id-assigning window runs over |vocab| rows, bounded by
+    * the vocab size, not the corpus. */
+  def vocabBuild(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, dir)
+      .select(explode(filter(split(col("text"), " "), w => w =!= "")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(100)
+      .withColumn("vocab_id",
+        row_number().over(Window.orderBy(col("n").desc, col("word"))).cast("bigint"))
+      .orderBy("vocab_id")
+  }
+
+  val vocabBuildSql: String =
+    """SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS vocab_id
+      |FROM (SELECT word, COUNT(*) AS n
+      |      FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+      |            FROM documents)
+      |      GROUP BY word ORDER BY n DESC, word LIMIT 100) t
+      |ORDER BY vocab_id""".stripMargin
+
+  /** Corpus encoding against the built vocabulary: posexplode the token
+    * stream, broadcast-join the (tiny) vocab, re-assemble each document's
+    * ordered id sequence (OOV → 0) — the tokenize-to-ids pass that feeds
+    * sequence packing. Order is restored by sorting (pos, id) structs
+    * inside the aggregation, not by assuming collect order; the vocab
+    * join is a broadcast, so the corpus never shuffles for the lookup —
+    * the single exchange is the per-document regroup. */
+  def encodeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = vocabBuild(spark, dir).select(col("word"), col("vocab_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(filter(split(col("text"), " "), w => w =!= "")).as(Seq("pos", "word")))
+      .join(broadcast(vocab), Seq("word"), "left")
+      .withColumn("tid", coalesce(col("vocab_id"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("tid") === 0L, 1L).otherwise(0L)).as("n_oov"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tid")))),
+            s => s.getField("tid").cast("string")), ",").as("token_ids"))
+      .orderBy("doc_id")
+  }
+
+  val encodeTokensSql: String =
+    """WITH vocab AS (
+      |  SELECT word, row_number() OVER (ORDER BY n DESC, word) AS vocab_id
+      |  FROM (SELECT word, COUNT(*) AS n
+      |        FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+      |              FROM documents)
+      |        GROUP BY word ORDER BY n DESC, word LIMIT 100) t),
+      |tok AS (
+      |  SELECT doc_id, u.word, u.pos
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS l
+      |        FROM documents) d,
+      |       LATERAL (SELECT l[i] AS word, i AS pos
+      |                FROM unnest(range(1, len(l) + 1)) AS r(i)) u)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |       SUM(CASE WHEN vocab_id IS NULL THEN 1 ELSE 0 END) AS n_oov,
+      |       STRING_AGG(COALESCE(vocab_id, 0), ',' ORDER BY pos) AS token_ids
+      |FROM tok LEFT JOIN vocab USING (word)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vocab_build" -> (vocabBuild _),
+    "encode_tokens" -> (encodeTokens _),
     "array_stats" -> (arrayStats _),
     "ngram_top" -> (ngramTop _),
     "token_budget_sample" -> (tokenBudgetSample _),
@@ -607,6 +676,8 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "vocab_build" -> vocabBuildSql,
+    "encode_tokens" -> encodeTokensSql,
     "array_stats" -> arrayStatsSql,
     "ngram_top" -> ngramTopSql,
     "token_budget_sample" -> tokenBudgetSampleSql,
