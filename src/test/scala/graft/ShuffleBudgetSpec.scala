@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shuffle budgets: every exchange is a full rewrite of the data over the
+  * network — at 100 TB an accidental extra shuffle is the single biggest
+  * plan regression a refactor can introduce. This spec pins the shuffle
+  * count of representative queries to the designed budget (scan-shaped
+  * queries: the result sort only; aggregations: partial-agg exchange +
+  * result sort; star joins: fact shuffles only, dimensions broadcast),
+  * and pins that scan-speed queries stay inside WholeStageCodegen. */
+class ShuffleBudgetSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def shuffles(plan: String): Int =
+    "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+      .findAllIn(plan).length
+
+  // query -> max shuffle exchanges in the initial physical plan
+  private val budgets = Map(
+    "token_count" -> 1,        // scan + result sort
+    "quality_score" -> 1,      // scan + result sort
+    "hash_sample" -> 1,        // deterministic filter + result sort
+    "bpe_token_count" -> 1,
+    "array_stats" -> 1,        // HOF-only profile: no explode, no agg shuffle
+    "pricing_summary" -> 2,    // partial agg + result sort
+    "dedup_exact" -> 2,
+    "calendar_weekly" -> 2,
+    "sessionize" -> 2,         // ONE user exchange reused by both windows + agg, + result sort
+    "topk_per_group" -> 2,
+    "shipping_priority" -> 2,  // fact agg; dims broadcast; top-10 heap
+    "pivot_event_counts" -> 3,
+    "revenue_by_nation" -> 2)  // fact-fact shuffle; all dims broadcast
+
+  test("shuffle count stays within the designed budget") {
+    budgets.toSeq.sortBy(_._1).foreach { case (name, budget) =>
+      val n = shuffles(planOf(name))
+      assert(n <= budget, s"$name plans $n shuffles, budget $budget")
+    }
+  }
+
+  test("star-join dimensions broadcast instead of shuffling") {
+    val plan = planOf("revenue_by_nation")
+    assert(plan.contains("BroadcastExchange"),
+      "revenue_by_nation should broadcast its dimension tables")
+  }
+
+  test("scan-shaped queries run inside WholeStageCodegen") {
+    // AQE's pre-execution plan string omits codegen wrappers — execute,
+    // then inspect the FINAL adaptive plan.
+    Seq("token_count", "quality_score", "bpe_token_count").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      // codegen stages print as "*(n) Operator" in the final plan string
+      val plan = df.queryExecution.executedPlan.toString
+      assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined,
+        s"$name projection fell out of whole-stage codegen:\n$plan")
+    }
+  }
+}
