@@ -56,4 +56,27 @@ object AsOfJoin {
       .filter(col("_side") === 1)
       .select(leftCols.map(col) ++ rightPayload.map(p => col(s"asof_$p")): _*)
   }
+
+  /** Tolerance-bounded as-of join — the feature-store freshness rule
+    * ("attach the latest feature value, but only if it is at most N
+    * seconds stale"). Same single-exchange union+window plan as [[asOf]]
+    * with the matched right row's event time carried alongside the
+    * payload; rows whose match is older than `toleranceSec` get NULL
+    * payloads (they matched, but stale), plus an `asof_age_us` column
+    * (microseconds; null when no fresh match). `leftTimeCol` /
+    * `rightTimeCol` are column NAMES (the left one must survive into the
+    * output to evaluate freshness). */
+  def asOfWithin(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column, leftTimeCol: String, rightTimeCol: String,
+      rightTie: String, rightPayload: Seq[String], toleranceSec: Long): DataFrame = {
+    val joined = asOf(left, right, leftKey, rightKey,
+      col(leftTimeCol), col(rightTimeCol), rightTie, rightPayload :+ rightTimeCol)
+    val age = unix_micros(col(leftTimeCol)) - unix_micros(col(s"asof_$rightTimeCol"))
+    val fresh = age <= toleranceSec * 1000000L
+    rightPayload.foldLeft(joined) { (df, p) =>
+      df.withColumn(s"asof_$p", when(fresh, col(s"asof_$p")))
+    }
+      .withColumn("asof_age_us", when(fresh, age))
+      .drop(s"asof_$rightTimeCol")
+  }
 }

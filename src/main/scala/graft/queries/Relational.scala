@@ -1028,7 +1028,53 @@ object Relational {
       |  ON sess.session_start < week + INTERVAL 1 WEEK AND week <= sess.session_end
       |GROUP BY week ORDER BY week""".stripMargin
 
+  /** Tolerance-bounded as-of join: each click attaches the user's latest
+    * PRIOR purchase only if it is at most 3 days stale — the feature-store
+    * freshness rule. Same union+window single-exchange plan as asof_join;
+    * the staleness mask and age are post-window column math. */
+  def asofJoinTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_event"), col("value"))
+    graft.operators.AsOfJoin.asOfWithin(
+        clicks, purchases,
+        leftKey = col("user_id"), rightKey = col("p_user"),
+        leftTimeCol = "ts", rightTimeCol = "p_ts",
+        rightTie = "p_event", rightPayload = Seq("p_event", "value"),
+        toleranceSec = 3L * 86400)
+      .select("event_id", "user_id", "asof_p_event", "asof_value", "asof_age_us")
+      .orderBy("event_id")
+  }
+
+  val asofJoinToleranceSql: String =
+    """WITH u AS (
+      |  SELECT user_id AS k, ts AS t, 1 AS side, NULL::BIGINT AS tie,
+      |         NULL::BIGINT AS p_pe, NULL::DOUBLE AS p_v, NULL::TIMESTAMP AS p_t,
+      |         event_id, user_id, ts
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, ts, 0, event_id, event_id, value, ts, NULL, NULL, NULL
+      |  FROM events WHERE event_type = 'purchase'),
+      |w AS (
+      |  SELECT side, event_id, user_id, ts,
+      |    last_value(p_pe IGNORE NULLS) OVER win AS ape,
+      |    last_value(p_v IGNORE NULLS) OVER win AS av,
+      |    last_value(p_t IGNORE NULLS) OVER win AS at
+      |  FROM u
+      |  WINDOW win AS (PARTITION BY k ORDER BY t, side, tie
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id,
+      |  CASE WHEN epoch_us(ts) - epoch_us(at) <= 259200000000 THEN ape END AS asof_p_event,
+      |  CASE WHEN epoch_us(ts) - epoch_us(at) <= 259200000000 THEN av END AS asof_value,
+      |  CASE WHEN epoch_us(ts) - epoch_us(at) <= 259200000000
+      |       THEN epoch_us(ts) - epoch_us(at) END AS asof_age_us
+      |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join_tolerance" -> (asofJoinTolerance _),
     "interval_overlap" -> (intervalOverlap _),
     "monthly_growth" -> (monthlyGrowth _),
     "scd2_history" -> (scd2History _),
@@ -1068,6 +1114,7 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "asof_join_tolerance" -> asofJoinToleranceSql,
     "interval_overlap" -> intervalOverlapSql,
     "monthly_growth" -> monthlyGrowthSql,
     "scd2_history" -> scd2HistorySql,
