@@ -42,10 +42,46 @@ object PrefixScan {
       outCol: String, order: Column*): DataFrame =
     scan(df.repartitionByRange(numPartitions, order: _*), valueCol, outCol, order)
 
+  /** [[runningSumLong]] for exact DECIMAL values (money running totals):
+    * partition totals are collected as BigDecimal, prefix-added exactly
+    * on the driver, and the offsets rejoin cast to the window sum's own
+    * decimal type — so the result is bit-equal to a global decimal
+    * window at any partitioning. */
+  def runningSumDecimal(df: DataFrame, valueCol: String, outCol: String, order: Column*): DataFrame = {
+    // The partitioned frame MUST be cached: the totals job and the final
+    // window job otherwise re-execute the range exchange independently,
+    // and AQE may coalesce the two runs differently — misaligning _pid
+    // between the offset table and the data (released via GraftCaches).
+    val parted = graft.GraftCaches.track(
+      df.repartitionByRange(order: _*).withColumn("_pid", spark_partition_id()))
+    val sumType = parted.select(sum(col(valueCol)).as("s")).schema.head.dataType
+    val totals = parted.groupBy("_pid")
+      .agg(sum(col(valueCol)).cast(sumType).as("_tot"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDecimal(1)))
+      .sortBy(_._1)
+    val prefix = totals.map(_._2)
+      .scanLeft(java.math.BigDecimal.ZERO)((a, b) => a.add(b))
+    val offDf = df.sparkSession
+      .createDataFrame(totals.map(_._1).zip(prefix).toSeq)
+      .toDF("_pid", "_off")
+      .select(col("_pid"), col("_off").cast(sumType).as("_off"))
+    val w = Window.partitionBy("_pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted.join(broadcast(offDf), "_pid")
+      .withColumn(outCol, (col("_off") + sum(col(valueCol)).over(w)).cast(sumType))
+      .drop("_pid", "_off")
+  }
+
   private def scan(ranged: DataFrame, valueCol: String, outCol: String,
       order: Seq[Column]): DataFrame = {
     val spark = ranged.sparkSession
-    val parted = ranged.withColumn("_pid", spark_partition_id())
+    // Cached for the same reason as runningSumDecimal: the totals job and
+    // the window job must observe the IDENTICAL physical partitioning
+    // (AQE may otherwise coalesce the two executions differently and
+    // misalign _pid against the offset table).
+    val parted = graft.GraftCaches.track(
+      ranged.withColumn("_pid", spark_partition_id()))
 
     // One row per partition; empty partitions simply don't appear.
     val totals = parted.groupBy("_pid")

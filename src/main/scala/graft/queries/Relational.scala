@@ -1073,7 +1073,30 @@ object Relational {
       |       THEN epoch_us(ts) - epoch_us(at) END AS asof_age_us
       |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin
 
+  /** Cumulative revenue curve over the full order history — the classic
+    * reporting running total, computed with [[graft.operators.PrefixScan]]'s
+    * distributed decimal scan instead of a single-task global window.
+    * Decimal addition is exact and associative, so the distributed result
+    * is bit-equal to the oracle's global window at any partitioning. */
+  def cumulativeRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice").cast(DecimalType(14, 2)).as("price"))
+    graft.operators.PrefixScan
+      .runningSumDecimal(o, "price", "cum", col("o_orderdate"), col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("cum").cast("double").as("cum_revenue"))
+      .orderBy("o_orderkey")
+  }
+
+  val cumulativeRevenueSql: String =
+    """SELECT o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cumulative_revenue" -> (cumulativeRevenue _),
     "asof_join_tolerance" -> (asofJoinTolerance _),
     "interval_overlap" -> (intervalOverlap _),
     "monthly_growth" -> (monthlyGrowth _),
@@ -1114,6 +1137,7 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "cumulative_revenue" -> cumulativeRevenueSql,
     "asof_join_tolerance" -> asofJoinToleranceSql,
     "interval_overlap" -> intervalOverlapSql,
     "monthly_growth" -> monthlyGrowthSql,

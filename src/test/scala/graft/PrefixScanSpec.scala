@@ -51,6 +51,19 @@ class PrefixScanSpec extends AnyFunSuite {
     assert(got.toSeq == (1L to 2000L))
   }
 
+  test("decimal scan equals the global decimal window (multi-partition)") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (i.toLong, BigDecimal((i * 13 % 997) + 1).setScale(2)))
+      .toDF("id", "v")
+      .select(col("id"), col("v").cast(org.apache.spark.sql.types.DecimalType(14, 2)).as("v"))
+    val got = PrefixScan.runningSumDecimal(df, "v", "cum", col("id"))
+      .orderBy("id").select("id", "cum").collect().toSeq
+    val w = Window.orderBy(col("id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("cum", sum("v").over(w))
+      .orderBy("id").select("id", "cum").collect().toSeq
+    assert(got == want)
+  }
+
   test("empty input yields empty output") {
     import spark.implicits._
     val df = Seq.empty[(Long, Long)].toDF("id", "v")
