@@ -324,6 +324,99 @@ object Similarity {
     rankTopK(scored, id, k)
   }
 
+  /** Product-quantization defaults: 4 subspaces (16 dims each on the
+    * 64-dim corpus), 16 codes per subspace → 4 small ints replace 64
+    * floats (64x storage shrink before the int8 path even starts). */
+  val PqM: Int = 4
+  val PqK: Int = 16
+
+  /** Left-fold squared L2 distance of two array<double> columns — the
+    * same fixed-order fold discipline as [[dot]], so the oracle rebuilds
+    * it bit-for-bit with list_reduce. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** The exploded (id, mi, sv) subvector relation: each vector split into
+    * `m` contiguous subspaces of size(v)/m dims (1-based slice, matching
+    * DuckDB list_slice). Per-row column math, shuffle-free. */
+  private def pqSubvectors(corpus: DataFrame, id: String, vec: String,
+      m: Int): DataFrame = {
+    val sd = (size(col("v")) / lit(m)).cast("int")
+    corpus.select(col(id), toDoubleVec(col(vec)).as("v"))
+      .select(col(id), explode(sequence(lit(0), lit(m - 1))).as("mi"), col("v"))
+      .select(col(id), col("mi"), slice(col("v"), col("mi") * sd + 1, sd).as("sv"))
+  }
+
+  /** Per-subspace codebooks (mi, c_id, cv): the subvectors of the `k`
+    * lowest-id vectors — deterministic, SQL-reproducible seeding (the
+    * same convention as [[ivfAssignments]]; production would Lloyd-refine
+    * each subspace exactly as [[ivfTrainedCentroids]] does, the plumbing
+    * is unchanged). m·k rows — always broadcastable. */
+  def pqCodebooks(corpus: DataFrame, id: String, vec: String,
+      m: Int = PqM, k: Int = PqK): DataFrame =
+    pqSubvectors(corpus.filter(col(id) < k), id, vec, m)
+      .select(col("mi"), col(id).cast("long").as("c_id"), col("sv").as("cv"))
+
+  /** PQ encoding (id, mi, code, d): per subspace, the nearest codebook
+    * entry by squared L2 (ties → lowest code id). One corpus scan against
+    * the broadcast codebooks, per-(vector, subspace) struct-min with
+    * map-side partial aggregation — the corpus never shuffles vectors,
+    * only (id, mi, best-so-far) partials: the scale shape of an encode
+    * pass over 100 TB of embeddings. */
+  def pqEncode(corpus: DataFrame, id: String, vec: String,
+      m: Int = PqM, k: Int = PqK): DataFrame =
+    pqSubvectors(corpus, id, vec, m)
+      .join(broadcast(pqCodebooks(corpus, id, vec, m, k)), "mi")
+      .select(col(id), col("mi"),
+        struct(sqDist(col("sv"), col("cv")).as("d"), col("c_id")).as("sc"))
+      .groupBy(col(id), col("mi"))
+      .agg(min(col("sc")).as("b"))
+      .select(col(id), col("mi"), col("b.c_id").as("code"), col("b.d").as("d"))
+
+  /** PQ codes per vector plus the exact reconstruction error: because the
+    * subspaces partition the dimensions, sum over mi of the per-subspace
+    * distances IS ||v - reconstruction||². The sum uses the scaled-integer
+    * exact-decimal pattern (micro-unit rounding, associative addition) so
+    * partition order can't perturb the double. */
+  def pqCodes(corpus: DataFrame, id: String, vec: String,
+      m: Int = PqM, k: Int = PqK): DataFrame =
+    pqEncode(corpus, id, vec, m, k)
+      .groupBy(col(id))
+      .agg(
+        transform(array_sort(collect_list(struct(col("mi"), col("code")))),
+          s => s.getField("code")).as("codes"),
+        (sum(round(col("d") * lit(1e6)).cast(DecimalType(38, 0))).cast("double")
+          / lit(1e6)).as("recon_err"))
+
+  /** PQ asymmetric-distance top-k: the query keeps its exact subvectors;
+    * every corpus vector is represented ONLY by its m codes. Scoring is a
+    * lookup-table join — the LUT is per (query, subspace, code) the exact
+    * squared L2 from the query subvector to that codebook entry
+    * (|q|·m·k rows, always broadcastable) — so the corpus side touches
+    * nothing but its (id, mi, code) relation: at 100 TB the scan reads
+    * 4 ints per vector, never the floats. ADC distance = exact-decimal
+    * sum of the m looked-up entries; ranking reuses the bounded-heap
+    * top-k (adc asc, id asc). */
+  def pqAdcTopK(corpus: DataFrame, id: String, vec: String,
+      queryPred: Column, topK: Int, m: Int = PqM, k: Int = PqK): DataFrame = {
+    val codes = pqEncode(corpus, id, vec, m, k)
+      .select(col(id), col("mi"), col("code"))
+    val lut = pqSubvectors(corpus.filter(queryPred), id, vec, m)
+      .select(col(id).as("q_id"), col("mi"), col("sv").as("qv"))
+      .join(pqCodebooks(corpus, id, vec, m, k), "mi")
+      .select(col("q_id"), col("mi"), col("c_id"),
+        sqDist(col("qv"), col("cv")).as("d"))
+    val scored = codes.join(broadcast(lut),
+        codes("mi") === lut("mi") && codes("code") === lut("c_id") &&
+          codes(id) =!= lut("q_id"))
+      .groupBy(col("q_id"), codes(id))
+      .agg((sum(round(col("d") * lit(1e6)).cast(DecimalType(38, 0))).cast("double")
+        / lit(1e6)).as("adc"))
+    rankTopK(scored.select(col("q_id"), col(id), (-col("adc")).as("sim")), id, topK)
+      .select(col("q_id"), col(id), (-col("sim")).as("adc"), col("rank"))
+  }
+
   /** Near-duplicate pairs by embedding cosine: banded LSH candidates
     * (any-band match, a < b), exact cosine verify on the candidate set.
     * Candidate generation routes through the same degenerate-bucket-capped

@@ -316,7 +316,67 @@ object SimilarityQueries {
       |      FROM embeddings) t
       |GROUP BY dim ORDER BY dim""".stripMargin
 
+  /** Inline SQL for the left-fold squared L2 distance (mirror of
+    * Similarity.sqDist). */
+  private def sqDistSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a)+1), " +
+      s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))), (x,y) -> x+y)"
+
+  /** Shared PQ CTE chain: doubles, subvectors (4 subspaces, 1-based
+    * inclusive slices = Spark's slice), seed codebooks (vec_id < 16),
+    * per-subspace distances, argmin codes. */
+  private val pqCtes: String =
+    s"""ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |mm AS (SELECT unnest(range(0, ${graft.operators.Similarity.PqM})) AS mi),
+       |sub AS (SELECT vec_id, mi,
+       |          list_slice(v, mi*(len(v)//${graft.operators.Similarity.PqM})+1,
+       |                        (mi+1)*(len(v)//${graft.operators.Similarity.PqM})) AS sv
+       |        FROM ev CROSS JOIN mm),
+       |cb AS (SELECT mi, vec_id AS c_id, sv AS cv FROM sub WHERE vec_id < ${graft.operators.Similarity.PqK}),
+       |pqd AS (SELECT s.vec_id, s.mi, c.c_id, ${sqDistSql("s.sv", "c.cv")} AS d
+       |        FROM sub s JOIN cb c ON s.mi = c.mi),
+       |best AS (SELECT vec_id, mi, c_id AS code, d FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, mi ORDER BY d ASC, c_id ASC) AS rn
+       |  FROM pqd) t WHERE rn = 1)""".stripMargin
+
+  /** PQ codes + exact reconstruction error for every vector. Codes
+    * serialize to CSV for the compare (array cells don't sort). */
+  def pqCodesQ(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqCodes(Tables.embeddings(spark, dir), "vec_id", "embedding")
+      .select(col("vec_id"),
+        array_join(transform(col("codes"), x => x.cast("string")), ",").as("codes"),
+        col("recon_err"))
+      .orderBy("vec_id")
+
+  val pqCodesSql: String =
+    s"""WITH $pqCtes
+       |SELECT vec_id, array_to_string(list(code ORDER BY mi), ',') AS codes,
+       |       CAST(SUM(CAST(round(d * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS recon_err
+       |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** PQ ADC top-10 for the 5 query vectors: exact query subvectors vs
+    * code-only corpus representation through the broadcast lookup table. */
+  def pqAdcTopKQ(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqAdcTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        col("vec_id") < 5, topK = 10)
+      .orderBy("q_id", "rank")
+
+  val pqAdcTopKSql: String =
+    s"""WITH $pqCtes,
+       |q AS (SELECT vec_id AS q_id, mi, sv AS qv FROM sub WHERE vec_id < 5),
+       |lut AS (SELECT q.q_id, q.mi, c.c_id, ${sqDistSql("q.qv", "c.cv")} AS d
+       |        FROM q JOIN cb c ON q.mi = c.mi),
+       |s AS (SELECT l.q_id, b.vec_id,
+       |        CAST(SUM(CAST(round(l.d * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS adc
+       |      FROM best b JOIN lut l ON l.mi = b.mi AND l.c_id = b.code AND b.vec_id != l.q_id
+       |      GROUP BY l.q_id, b.vec_id)
+       |SELECT q_id, vec_id, adc, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, vec_id ASC) AS rank FROM s) t
+       |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pq_codes" -> (pqCodesQ _),
+    "pq_adc_topk" -> (pqAdcTopKQ _),
     "embed_dim_stats" -> (embedDimStats _),
     "ann_recall" -> (annRecall _),
     "embed_quantize_int8" -> (embedQuantize _),
@@ -330,6 +390,8 @@ object SimilarityQueries {
     "ivf_topk" -> (ivfTopK _))
 
   val oracles: Map[String, String] = Map(
+    "pq_codes" -> pqCodesSql,
+    "pq_adc_topk" -> pqAdcTopKSql,
     "embed_dim_stats" -> embedDimStatsSql,
     "ann_recall" -> annRecallSql,
     "embed_quantize_int8" -> embedQuantizeSql,

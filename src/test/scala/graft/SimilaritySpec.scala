@@ -113,4 +113,35 @@ class SimilaritySpec extends AnyFunSuite {
       s"hot-bucket pairs must be capped away, got ${pairs.length} pairs")
     GraftCaches.releaseAll()
   }
+
+  test("PQ codes are bounded, seeds reconstruct exactly, ADC is exact on seeds") {
+    val codes = Similarity.pqCodes(emb, "vec_id", "embedding").collect()
+    assert(codes.length === 500)
+    codes.foreach { r =>
+      val cs = r.getSeq[Long](1)
+      assert(cs.length === Similarity.PqM)
+      assert(cs.forall(c => c >= 0 && c < Similarity.PqK))
+      assert(r.getDouble(2) >= 0.0)
+    }
+    // a codebook seed's own subvectors are in the codebook → zero error
+    codes.filter(_.getLong(0) < Similarity.PqK)
+      .foreach(r => assert(r.getDouble(2) === 0.0,
+        s"seed ${r.getLong(0)} must reconstruct exactly, got ${r.getDouble(2)}"))
+
+    // for a seed vector the PQ reconstruction IS the vector, so the ADC
+    // distance to it must equal the micro-rounded exact squared L2
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def sq(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    val adc = Similarity.pqAdcTopK(emb, "vec_id", "embedding", col("vec_id") < 3, 10)
+      .collect()
+    assert(adc.nonEmpty)
+    adc.filter(r => r.getLong(1) < Similarity.PqK).foreach { r =>
+      val exact = sq(vecs(r.getLong(0)), vecs(r.getLong(1)))
+      // per-subspace micro-rounding: |adc - exact| <= m * 0.5e-6
+      assert(math.abs(r.getDouble(2) - exact) <= Similarity.PqM * 0.5e-6,
+        s"ADC to seed ${r.getLong(1)} drifted: ${r.getDouble(2)} vs $exact")
+    }
+  }
 }
