@@ -652,7 +652,63 @@ object TextQueries {
       |FROM tok LEFT JOIN vocab USING (word)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Count-min-sketch heavy hitters: terms whose SKETCH estimate clears
+    * 2% of the token stream, reported next to the exact count so the
+    * one-sided error (est >= exact, always) is itself hash-checked. The
+    * exact relation exists here only because the fixture vocabulary is
+    * small; at 100 TB the sketch relation (≤ d·w rows, mergeable by
+    * cell-wise SUM across shards) replaces the full-stream shuffle the
+    * exact count would need — see [[graft.operators.Sketches]]. The
+    * threshold total rides the same 1-row broadcast as sourceMixWeights. */
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val tokens = graft.GraftCaches.track(
+      Tables.documents(spark, dir)
+        .select(explode(graft.operators.TextOps.words(col("text"))).as("term")))
+    val sketch = Sketches.cmsSketch(tokens, "term")
+    val exact = graft.GraftCaches.track(
+      tokens.groupBy("term").agg(count(lit(1)).as("exact")))
+    val est = Sketches.cmsEstimates(sketch, exact.select("term"), "term")
+    val tot = exact.agg(sum("exact").as("total"))
+    est.join(exact, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .filter(col("est").cast("double") >= lit(0.02) * col("total").cast("double"))
+      .select(col("term"), col("est"), col("exact"))
+      .orderBy("term")
+  }
+
+  val cmsHeavyHittersSql: String = {
+    val M = PolyHash.Mod
+    val seeds = (0 until graft.operators.Sketches.CmsDepth)
+      .map(j => { val (a, b) = graft.operators.TextOps.MinhashSeeds(j); s"($j, ${a}, ${b})" })
+      .mkString(", ")
+    val w = graft.operators.Sketches.CmsWidth
+    s"""WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term FROM documents),
+       |ex AS (SELECT term, COUNT(*) AS exact FROM tok GROUP BY term),
+       |exh AS (SELECT term, exact,
+       |          list_reduce(list_prepend(0::BIGINT, list_transform(string_split(term, ''), c -> ascii(c)::BIGINT)),
+       |                      (a,b) -> (a*31+b) % $M) AS h
+       |        FROM ex),
+       |seeds AS (SELECT * FROM (VALUES $seeds) AS s(row_j, a, b)),
+       |cells AS (SELECT (t.h*s.a + s.b) % $M % $w AS bucket, s.row_j
+       |          FROM (SELECT tok.term,
+       |                  list_reduce(list_prepend(0::BIGINT, list_transform(string_split(tok.term, ''), c -> ascii(c)::BIGINT)),
+       |                              (a,b) -> (a*31+b) % $M) AS h
+       |                FROM tok) t CROSS JOIN seeds s),
+       |sk AS (SELECT row_j, bucket, COUNT(*) AS cnt FROM cells GROUP BY row_j, bucket),
+       |probe AS (SELECT e.term, s.row_j, (e.h*s.a + s.b) % $M % $w AS bucket
+       |          FROM exh e CROSS JOIN seeds s),
+       |est AS (SELECT p.term, MIN(sk.cnt) AS est
+       |        FROM probe p JOIN sk USING (row_j, bucket) GROUP BY p.term),
+       |tot AS (SELECT SUM(exact) AS total FROM ex)
+       |SELECT e.term, est.est, e.exact
+       |FROM est JOIN exh e USING (term) CROSS JOIN tot
+       |WHERE est.est::DOUBLE >= 0.02 * total::DOUBLE
+       |ORDER BY e.term""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cms_heavy_hitters" -> (cmsHeavyHitters _),
     "vocab_build" -> (vocabBuild _),
     "encode_tokens" -> (encodeTokens _),
     "array_stats" -> (arrayStats _),
@@ -676,6 +732,7 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "cms_heavy_hitters" -> cmsHeavyHittersSql,
     "vocab_build" -> vocabBuildSql,
     "encode_tokens" -> encodeTokensSql,
     "array_stats" -> arrayStatsSql,

@@ -23,9 +23,13 @@ class PlanGuardSpec extends AnyFunSuite {
   // cross-broadcast to k source rows — a deliberate scalar broadcast.
   // ann_recall composes the brute-force baseline (embed_cosine_topk's
   // deliberate exact-scoring BNLJ) as its ground-truth side.
+  // cms_heavy_hitters: the same 1-row total cross-broadcast as
+  // source_mix_weights. (pq_* stay OFF this list: codebook and LUT joins
+  // are equi-joins on (mi, code) — they must plan as BroadcastHashJoin.)
   private val bnljAllowed =
     Set("embed_cosine_topk", "ivf_assign", "ivf_topk", "ivf_train_assign",
-      "ivf_kmeanspp_assign", "source_mix_weights", "ann_recall")
+      "ivf_kmeanspp_assign", "source_mix_weights", "ann_recall",
+      "cms_heavy_hitters")
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
