@@ -1095,7 +1095,48 @@ object Relational {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Z-order layout profile of lineitem on (l_partkey, l_suppkey): each
+    * row's Morton code (via the zorder_code codegen Expression, SQL-
+    * registered by GraftExtensions), folded into fixed 2^24-wide z-range
+    * buckets — one bucket ≈ one file of a Z-ORDERed rewrite. The per-
+    * bucket min/max of BOTH keys is exactly the min/max file statistic a
+    * scan would prune on: narrow ranges on both columns are the point of
+    * the layout (a single-column sort leaves the other column's range at
+    * full width — ZOrderSpec pins that comparison). Bit math is plain
+    * SQL, so the layout keys themselves are oracle-checked. */
+  def zorderCluster(spark: SparkSession, dir: String): DataFrame = {
+    val z = graft.GraftCaches.track(
+      Tables.lineitem(spark, dir)
+        .select(col("l_partkey").cast("long").as("pk"), col("l_suppkey").cast("long").as("sk"))
+        .select(graft.functions.ZOrderCode.z(col("pk"), col("sk")).as("z"),
+          col("pk"), col("sk")))
+    // 32 equal-width z-ranges over the observed span: exact integer
+    // floor division, so the bucketing is scale-free AND deterministic
+    // (ntile would split z-ties by nondeterministic row position).
+    val zmax = z.agg(max("z").as("zmax"))
+    z.crossJoin(broadcast(zmax))
+      .groupBy(floor(col("z") * 32 / (col("zmax") + 1)).cast("bigint").as("z_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("pk").as("min_pk"), max("pk").as("max_pk"),
+        min("sk").as("min_sk"), max("sk").as("max_sk"))
+      .orderBy("z_bucket")
+  }
+
+  val zorderClusterSql: String =
+    """WITH z AS (
+      |  SELECT list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 16), j ->
+      |           (((pk >> CAST(j AS INT)) & 1) << CAST(2*j AS INT))
+      |         + (((sk >> CAST(j AS INT)) & 1) << CAST(2*j + 1 AS INT)))), (a,b) -> a|b) AS z,
+      |         pk, sk
+      |  FROM (SELECT CAST(l_partkey AS BIGINT) AS pk, CAST(l_suppkey AS BIGINT) AS sk FROM lineitem)),
+      |zm AS (SELECT MAX(z) AS zmax FROM z)
+      |SELECT CAST(floor(z * 32 / (zmax + 1)) AS BIGINT) AS z_bucket, COUNT(*) AS n,
+      |       MIN(pk) AS min_pk, MAX(pk) AS max_pk,
+      |       MIN(sk) AS min_sk, MAX(sk) AS max_sk
+      |FROM z CROSS JOIN zm GROUP BY 1 ORDER BY z_bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zorder_cluster" -> (zorderCluster _),
     "cumulative_revenue" -> (cumulativeRevenue _),
     "asof_join_tolerance" -> (asofJoinTolerance _),
     "interval_overlap" -> (intervalOverlap _),
@@ -1137,6 +1178,7 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "zorder_cluster" -> zorderClusterSql,
     "cumulative_revenue" -> cumulativeRevenueSql,
     "asof_join_tolerance" -> asofJoinToleranceSql,
     "interval_overlap" -> intervalOverlapSql,
