@@ -358,4 +358,37 @@ object Dedup {
           (size(col("ga")) + size(col("gb")) - inter)).as("jacc"))
       .filter(col("jacc") >= threshold)
   }
+
+  /** Segment-level exact dedup with document reassembly — the CCNet-style
+    * line/paragraph dedup pass (boilerplate headers, licence blocks, nav
+    * text repeat ACROSS documents; whole-doc dedup never sees them).
+    * Documents split into fixed `segTokens`-word segments; only the
+    * globally-FIRST occurrence of each distinct segment text survives
+    * (first = lowest (doc_id, seg_no) — deterministic under any
+    * partitioning); surviving documents reassemble from their kept
+    * segments in original order.
+    *
+    * Scale shape: ONE shuffle keyed on segment text for the dedup — a
+    * groupBy struct-min emitting one keeper row per distinct segment
+    * (map-side combined; never a per-key window sort, which a hot
+    * boilerplate segment repeated 10⁸ times would serialize) — and one
+    * shuffle on doc_id for reassembly. At 100 TB, key the dedup shuffle
+    * on poly_hash(segment) and carry the text only on keeper rows. */
+  def paragraphDedup(docs: DataFrame, id: String, text: String,
+      segTokens: Int = 8): DataFrame = {
+    val segs = graft.GraftCaches.track(
+      TextOps.chunkTokens(docs, id, text, chunkSize = segTokens, overlap = 0)
+        .select(col(id), col("chunk_no").as("seg_no"), col("chunk_text").as("seg_text")))
+    val keepers = segs.groupBy("seg_text")
+      .agg(min(struct(col(id), col("seg_no"))).as("k"))
+      .select(col(s"k.$id").as(id), col("k.seg_no").as("seg_no"), col("seg_text"))
+    val perDoc = segs.groupBy(id).agg(count(lit(1)).as("n_segs"))
+    keepers.groupBy(id)
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg_no"), col("seg_text")))),
+          s => s.getField("seg_text")), " ").as("dedup_text"))
+      .join(perDoc, Seq(id))
+      .select(col(id), col("dedup_text"), col("n_kept"), col("n_segs"))
+  }
 }

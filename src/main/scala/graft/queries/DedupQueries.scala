@@ -319,7 +319,35 @@ object DedupQueries {
        |FROM w LEFT JOIN m ON m.doc_id = w.doc_id
        |WHERE NOT (w.doc_id < 10) ORDER BY w.doc_id""".stripMargin
 
+  /** Segment(paragraph)-level dedup + reassembly over the corpus: 8-word
+    * segments, keep-first-globally, docs rebuilt from surviving segments.
+    * The oracle replays the identical keep-first rule with a window. */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.paragraphDedup(Tables.documents(spark, dir), "doc_id", "text",
+        segTokens = 8)
+      .orderBy("doc_id")
+
+  val paragraphDedupSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |         len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |s AS (SELECT doc_id, toks, unnest(range(0, greatest(n, 1), 8)) AS st FROM t),
+      |seg AS (SELECT doc_id, CAST(st // 8 AS INT) AS seg_no,
+      |               array_to_string(list_slice(toks, st + 1, st + 8), ' ') AS seg_text
+      |        FROM s),
+      |keep AS (SELECT doc_id, seg_no, seg_text FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY seg_text ORDER BY doc_id, seg_no) AS rn
+      |  FROM seg) k WHERE rn = 1),
+      |per AS (SELECT doc_id, COUNT(*) AS n_segs FROM seg GROUP BY doc_id)
+      |SELECT k.doc_id,
+      |       array_to_string(list(k.seg_text ORDER BY k.seg_no), ' ') AS dedup_text,
+      |       COUNT(*) AS n_kept, per.n_segs
+      |FROM keep k JOIN per ON per.doc_id = k.doc_id
+      |GROUP BY k.doc_id, per.n_segs ORDER BY k.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "paragraph_dedup" -> (paragraphDedup _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "graph_triangles" -> (graphTriangles _),
     "dedup_components" -> (dedupComponents _),
@@ -335,6 +363,7 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> (ngramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "paragraph_dedup" -> paragraphDedupSql,
     "dedup_keep_best" -> dedupKeepBestSql,
     "graph_triangles" -> graphTrianglesSql,
     "dedup_components" -> dedupComponentsSql,

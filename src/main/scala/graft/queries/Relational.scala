@@ -1135,7 +1135,144 @@ object Relational {
       |       MIN(sk) AS min_sk, MAX(sk) AS max_sk
       |FROM z CROSS JOIN zm GROUP BY 1 ORDER BY z_bucket""".stripMargin
 
+  /** TPC-H-Q18-shaped "large orders": aggregate the fact table, HAVING-
+    * filter the aggregate, join the survivors back to the dimension-ish
+    * side. The agg side shrinks by orders of magnitude before the join —
+    * AQE sizes it at runtime and broadcasts the survivor set, so the
+    * orders scan never shuffles: the canonical
+    * aggregate-then-semi-join-back shape for 100-TB fact tables. */
+  def bigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast(DecimalType(12, 2))).as("total_qty"),
+        count(lit(1)).as("n_items"))
+      .filter(col("total_qty") > 180)
+    big.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("total_qty").cast("double").as("total_qty"), col("n_items"))
+      .orderBy("o_orderkey")
+  }
+
+  val bigOrdersSql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty,
+      |         COUNT(*) AS n_items
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 180)
+      |SELECT o_orderkey, o_custkey, CAST(total_qty AS DOUBLE) AS total_qty, n_items
+      |FROM big JOIN orders ON l_orderkey = o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Snapshot reconciliation: FULL OUTER join of two deterministic order
+    * snapshots (base = keys not divisible by 7; current = keys not
+    * divisible by 5, price bumped by 1.00 on keys divisible by 3),
+    * classified into added/removed/changed/same with exact decimal net
+    * drift per class — the lake-table diff/audit job. One shuffle on the
+    * join key; the classification is pure column math on the joined row. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val base = o.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").cast(DecimalType(14, 2)).as("v_base"))
+    val curr = o.filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey").as("k"),
+        (col("o_totalprice").cast(DecimalType(14, 2)) +
+          when(col("o_orderkey") % 3 === 0, lit(1)).otherwise(lit(0))
+            .cast(DecimalType(14, 2))).as("v_curr"))
+    base.join(curr, Seq("k"), "full_outer")
+      .select(col("k"),
+        when(col("v_base").isNull, lit("added"))
+          .when(col("v_curr").isNull, lit("removed"))
+          .when(col("v_base") =!= col("v_curr"), lit("changed"))
+          .otherwise(lit("same")).as("status"),
+        (coalesce(col("v_curr"), lit(0).cast(DecimalType(14, 2))) -
+          coalesce(col("v_base"), lit(0).cast(DecimalType(14, 2)))).as("diff"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), sum(col("diff")).cast("double").as("net_drift"))
+      .orderBy("status")
+  }
+
+  val snapshotDiffSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(14,2)) AS v_base
+      |  FROM orders WHERE o_orderkey % 7 != 0),
+      |curr AS (
+      |  SELECT o_orderkey AS k,
+      |         CAST(o_totalprice AS DECIMAL(14,2)) +
+      |           CAST(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS DECIMAL(14,2)) AS v_curr
+      |  FROM orders WHERE o_orderkey % 5 != 0)
+      |SELECT CASE WHEN v_base IS NULL THEN 'added'
+      |            WHEN v_curr IS NULL THEN 'removed'
+      |            WHEN v_base != v_curr THEN 'changed'
+      |            ELSE 'same' END AS status,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(COALESCE(v_curr, 0) - COALESCE(v_base, 0)) AS DOUBLE) AS net_drift
+      |FROM base FULL OUTER JOIN curr USING (k)
+      |GROUP BY 1 ORDER BY status""".stripMargin
+
+  /** Data-quality constraint audit: five declarative rules (domain
+    * ranges, null checks, FK orphans, PK duplicates) evaluated in one
+    * pass each and unioned into a (rule, n_checked, n_violations)
+    * scorecard — the pre-ingest gate a 100-TB pipeline runs before
+    * promoting a snapshot. Range/null rules are scan-speed conditional
+    * sums; the FK rule is a shuffle join on the key (AQE broadcasts the
+    * smaller side); the PK rule is a two-level aggregation. No collect —
+    * every rule is a 1-row aggregate unioned declaratively. */
+  def constraintAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    def rule(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("rule"), col("n_checked"), col("n_violations"))
+    val qty = rule("lineitem_quantity_range",
+      li.agg(count(lit(1)).as("n_checked"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L))
+          .as("n_violations")))
+    val price = rule("orders_price_positive",
+      o.agg(count(lit(1)).as("n_checked"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("n_violations")))
+    val nulldate = rule("orders_date_not_null",
+      o.agg(count(lit(1)).as("n_checked"),
+        sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("n_violations")))
+    val orphan = rule("lineitem_fk_orders",
+      li.select(col("l_orderkey"))
+        .join(o.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left")
+        .agg(count(lit(1)).as("n_checked"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_violations")))
+    val dup = rule("orders_pk_unique",
+      o.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_checked"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_violations")))
+    qty.unionByName(price).unionByName(nulldate).unionByName(orphan).unionByName(dup)
+      .orderBy("rule")
+  }
+
+  val constraintAuditSql: String =
+    """SELECT * FROM (
+      |  SELECT 'lineitem_quantity_range' AS rule, COUNT(*) AS n_checked,
+      |         CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orders_price_positive', COUNT(*),
+      |         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'orders_date_not_null', COUNT(*),
+      |         CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem_fk_orders', COUNT(*),
+      |         CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  UNION ALL
+      |  SELECT 'orders_pk_unique', COUNT(*),
+      |         CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM (SELECT o_orderkey, COUNT(*) AS c FROM orders GROUP BY o_orderkey) t
+      |) rules ORDER BY rule""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "constraint_audit" -> (constraintAudit _),
+    "big_orders" -> (bigOrders _),
+    "snapshot_diff" -> (snapshotDiff _),
     "zorder_cluster" -> (zorderCluster _),
     "cumulative_revenue" -> (cumulativeRevenue _),
     "asof_join_tolerance" -> (asofJoinTolerance _),
@@ -1178,6 +1315,9 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "constraint_audit" -> constraintAuditSql,
+    "big_orders" -> bigOrdersSql,
+    "snapshot_diff" -> snapshotDiffSql,
     "zorder_cluster" -> zorderClusterSql,
     "cumulative_revenue" -> cumulativeRevenueSql,
     "asof_join_tolerance" -> asofJoinToleranceSql,

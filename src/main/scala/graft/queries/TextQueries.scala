@@ -707,7 +707,40 @@ object TextQueries {
        |ORDER BY e.term""".stripMargin
   }
 
+  /** Inverted-index build: per term, document frequency, collection
+    * frequency, and the (doc_id:tf) posting list in doc order — the
+    * search-index relation a retrieval stack materializes from the
+    * corpus. Two shuffles, both fully map-side combined: (term, doc) for
+    * tf, then term for the postings; posting arrays assemble with
+    * collect_list + array_sort (deterministic order pinned by the sort,
+    * not by arrival). Serialized to CSV for the compare. At 100 TB the
+    * term shuffle is the inherent cost (it IS the index); hot terms are
+    * bounded by per-doc tf pre-aggregation. */
+  def postingLists(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.operators.TextOps.words(col("text"))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+          s => concat(s.getField("doc_id").cast("string"), lit(":"),
+            s.getField("tf").cast("string"))), ",").as("postings"))
+      .orderBy("term")
+
+  val postingListsSql: String =
+    """WITH tf AS (
+      |  SELECT term, doc_id, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+      |        FROM documents) t
+      |  GROUP BY term, doc_id)
+      |SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+      |       STRING_AGG(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+      |FROM tf GROUP BY term ORDER BY term""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "posting_lists" -> (postingLists _),
     "cms_heavy_hitters" -> (cmsHeavyHitters _),
     "vocab_build" -> (vocabBuild _),
     "encode_tokens" -> (encodeTokens _),
@@ -732,6 +765,7 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "posting_lists" -> postingListsSql,
     "cms_heavy_hitters" -> cmsHeavyHittersSql,
     "vocab_build" -> vocabBuildSql,
     "encode_tokens" -> encodeTokensSql,
