@@ -359,6 +359,50 @@ object Dedup {
       .filter(col("jacc") >= threshold)
   }
 
+  /** PageRank over the undirected duplicate-candidate graph — the
+    * centrality pass that ranks cluster "hubs" (documents similar to many
+    * others: boilerplate templates, canonical sources) for triage and
+    * keeper selection. Fixed `iters` power-iteration rounds of
+    * r = teleport + damping * Σ_in (r_src / outdeg_src).
+    *
+    * Determinism at any partitioning: the per-edge contribution
+    * r/outdeg is one IEEE double division, then micro-scaled to an
+    * integral DECIMAL (1e-9 units) and summed EXACTLY — decimal addition
+    * is associative, so partial aggregation order can't perturb ranks,
+    * and the whole trajectory is DuckDB-checkable (the oracle unrolls
+    * every round). teleport/damping are passed separately rather than
+    * derived (1.0 - 0.85 != the parsed literal 0.15 in doubles).
+    *
+    * Scale shape: per round, one shuffle keyed on dst for the
+    * contribution sum (map-side combined) + a node-keyed left join; the
+    * edge relation is computed once and reused (tracked cache — at
+    * cluster scale, a table). Per-round label persistence mirrors
+    * [[duplicateComponents]]: lineage would double per round otherwise. */
+  def pageRank(edges: DataFrame, iters: Int = 3,
+      damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val bidir = graft.GraftCaches.track(
+      edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    val deg = graft.GraftCaches.track(
+      bidir.groupBy("src").agg(count(lit(1)).as("outdeg")))
+    val init = deg.select(col("src").as("doc_id"), lit(1.0).as("rank"))
+    (1 to iters).foldLeft(init) { (r, _) =>
+      val rr = graft.GraftCaches.track(r)
+      val contrib = bidir
+        .join(rr, col("src") === col("doc_id"))
+        .join(deg, "src")
+        .select(col("dst"),
+          round(col("rank") / col("outdeg") * lit(1e9)).cast(DecimalType(38, 0)).as("c"))
+        .groupBy("dst").agg(sum("c").as("cs"))
+      rr.join(contrib, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"),
+          (lit(teleport) + lit(damping) *
+            (coalesce(col("cs"), lit(0).cast(DecimalType(38, 0))).cast("double") / lit(1e9)))
+            .as("rank"))
+    }
+  }
+
   /** Segment-level exact dedup with document reassembly — the CCNet-style
     * line/paragraph dedup pass (boilerplate headers, licence blocks, nav
     * text repeat ACROSS documents; whole-doc dedup never sees them).

@@ -346,7 +346,41 @@ object DedupQueries {
       |FROM keep k JOIN per ON per.doc_id = k.doc_id
       |GROUP BY k.doc_id, per.n_segs ORDER BY k.doc_id""".stripMargin
 
+  /** PageRank (3 rounds, 0.85/0.15) over the LSH candidate graph. The
+    * oracle unrolls all three power-iteration rounds on the same
+    * bands/cand CTEs, so every intermediate rank vector — not just the
+    * final one — is differentially checked bit for bit. */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame =
+    Dedup.pageRank(
+        Dedup.lshCandidatePairs(Tables.documents(spark, dir), "doc_id", "text"),
+        iters = 3)
+      .orderBy("doc_id")
+
+  private def prStepCte(j: Int): String =
+    s"""c$j AS (SELECT e2.dst,
+       |        SUM(CAST(round(r.rank / d.outdeg * 1000000000.0) AS DECIMAL(38,0))) AS cs
+       |      FROM e2 JOIN r${j - 1} r ON r.doc_id = e2.src
+       |              JOIN deg d ON d.src = e2.src
+       |      GROUP BY e2.dst),
+       |r$j AS MATERIALIZED (SELECT r.doc_id,
+       |        0.15::DOUBLE + 0.85::DOUBLE *
+       |          (CAST(COALESCE(c.cs, 0) AS DOUBLE) / 1000000000.0) AS rank
+       |      FROM r${j - 1} r LEFT JOIN c$j c ON c.dst = r.doc_id)""".stripMargin
+
+  val graphPagerankSql: String =
+    s"""WITH $shingleCte,
+       |$bandsCte,
+       |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bb a JOIN bb b ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id),
+       |e2 AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM cand
+       |       UNION ALL SELECT doc_b, doc_a FROM cand),
+       |deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e2 GROUP BY src),
+       |r0 AS (SELECT src AS doc_id, 1.0::DOUBLE AS rank FROM deg),
+       |${(1 to 3).map(prStepCte).mkString(",\n")}
+       |SELECT doc_id, rank FROM r3 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> (graphPagerank _),
     "paragraph_dedup" -> (paragraphDedup _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "graph_triangles" -> (graphTriangles _),
@@ -363,6 +397,7 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> (ngramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "graph_pagerank" -> graphPagerankSql,
     "paragraph_dedup" -> paragraphDedupSql,
     "dedup_keep_best" -> dedupKeepBestSql,
     "graph_triangles" -> graphTrianglesSql,

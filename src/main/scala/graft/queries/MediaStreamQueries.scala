@@ -255,7 +255,40 @@ object MediaStreamQueries {
       |       STRING_AGG(event_type || ':' || n, ',' ORDER BY event_type) AS type_counts
       |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Trailing-7-day distinct users per event day — the sliding DISTINCT
+    * aggregation (DAU/WAU board) that tumbling windows can't express and
+    * sliding SUM can't either (distinct doesn't merge). The scale shape:
+    * each event explodes into the ≤7 days it covers (bounded expansion =
+    * window/slide), one shuffle on (day, user) — never a full-history
+    * re-scan per day. Output restricted to days that have events, so the
+    * oracle can use the DIRECT inequality form (correlated range count)
+    * — the bucketing rewrite's equivalence is itself hash-checked, the
+    * same discipline as interval_overlap. */
+  def rollingDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.GraftCaches.track(
+      Tables.events(spark, dir).select(to_date(col("ts")).as("d"), col("user_id")))
+    val days = ev.select(col("d").as("day")).distinct()
+    val cover = ev.select(
+      explode(sequence(col("d"), date_add(col("d"), 6))).as("day"), col("user_id"))
+    val u7 = cover.join(days, "day")
+      .groupBy("day").agg(countDistinct("user_id").as("u7"))
+    val u1 = ev.groupBy(col("d").as("day")).agg(countDistinct("user_id").as("u1"))
+    u7.join(u1, "day")
+      .select(col("day").cast("timestamp").as("day"), col("u1"), col("u7"))
+      .orderBy("day")
+  }
+
+  val rollingDistinctUsersSql: String =
+    """WITH ev AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events),
+      |days AS (SELECT DISTINCT d AS day FROM ev)
+      |SELECT day,
+      |       (SELECT COUNT(DISTINCT user_id) FROM ev WHERE ev.d = days.day) AS u1,
+      |       (SELECT COUNT(DISTINCT user_id) FROM ev
+      |        WHERE ev.d BETWEEN days.day - 6 AND days.day) AS u7
+      |FROM days ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rolling_distinct_users" -> (rollingDistinctUsers _),
     "stream_type_stats" -> (streamTypeStats _),
     "frame_sample" -> (frameSample _),
     "windowed_event_agg" -> (windowedEventAgg _),
@@ -270,6 +303,7 @@ object MediaStreamQueries {
     "stream_interval_join" -> (streamIntervalJoin _))
 
   val oracles: Map[String, String] = Map(
+    "rolling_distinct_users" -> rollingDistinctUsersSql,
     "stream_type_stats" -> streamTypeStatsSql,
     "frame_sample" -> frameSampleSql,
     "windowed_event_agg" -> windowedEventAggSql,
