@@ -381,17 +381,18 @@ object Dedup {
   def pageRank(edges: DataFrame, iters: Int = 3,
       damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val bidir = graft.GraftCaches.track(
-      edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
-    val deg = graft.GraftCaches.track(
-      bidir.groupBy("src").agg(count(lit(1)).as("outdeg")))
-    val init = deg.select(col("src").as("doc_id"), lit(1.0).as("rank"))
+    val bidir = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = bidir.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // Degree rides the cached edge relation, so each round joins ranks
+    // only (one edge-keyed join saved per iteration).
+    val withDeg = graft.GraftCaches.track(bidir.join(deg, "src"))
+    val init = withDeg.select(col("src").as("doc_id")).distinct()
+      .withColumn("rank", lit(1.0))
     (1 to iters).foldLeft(init) { (r, _) =>
       val rr = graft.GraftCaches.track(r)
-      val contrib = bidir
+      val contrib = withDeg
         .join(rr, col("src") === col("doc_id"))
-        .join(deg, "src")
         .select(col("dst"),
           round(col("rank") / col("outdeg") * lit(1e9)).cast(DecimalType(38, 0)).as("c"))
         .groupBy("dst").agg(sum("c").as("cs"))

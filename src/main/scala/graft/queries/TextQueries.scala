@@ -739,7 +739,40 @@ object TextQueries {
       |       STRING_AGG(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
       |FROM tf GROUP BY term ORDER BY term""".stripMargin
 
+  /** Weighted sample without replacement, deterministically: priority
+    * sampling (Duffield/Lund/Thorup) with key = weight / u and u a
+    * hash-uniform in (0, 1] derived from the doc id — heavier docs get
+    * larger keys, the global top-k by key IS the weighted sample. The
+    * log-free key (vs A-ES's -ln(u)/w) keeps the math to two IEEE
+    * divisions, bit-equal across engines. Plan shape: scan-speed key
+    * column + TakeOrderedAndProject (per-partition bounded heap, tiny
+    * global merge — never a full sort), identical at any corpus size;
+    * and the sample is REPRODUCIBLE run to run, which a rand()-based
+    * sampler can't promise. Seeds reuse the MinhashSeeds constants. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = graft.operators.TextOps.MinhashSeeds(5)
+    val m = PolyHash.Mod
+    val u = ((col("doc_id") * lit(a) + lit(b)) % lit(m) + lit(1L)).cast("double") /
+      lit((m + 1).toDouble)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").as("weight"),
+        (col("n_chars").cast("double") / u).as("skey"))
+      .orderBy(col("skey").desc, col("doc_id").asc)
+      .limit(50)
+  }
+
+  val weightedSampleSql: String = {
+    val (a, b) = graft.operators.TextOps.MinhashSeeds(5)
+    val m = PolyHash.Mod
+    s"""SELECT doc_id, n_chars AS weight,
+       |       CAST(n_chars AS DOUBLE) /
+       |         (CAST((doc_id * ${a} + ${b}) % ${m} + 1 AS DOUBLE) / ${(m + 1).toDouble}) AS skey
+       |FROM documents
+       |ORDER BY skey DESC, doc_id ASC LIMIT 50""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "weighted_sample" -> (weightedSample _),
     "posting_lists" -> (postingLists _),
     "cms_heavy_hitters" -> (cmsHeavyHitters _),
     "vocab_build" -> (vocabBuild _),
@@ -765,6 +798,7 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "weighted_sample" -> weightedSampleSql,
     "posting_lists" -> postingListsSql,
     "cms_heavy_hitters" -> cmsHeavyHittersSql,
     "vocab_build" -> vocabBuildSql,

@@ -34,7 +34,18 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "topk_per_group" -> 2,
     "shipping_priority" -> 2,  // fact agg; dims broadcast; top-10 heap
     "pivot_event_counts" -> 3,
-    "revenue_by_nation" -> 2)  // fact-fact shuffle; all dims broadcast
+    "revenue_by_nation" -> 2,  // fact-fact shuffle; all dims broadcast
+    "posting_lists" -> 3,      // (term,doc) tf agg + term agg + result sort
+    "paragraph_dedup" -> 5,    // seg-text dedup + doc reassembly + per-doc counts + join + sort
+    "big_orders" -> 3,         // fact agg + join-back + result sort
+    "snapshot_diff" -> 4,      // full-outer key shuffle (both sides) + status agg + result sort
+    "zorder_cluster" -> 3,     // zmax 1-row agg + z-bucket agg + result sort
+    "pq_codes" -> 3)           // (id,mi) argmin agg + id regroup + result sort
+  // Iterated operators (graph_pagerank, dedup_components*) are NOT pinned:
+  // their pre-execution plan string inlines every tracked-cache subtree per
+  // round, so the static exchange count overstates what executes (cached
+  // rounds materialize once) — the per-round budget is documented on the
+  // operators instead.
 
   test("shuffle count stays within the designed budget") {
     budgets.toSeq.sortBy(_._1).foreach { case (name, budget) =>
