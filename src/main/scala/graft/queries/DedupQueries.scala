@@ -379,7 +379,29 @@ object DedupQueries {
        |${(1 to 3).map(prStepCte).mkString(",\n")}
        |SELECT doc_id, rank FROM r3 ORDER BY doc_id""".stripMargin
 
+  /** Cross-document repeated n-gram inventory: distinct 3-shingles (by
+    * poly-hash) appearing in more than one document, with doc frequency —
+    * the exact-substring-overlap screen that feeds span-level dedup and
+    * decontamination (a gram in 500 docs is boilerplate; one in 2 is a
+    * near-dup lead). One explode + one groupBy(h) with map-side combine;
+    * the HAVING keeps output to the duplicated tail. Top-100 by (df, h)
+    * for a bounded relation at any SF. */
+  def duplicateNgrams(spark: SparkSession, dir: String): DataFrame =
+    Dedup.shingleSets(Tables.documents(spark, dir), "doc_id", "text")
+      .select(explode(col("hs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1)
+      .orderBy(col("df").desc, col("h").asc)
+      .limit(100)
+
+  val duplicateNgramsSql: String =
+    s"""WITH $shingleCte,
+       |g AS (SELECT unnest(hs) AS h FROM w)
+       |SELECT h, COUNT(*) AS df FROM g GROUP BY h HAVING COUNT(*) > 1
+       |ORDER BY df DESC, h ASC LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "duplicate_ngrams" -> (duplicateNgrams _),
     "graph_pagerank" -> (graphPagerank _),
     "paragraph_dedup" -> (paragraphDedup _),
     "dedup_keep_best" -> (dedupKeepBest _),
@@ -397,6 +419,7 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> (ngramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "duplicate_ngrams" -> duplicateNgramsSql,
     "graph_pagerank" -> graphPagerankSql,
     "paragraph_dedup" -> paragraphDedupSql,
     "dedup_keep_best" -> dedupKeepBestSql,

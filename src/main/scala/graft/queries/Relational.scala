@@ -1269,7 +1269,81 @@ object Relational {
       |  FROM (SELECT o_orderkey, COUNT(*) AS c FROM orders GROUP BY o_orderkey) t
       |) rules ORDER BY rule""".stripMargin
 
+  /** TPC-H-Q13-shaped order-count distribution: LEFT join so customers
+    * with ZERO orders stay in the histogram (the inner-join bug this
+    * query exists to catch), then a two-level aggregation — per-customer
+    * count, then distribution over counts. Both aggs map-side combine;
+    * the second one's domain is tiny (distinct order counts). */
+  def customerOrderHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  val customerOrderHistogramSql: String =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey) t
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Histogram-sketch quantiles: p50/p90/p95/p99 estimated by linear
+    * interpolation inside a 128-bin equi-width histogram — how monitoring
+    * and profiling systems serve percentiles at scale, because the
+    * histogram (unlike an exact percentile sort) is a TINY mergeable
+    * relation: bins sum across shards/days exactly like the CMS cells.
+    * One scan → binned counts; the cumulative walk runs through
+    * [[graft.operators.PrefixScan]] (the distributed running-sum shape —
+    * no single-task global window even if bins grow); interpolation is
+    * fixed-order double math, so estimates are hash-checked. Bin width
+    * 5.0 is exact in binary; out-of-range values clamp to edge bins. */
+  def histQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val binW = 5.0
+    val nBins = 128L
+    val bins = Tables.events(spark, dir)
+      .select(greatest(lit(0L),
+        least(lit(nBins - 1), floor(col("value") / lit(binW)).cast("long"))).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    val cum = graft.operators.PrefixScan
+      .runningSumLong(bins, "cnt", "cum", col("bin").asc)
+      .withColumn("cum0", col("cum") - col("cnt"))
+    val tot = bins.agg(sum("cnt").as("n"))
+    val qdf = spark.range(1).select(
+      explode(array(lit(0.5), lit(0.9), lit(0.95), lit(0.99))).as("q"))
+    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(qdf))
+      .filter(col("cum").cast("double") >= col("q") * col("n").cast("double") &&
+        col("cum0").cast("double") < col("q") * col("n").cast("double"))
+      .select(col("q"),
+        (col("bin").cast("double") * lit(binW) +
+          (col("q") * col("n").cast("double") - col("cum0").cast("double")) /
+            col("cnt").cast("double") * lit(binW)).as("est"))
+      .orderBy("q")
+  }
+
+  val histQuantilesSql: String =
+    """WITH b AS (SELECT greatest(0, least(127, CAST(floor(value / 5.0) AS BIGINT))) AS bin FROM events),
+      |bc AS (SELECT bin, COUNT(*) AS cnt FROM b GROUP BY bin),
+      |c AS (SELECT bin, cnt,
+      |        SUM(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM bc),
+      |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM bc),
+      |q AS (SELECT unnest([0.5, 0.9, 0.95, 0.99]) AS q)
+      |SELECT q.q,
+      |       CAST(bin AS DOUBLE) * 5.0 +
+      |         (q.q * CAST(n.n AS DOUBLE) - CAST(c.cum - c.cnt AS DOUBLE)) /
+      |           CAST(c.cnt AS DOUBLE) * 5.0 AS est
+      |FROM c CROSS JOIN n CROSS JOIN q
+      |WHERE CAST(c.cum AS DOUBLE) >= q.q * CAST(n.n AS DOUBLE)
+      |  AND CAST(c.cum - c.cnt AS DOUBLE) < q.q * CAST(n.n AS DOUBLE)
+      |ORDER BY q.q""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hist_quantiles" -> (histQuantiles _),
+    "customer_order_histogram" -> (customerOrderHistogram _),
     "constraint_audit" -> (constraintAudit _),
     "big_orders" -> (bigOrders _),
     "snapshot_diff" -> (snapshotDiff _),
@@ -1315,6 +1389,8 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "hist_quantiles" -> histQuantilesSql,
+    "customer_order_histogram" -> customerOrderHistogramSql,
     "constraint_audit" -> constraintAuditSql,
     "big_orders" -> bigOrdersSql,
     "snapshot_diff" -> snapshotDiffSql,

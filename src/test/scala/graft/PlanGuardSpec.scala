@@ -29,7 +29,7 @@ class PlanGuardSpec extends AnyFunSuite {
   private val bnljAllowed =
     Set("embed_cosine_topk", "ivf_assign", "ivf_topk", "ivf_train_assign",
       "ivf_kmeanspp_assign", "source_mix_weights", "ann_recall",
-      "cms_heavy_hitters", "zorder_cluster")
+      "cms_heavy_hitters", "zorder_cluster", "hist_quantiles")
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
