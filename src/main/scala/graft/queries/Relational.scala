@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -1341,7 +1341,101 @@ object Relational {
       |  AND CAST(c.cum - c.cnt AS DOUBLE) < q.q * CAST(n.n AS DOUBLE)
       |ORDER BY q.q""".stripMargin
 
+  /** Order-independent table fingerprints — the anti-entropy check for
+    * comparing replicas/migrations WITHOUT sorting or moving the data:
+    * per row, an integer mix of the key columns (seeded multipliers +
+    * poly_hash for strings — never string-formatting numerics, whose
+    * rendering is engine-specific), summed EXACTLY as decimals (the sum
+    * is commutative, so any partitioning/replica order yields the same
+    * checksum), folded mod p. One scan + a 1-row aggregate per table:
+    * two 100-TB replicas compare by exchanging three numbers. */
+  def tableChecksum(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PolyHash
+    val m = PolyHash.Mod
+    val (a0, _) = graft.operators.TextOps.MinhashSeeds(0)
+    val (a1, _) = graft.operators.TextOps.MinhashSeeds(1)
+    val (a2, _) = graft.operators.TextOps.MinhashSeeds(2)
+    def sum1(name: String, df: DataFrame, rowHash: Column): DataFrame =
+      df.select(((rowHash % m + m) % m).as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(col("h").cast(DecimalType(38, 0))) % lit(m)).cast("bigint").as("checksum"))
+        .select(lit(name).as("tbl"), col("n_rows"), col("checksum"))
+    val o = sum1("orders", Tables.orders(spark, dir),
+      col("o_orderkey") * a0 + col("o_custkey") * a1 +
+        PolyHash.hash(col("o_orderstatus")) * a2)
+    val l = sum1("lineitem", Tables.lineitem(spark, dir),
+      col("l_orderkey") * a0 + col("l_partkey") * a1 + col("l_suppkey") * a2)
+    val c = sum1("customer", Tables.customer(spark, dir),
+      col("c_custkey") * a0 + col("c_nationkey") * a1 + PolyHash.hash(col("c_name")) * a2)
+    o.unionByName(l).unionByName(c).orderBy("tbl")
+  }
+
+  val tableChecksumSql: String = {
+    val m = graft.functions.PolyHash.Mod
+    val a0 = graft.operators.TextOps.MinhashSeeds(0)._1
+    val a1 = graft.operators.TextOps.MinhashSeeds(1)._1
+    val a2 = graft.operators.TextOps.MinhashSeeds(2)._1
+    def ph(c: String) =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($c,''), x -> ascii(x)::BIGINT)), (a,b) -> (a*31+b) % $m)"
+    s"""SELECT * FROM (
+       |  SELECT 'orders' AS tbl, COUNT(*) AS n_rows,
+       |    CAST(SUM(CAST(((CAST(o_orderkey AS BIGINT)*${a0} + CAST(o_custkey AS BIGINT)*${a1} + ${ph("o_orderstatus")}*${a2}) % $m + $m) % $m
+       |      AS DECIMAL(38,0))) % $m AS BIGINT) AS checksum
+       |  FROM orders
+       |  UNION ALL
+       |  SELECT 'lineitem', COUNT(*),
+       |    CAST(SUM(CAST(((CAST(l_orderkey AS BIGINT)*${a0} + CAST(l_partkey AS BIGINT)*${a1} + CAST(l_suppkey AS BIGINT)*${a2}) % $m + $m) % $m
+       |      AS DECIMAL(38,0))) % $m AS BIGINT)
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT 'customer', COUNT(*),
+       |    CAST(SUM(CAST(((CAST(c_custkey AS BIGINT)*${a0} + CAST(c_nationkey AS BIGINT)*${a1} + ${ph("c_name")}*${a2}) % $m + $m) % $m
+       |      AS DECIMAL(38,0))) % $m AS BIGINT)
+       |  FROM customer
+       |) t ORDER BY tbl""".stripMargin
+  }
+
+  /** Group-wise OLS trend: per event type, the least-squares slope and
+    * intercept of value against the epoch-day index — the drift detector
+    * a metrics pipeline runs per segment. Same discipline as corrStats:
+    * ONE map-side-combined moment pass (x is an exact integer day, y an
+    * exact decimal; all five moments are associative decimal sums), then
+    * the closed-form slope on |groups| rows with an identical double
+    * expression tree on both engines. */
+  def trendSlope(spark: SparkSession, dir: String): DataFrame = {
+    val x = datediff(to_date(col("ts")), lit("1970-01-01")).cast(DecimalType(10, 0))
+    val y = col("value").cast(DecimalType(18, 2))
+    val nd = col("n").cast("double")
+    val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val sx2 = col("sx2").cast("double")
+    val slope = (nd * sxy - sx * sy) / (nd * sx2 - sx * sx)
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"), sum(x * x).as("sx2"))
+      .select(col("event_type"), col("n"),
+        slope.as("slope"), ((sy - slope * sx) / nd).as("intercept"))
+      .orderBy("event_type")
+  }
+
+  val trendSlopeSql: String =
+    """WITH m AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(CAST(SUM(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DECIMAL(10,0))) AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sy,
+      |    CAST(CAST(SUM(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DECIMAL(10,0)) * CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxy,
+      |    CAST(CAST(SUM(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DECIMAL(10,0)) * CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DECIMAL(10,0))) AS VARCHAR) AS DOUBLE) AS sx2
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, n,
+      |  (n::DOUBLE * sxy - sx * sy) / (n::DOUBLE * sx2 - sx * sx) AS slope,
+      |  (sy - (n::DOUBLE * sxy - sx * sy) / (n::DOUBLE * sx2 - sx * sx) * sx) / n::DOUBLE AS intercept
+      |FROM m ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "trend_slope" -> (trendSlope _),
+    "table_checksum" -> (tableChecksum _),
     "hist_quantiles" -> (histQuantiles _),
     "customer_order_histogram" -> (customerOrderHistogram _),
     "constraint_audit" -> (constraintAudit _),
@@ -1389,6 +1483,8 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "trend_slope" -> trendSlopeSql,
+    "table_checksum" -> tableChecksumSql,
     "hist_quantiles" -> histQuantilesSql,
     "customer_order_histogram" -> customerOrderHistogramSql,
     "constraint_audit" -> constraintAuditSql,
