@@ -21,6 +21,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * Z-ORDER clustering, rebuilt as a native codegen Expression — the
   * interleave is a static call inside whole-stage codegen, and the bit
   * math is plain SQL, so the layout keys are DuckDB-checkable.
+  *
+  * Callers should RANGE-NORMALIZE dimensions of unequal magnitude to a
+  * common bit width first (e.g. `floor(x * 256 / (max_x + 1))`), exactly
+  * as production Z-ORDER implementations do — otherwise the interleave's
+  * split prefix is dominated by the wider key's high bits and the narrow
+  * key never clusters (ZOrderLayoutSpec demonstrates both regimes).
   */
 case class ZOrderCode(left: Expression, right: Expression) extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
