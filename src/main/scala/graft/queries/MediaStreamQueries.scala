@@ -287,7 +287,56 @@ object MediaStreamQueries {
       |        WHERE ev.d BETWEEN days.day - 6 AND days.day) AS u7
       |FROM days ORDER BY day""".stripMargin
 
+  /** Daily event-rate anomaly screen: each day's count against the mean
+    * and variance of the PRIOR 7 days (a trailing RANGE frame that
+    * excludes the current row — the leak every naive anomaly job ships),
+    * flagged when the squared deviation clears 4·variance (z² form: no
+    * sqrt, so the flag math stays in exact integer/decimal arithmetic
+    * until one final double compare). One day-level aggregate, one
+    * window over ~days rows — scan-dominated at any event volume. */
+  def eventRateAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("day").cast("timestamp").cast("long"))
+      .rangeBetween(-7L * 86400, -86400)
+    val mean = (sum("n").over(w).cast("double") / count("n").over(w).cast("double"))
+    val m2 = (sum(col("n") * col("n")).over(w).cast("double") /
+      count("n").over(w).cast("double"))
+    daily
+      .select(col("day").cast("timestamp").as("day"), col("n"),
+        count("n").over(w).as("n_prior"), mean.as("mean_prior"),
+        (m2 - mean * mean).as("var_prior"))
+      .withColumn("anomaly",
+        col("n_prior") >= 3 &&
+          (col("n").cast("double") - col("mean_prior")) *
+            (col("n").cast("double") - col("mean_prior")) > lit(4.0) * col("var_prior"))
+      .orderBy("day")
+  }
+
+  val eventRateAnomalySql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1),
+      |win AS (
+      |  SELECT day, n,
+      |    COUNT(n) OVER w AS n_prior,
+      |    CAST(SUM(n) OVER w AS DOUBLE) / CAST(COUNT(n) OVER w AS DOUBLE) AS mean_prior,
+      |    CAST(SUM(n*n) OVER w AS DOUBLE) / CAST(COUNT(n) OVER w AS DOUBLE)
+      |      - (CAST(SUM(n) OVER w AS DOUBLE) / CAST(COUNT(n) OVER w AS DOUBLE))
+      |      * (CAST(SUM(n) OVER w AS DOUBLE) / CAST(COUNT(n) OVER w AS DOUBLE)) AS var_prior
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY epoch(CAST(day AS TIMESTAMP))
+      |               RANGE BETWEEN 604800 PRECEDING AND 86400 PRECEDING))
+      |SELECT CAST(day AS TIMESTAMP) AS day, n, n_prior, mean_prior, var_prior,
+      |       n_prior >= 3 AND
+      |         (CAST(n AS DOUBLE) - mean_prior) * (CAST(n AS DOUBLE) - mean_prior)
+      |           > 4.0 * var_prior AS anomaly
+      |FROM win ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_rate_anomaly" -> (eventRateAnomaly _),
     "rolling_distinct_users" -> (rollingDistinctUsers _),
     "stream_type_stats" -> (streamTypeStats _),
     "frame_sample" -> (frameSample _),
@@ -303,6 +352,7 @@ object MediaStreamQueries {
     "stream_interval_join" -> (streamIntervalJoin _))
 
   val oracles: Map[String, String] = Map(
+    "event_rate_anomaly" -> eventRateAnomalySql,
     "rolling_distinct_users" -> rollingDistinctUsersSql,
     "stream_type_stats" -> streamTypeStatsSql,
     "frame_sample" -> frameSampleSql,

@@ -1433,7 +1433,39 @@ object Relational {
       |  (sy - (n::DOUBLE * sxy - sx * sy) / (n::DOUBLE * sx2 - sx * sx) * sx) / n::DOUBLE AS intercept
       |FROM m ORDER BY event_type""".stripMargin
 
+  /** Pure-SQL surface: the same engine driven through `spark.sql` with
+    * the subquery forms users actually write — a decorrelated EXISTS
+    * (Catalyst rewrites it to a semi join) and scalar aggregate
+    * subqueries ("above average" phrased exactly: price·count > sum,
+    * all decimal — engines disagree on AVG's rounding) — over temp views.
+    * Everything else in the catalog is DataFrame-first; this query pins
+    * that the SQL door is open and optimized the same way. */
+  def sqlExistsOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("v_lineitem")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE) AS price
+        |FROM v_orders
+        |WHERE EXISTS (SELECT 1 FROM v_lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |  AND CAST(o_totalprice AS DECIMAL(14,2)) * (SELECT COUNT(*) FROM v_orders) >
+        |      (SELECT SUM(CAST(o_totalprice AS DECIMAL(14,2))) FROM v_orders)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val sqlExistsOrdersSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |       CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE) AS price
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+      |  AND CAST(o_totalprice AS DECIMAL(14,2)) * (SELECT COUNT(*) FROM orders) >
+      |      (SELECT SUM(CAST(o_totalprice AS DECIMAL(14,2))) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_exists_orders" -> (sqlExistsOrders _),
     "trend_slope" -> (trendSlope _),
     "table_checksum" -> (tableChecksum _),
     "hist_quantiles" -> (histQuantiles _),
@@ -1483,6 +1515,7 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "sql_exists_orders" -> sqlExistsOrdersSql,
     "trend_slope" -> trendSlopeSql,
     "table_checksum" -> tableChecksumSql,
     "hist_quantiles" -> histQuantilesSql,

@@ -771,7 +771,49 @@ object TextQueries {
        |ORDER BY skey DESC, doc_id ASC LIMIT 50""".stripMargin
   }
 
+  /** Corpus-inequality audit: the Gini coefficient of per-document token
+    * counts — the one-number answer to "is my corpus a few huge docs or
+    * many small ones", which drives packing efficiency and sampling
+    * design. G = (2·Σ(rank·x) − (n+1)·Σx) / (n·Σx) over ascending-sorted
+    * counts: ranks come from [[graft.operators.PrefixScan]] as a
+    * range-partitioned running COUNT (the distributed ranking shape — no
+    * single-task global window), every moment is an exact decimal sum,
+    * and only the final division is double. */
+  def tokenGini(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(graft.operators.TextOps.words(col("text"))).cast("long").as("x"))
+      .withColumn("one", lit(1L))
+    val ranked = graft.operators.PrefixScan
+      .runningSumLong(toks, "one", "rank", col("x").asc, col("doc_id").asc)
+    val d20 = org.apache.spark.sql.types.DecimalType(20, 0)
+    // moments are EXACT decimal sums; the closed form runs in doubles
+    // (every operand here is an integer < 2^53, so the casts are exact)
+    // with an identical expression tree on both engines
+    ranked.agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(d20)).as("sx"),
+        sum((col("rank") * col("x")).cast(d20)).as("six"))
+      .select(col("n"), col("sx").cast("bigint").as("total_tokens"),
+        ((lit(2.0) * col("six").cast("double") -
+          (col("n") + 1).cast("double") * col("sx").cast("double")) /
+          (col("n").cast("double") * col("sx").cast("double"))).as("gini"))
+  }
+
+  val tokenGiniSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x != '')) AS x
+      |  FROM documents),
+      |r AS (SELECT x, row_number() OVER (ORDER BY x ASC, doc_id ASC) AS rank FROM t)
+      |SELECT COUNT(*) AS n,
+      |       CAST(SUM(CAST(x AS DECIMAL(20,0))) AS BIGINT) AS total_tokens,
+      |       (2.0 * CAST(SUM(CAST(rank * x AS DECIMAL(20,0))) AS DOUBLE)
+      |          - CAST(COUNT(*) + 1 AS DOUBLE) * CAST(SUM(CAST(x AS DECIMAL(20,0))) AS DOUBLE))
+      |         / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(x AS DECIMAL(20,0))) AS DOUBLE)) AS gini
+      |FROM r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "token_gini" -> (tokenGini _),
     "weighted_sample" -> (weightedSample _),
     "posting_lists" -> (postingLists _),
     "cms_heavy_hitters" -> (cmsHeavyHitters _),
@@ -798,6 +840,7 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "token_gini" -> tokenGiniSql,
     "weighted_sample" -> weightedSampleSql,
     "posting_lists" -> postingListsSql,
     "cms_heavy_hitters" -> cmsHeavyHittersSql,
