@@ -44,4 +44,20 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame    = eventsWithTs(spark, dir)
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every fixture table as a temp view, so the whole engine is
+    * drivable from pure SQL (`spark.sql("SELECT ... FROM lineitem ...")`)
+    * with no Scala imports — the `events` view goes through the
+    * nanos-repair read like every other consumer. Combined with the
+    * `zorder_code` function GraftExtensions registers, a SQL-only user
+    * has the full surface. Views are session-scoped metadata; re-running
+    * on another sfDir repoints them. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else apply(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }
