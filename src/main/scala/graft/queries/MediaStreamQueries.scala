@@ -251,7 +251,7 @@ object MediaStreamQueries {
     """WITH c AS (
       |  SELECT user_id, event_type, COUNT(*) AS n
       |  FROM events GROUP BY user_id, event_type)
-      |SELECT user_id, SUM(n) AS n_events, COUNT(*) AS n_types,
+      |SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events, COUNT(*) AS n_types,
       |       STRING_AGG(event_type || ':' || n, ',' ORDER BY event_type) AS type_counts
       |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin
 

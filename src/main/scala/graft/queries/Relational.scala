@@ -970,7 +970,7 @@ object Relational {
   val unpivotProfileSql: String =
     """SELECT col_name, COUNT(*) AS n_rows,
       |       COUNT(DISTINCT col_value) AS n_distinct,
-      |       SUM(CASE WHEN col_value IS NULL THEN 1 ELSE 0 END) AS n_nulls
+      |       CAST(SUM(CASE WHEN col_value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
       |FROM (
       |  SELECT o_orderkey, 'o_orderstatus' AS col_name, o_orderstatus AS col_value FROM orders
       |  UNION ALL

@@ -283,7 +283,7 @@ object SimilarityQueries {
     s"""WITH truth AS (SELECT q_id, vec_id FROM ($cosineTopKSql)),
        |approx AS (SELECT q_id, vec_id, 1::BIGINT AS hit FROM ($annLshTopKSql))
        |SELECT t.q_id, COUNT(*) AS k,
-       |       SUM(COALESCE(a.hit, 0)) AS n_hits,
+       |       CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS n_hits,
        |       CAST(SUM(COALESCE(a.hit, 0)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
        |FROM truth t LEFT JOIN approx a USING (q_id, vec_id)
        |GROUP BY t.q_id ORDER BY q_id""".stripMargin

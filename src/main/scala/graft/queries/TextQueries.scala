@@ -544,9 +544,9 @@ object TextQueries {
     """SELECT doc_id, n_chars, n_tokens, cum_tokens FROM (
       |  SELECT doc_id, n_chars,
       |         len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
-      |         SUM(len(list_filter(string_split(text, ' '), x -> x != ''))) OVER (
+      |         CAST(SUM(len(list_filter(string_split(text, ' '), x -> x != ''))) OVER (
       |           ORDER BY n_chars DESC, doc_id
-      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
       |  FROM documents) t
       |WHERE cum_tokens <= 2500 ORDER BY doc_id""".stripMargin
 
@@ -647,7 +647,7 @@ object TextQueries {
       |       LATERAL (SELECT l[i] AS word, i AS pos
       |                FROM unnest(range(1, len(l) + 1)) AS r(i)) u)
       |SELECT doc_id, COUNT(*) AS n_tokens,
-      |       SUM(CASE WHEN vocab_id IS NULL THEN 1 ELSE 0 END) AS n_oov,
+      |       CAST(SUM(CASE WHEN vocab_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
       |       STRING_AGG(COALESCE(vocab_id, 0), ',' ORDER BY pos) AS token_ids
       |FROM tok LEFT JOIN vocab USING (word)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin

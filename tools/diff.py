@@ -68,6 +68,22 @@ def main() -> int:
             print(f"FAIL {name}: columns {list(mine.columns)} != {list(oracle.columns)}")
             n_fail += 1
             continue
+        # Dtype-KIND strictness: the driver's compare hashes values
+        # type-sensitively, so an int64 parquet column vs a float64 oracle
+        # column (the DuckDB SUM(integer)->HUGEINT->float64 pandas path)
+        # is a driver FAIL even though Python `5 == 5.0`. Catch it here.
+        kind_bad = None
+        for c in mine.columns:
+            km, ko = mine[c].dtype.kind, oracle[c].dtype.kind
+            if km != ko and {km, ko} <= {"i", "u", "f"} and "f" in {km, ko}:
+                kind_bad = (c, mine[c].dtype, oracle[c].dtype)
+                break
+        if kind_bad:
+            c, dm, do = kind_bad
+            print(f"FAIL {name}: col {c} dtype kind {dm} != {do} "
+                  "(int-vs-float would hash-mismatch in the driver compare)")
+            n_fail += 1
+            continue
         if len(mine) != len(oracle):
             print(f"FAIL {name}: rows {len(mine)} != {len(oracle)}")
             n_fail += 1
