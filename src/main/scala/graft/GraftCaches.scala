@@ -37,6 +37,20 @@ object GraftCaches {
     df
   }
 
+  /** Materialize `df` NOW with `localCheckpoint(eager = true)` and
+    * truncate its lineage. For state that is re-referenced across jobs or
+    * iteration rounds (PrefixScan's `_pid` offsets, per-round CC/PageRank
+    * labels), [[track]]'s persist is the WRONG primitive: a cached block
+    * is a hint — evictable under heap pressure, silently recomputing its
+    * entire (per-round doubling) lineage, and for nondeterministic
+    * columns like `spark_partition_id()` recomputing a DIFFERENT answer.
+    * A checkpointed block is the data: MEMORY_AND_DISK spills instead of
+    * dropping, a genuinely lost block fails LOUDLY (lineage is gone), and
+    * the ContextCleaner frees blocks when the frame becomes unreachable —
+    * no registry entry needed. At cluster scale the same role is played
+    * by writing the round's state to a table. */
+  def pin(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+
   /** Unpersist every tracked relation (non-blocking) and clear the
     * registry. Safe to call at any time: unpersisting a frame whose jobs
     * already finished only drops storage; a later action on the same frame

@@ -1,9 +1,32 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * `SPARK_GRAFT_REPEAT=1` additionally re-executes EVERY query a second
+  * time after the full dump pass — same long-lived session, same heap,
+  * interleaved with the whole set, i.e. the driver's run composition —
+  * and compares a canonical result hash against the pass-1 parquet dump.
+  * Any self-mismatch is a nondeterminism bug (round-4 VERDICT item 1);
+  * the process exits nonzero so the instability cannot pass silently. */
 object Verify {
+
+  /** Order- and partitioning-insensitive content hash: every column cast
+    * to string (null → a sentinel no real value contains), columns in
+    * sorted-name order, rows sorted; stable across executions of a
+    * deterministic query in one JVM. */
+  def canonicalHash(df: DataFrame): String = {
+    import org.apache.spark.sql.functions.{coalesce, col, concat_ws, lit}
+    val cols = df.columns.sorted.map(c =>
+      coalesce(col(s"`$c`").cast("string"), lit("\u0000")))
+    val lines = df.select(concat_ws("\u0001", cols: _*).as("l"))
+      .collect().map(_.getString(0)).sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    lines.foreach(l => md.update((l + "\n").getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
@@ -21,6 +44,27 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally GraftCaches.releaseAll()
+    }
+    // Repeat-stability pass (round-4 VERDICT item 1): under the same heap
+    // and run composition as the dump pass, every query must reproduce
+    // its own pass-1 result bit-for-bit.
+    if (sys.env.get("SPARK_GRAFT_REPEAT").exists(_.nonEmpty)) {
+      val unstable = selected.flatMap { case (name, fn) =>
+        val r = try {
+          val h1 = canonicalHash(spark.read.parquet(s"$outDir/$name"))
+          val h2 = canonicalHash(fn(spark, sfDir))
+          if (h1 == h2) None else Some(name -> s"$h1 != $h2")
+        } catch { case e: Throwable => Some(name -> s"repeat failed: ${e.getMessage}") }
+        finally GraftCaches.releaseAll()
+        r
+      }
+      if (unstable.isEmpty)
+        println(s"[verify] repeat-stability: ${selected.size}/${selected.size} queries self-consistent")
+      else {
+        unstable.foreach { case (n, why) => System.err.println(s"[verify] UNSTABLE $n: $why") }
+        spark.stop()
+        sys.exit(1)
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -187,17 +187,19 @@ object Dedup {
     * Returns (doc_id, comp_id, is_keeper): comp_id = min doc id reachable
     * within `iters` hops, keeper = the cluster minimum itself. */
   def duplicateComponents(edges: DataFrame, iters: Int = 3): DataFrame = {
-    val bidir = graft.GraftCaches.track(
+    val bidir = graft.GraftCaches.pin(
       edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
     val init = bidir.select(col("src").as("doc_id")).distinct()
       .withColumn("comp_id", col("doc_id"))
     // Each round references the previous labels TWICE (neighbor-min join
     // + own-label carry): without materialization the lineage doubles per
-    // round — persist each round's labels (one row per node, released via
-    // GraftCaches like every operator working set).
+    // round. PINNED (localCheckpoint), not cached: an evicted cache block
+    // recomputes its whole per-round-doubling lineage — the round-4 bench
+    // composition penalty — while a checkpointed round is the data
+    // (round-4 VERDICT; see [[graft.GraftCaches.pin]]).
     val labeled = (1 to iters).foldLeft(init) { (lab, _) =>
-      val l = graft.GraftCaches.track(lab)
+      val l = graft.GraftCaches.pin(lab)
       val nbrMin = bidir.join(l, col("src") === col("doc_id"))
         .groupBy("dst").agg(min("comp_id").as("nbr_min"))
       l.join(nbrMin, col("doc_id") === col("dst"), "left")
@@ -218,10 +220,12 @@ object Dedup {
     * decrease, so "no label decreased" IS the fixpoint; on convergence
     * comp_id = min doc id of the full connected component. */
   def duplicateComponentsConverged(edges: DataFrame, maxIters: Int = 20): DataFrame = {
-    val bidir = graft.GraftCaches.track(
+    // Pinned per round (localCheckpoint), not cached — see
+    // [[duplicateComponents]] and [[graft.GraftCaches.pin]].
+    val bidir = graft.GraftCaches.pin(
       edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
-    var lab = graft.GraftCaches.track(
+    var lab = graft.GraftCaches.pin(
       bidir.select(col("src").as("doc_id")).distinct()
         .withColumn("comp_id", col("doc_id")))
     // Labels only ever DECREASE, so sum(comp_id) is strictly monotone
@@ -239,7 +243,7 @@ object Dedup {
     while (!converged && round < maxIters) {
       val nbrMin = bidir.join(lab, col("src") === col("doc_id"))
         .groupBy("dst").agg(min("comp_id").as("nbr_min"))
-      val next = graft.GraftCaches.track(
+      val next = graft.GraftCaches.pin(
         lab.join(nbrMin, col("doc_id") === col("dst"), "left")
           .select(col("doc_id"),
             least(col("comp_id"), coalesce(col("nbr_min"), col("comp_id"))).as("comp_id")))
@@ -375,22 +379,25 @@ object Dedup {
     *
     * Scale shape: per round, one shuffle keyed on dst for the
     * contribution sum (map-side combined) + a node-keyed left join; the
-    * edge relation is computed once and reused (tracked cache — at
-    * cluster scale, a table). Per-round label persistence mirrors
-    * [[duplicateComponents]]: lineage would double per round otherwise. */
+    * edge relation is computed once and reused (pinned — at cluster
+    * scale, a table). Per-round label state is PINNED (localCheckpoint),
+    * not cached: the round-4 driver bench measured 17.9 s vs 5.5 s
+    * isolated for this operator — cache eviction under full-run heap
+    * pressure recomputing per-round lineage (round-4 VERDICT). A
+    * checkpointed round cannot recompute; see [[graft.GraftCaches.pin]]. */
   def pageRank(edges: DataFrame, iters: Int = 3,
       damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val bidir = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val deg = bidir.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // Degree rides the cached edge relation, so each round joins ranks
+    // Degree rides the pinned edge relation, so each round joins ranks
     // only (one edge-keyed join saved per iteration).
-    val withDeg = graft.GraftCaches.track(bidir.join(deg, "src"))
+    val withDeg = graft.GraftCaches.pin(bidir.join(deg, "src"))
     val init = withDeg.select(col("src").as("doc_id")).distinct()
       .withColumn("rank", lit(1.0))
     (1 to iters).foldLeft(init) { (r, _) =>
-      val rr = graft.GraftCaches.track(r)
+      val rr = graft.GraftCaches.pin(r)
       val contrib = withDeg
         .join(rr, col("src") === col("doc_id"))
         .select(col("dst"),

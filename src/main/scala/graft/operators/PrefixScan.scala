@@ -48,11 +48,9 @@ object PrefixScan {
     * decimal type — so the result is bit-equal to a global decimal
     * window at any partitioning. */
   def runningSumDecimal(df: DataFrame, valueCol: String, outCol: String, order: Column*): DataFrame = {
-    // The partitioned frame MUST be cached: the totals job and the final
-    // window job otherwise re-execute the range exchange independently,
-    // and AQE may coalesce the two runs differently — misaligning _pid
-    // between the offset table and the data (released via GraftCaches).
-    val parted = graft.GraftCaches.track(
+    // Pinned, NOT cached (see [[pinned]]): the `_pid` column must be
+    // IDENTICAL between the totals job and the window job.
+    val parted = pinned(
       df.repartitionByRange(order: _*).withColumn("_pid", spark_partition_id()))
     val sumType = parted.select(sum(col(valueCol)).as("s")).schema.head.dataType
     val totals = parted.groupBy("_pid")
@@ -73,14 +71,22 @@ object PrefixScan {
       .drop("_pid", "_off")
   }
 
+  /** Structural fix for the cache-as-correctness hazard (round-4
+    * VERDICT): `spark_partition_id()` is nondeterministic across
+    * executions, so an operator that collects per-partition state in one
+    * job and joins it back in another must make RECOMPUTATION IMPOSSIBLE
+    * (an evicted cache block recomputes → AQE may coalesce differently →
+    * misaligned `_pid` → silently wrong sums). [[graft.GraftCaches.pin]]
+    * checkpoints: blocks spill instead of dropping, and a genuinely lost
+    * block fails loudly. */
+  private def pinned(df: DataFrame): DataFrame = graft.GraftCaches.pin(df)
+
   private def scan(ranged: DataFrame, valueCol: String, outCol: String,
       order: Seq[Column]): DataFrame = {
     val spark = ranged.sparkSession
-    // Cached for the same reason as runningSumDecimal: the totals job and
-    // the window job must observe the IDENTICAL physical partitioning
-    // (AQE may otherwise coalesce the two executions differently and
-    // misalign _pid against the offset table).
-    val parted = graft.GraftCaches.track(
+    // See [[pinned]]: the totals job and the window job must observe the
+    // IDENTICAL `_pid` assignment, frozen at materialization.
+    val parted = pinned(
       ranged.withColumn("_pid", spark_partition_id()))
 
     // One row per partition; empty partitions simply don't appear.

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-4 VERDICT item 1: a query that is green only SOMETIMES is not
+  * done. This spec executes the nondeterminism-prone query surface TWICE
+  * in one long-lived session — second pass interleaved after the whole
+  * first pass, so heap pressure, cache eviction and state-store reuse
+  * from neighboring queries are in play, like the driver's Verify run —
+  * and requires every query to reproduce its own canonical result hash.
+  * The full 129-query version of the same check is `graft.Verify` with
+  * `SPARK_GRAFT_REPEAT=1`.
+  *
+  * Covered families: PrefixScan-backed cumulative queries (the former
+  * cache-as-correctness `_pid` hazard), iterated label/rank operators
+  * (per-round pinning), TopKAggregator consumers (merge-order ties),
+  * stateful batch queries (store isolation), and the five queries that
+  * were hash-red in CORRECTNESS_r04.
+  */
+class RepeatStabilitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private val names = Seq(
+    // formerly driver-red (oracle-type bug, but keep them pinned forever)
+    "ann_recall", "encode_tokens", "stream_type_stats",
+    "token_budget_sample", "unpivot_profile",
+    // PrefixScan-backed
+    "token_gini", "hist_quantiles", "running_share", "cumulative_revenue",
+    // iterated operators
+    "graph_pagerank", "dedup_components", "dedup_components_converged",
+    "dedup_keep_best",
+    // bounded top-k consumers
+    "embed_cosine_topk", "ann_lsh_topk", "ivf_topk", "pq_adc_topk",
+    // stateful batch + sampling
+    "sessionize_stateful", "stream_user_running", "weighted_sample",
+    "vocab_build")
+
+  test("two interleaved executions of each query yield identical canonical hashes") {
+    val qs = SparkEntry.queries
+    names.foreach(n => assert(qs.contains(n), s"unknown query $n"))
+    def pass(): Map[String, String] =
+      names.map { n =>
+        val h = try Verify.canonicalHash(qs(n)(spark, dir))
+        finally GraftCaches.releaseAll()
+        n -> h
+      }.toMap
+    val first = pass()
+    val second = pass()
+    val unstable = names.filter(n => first(n) != second(n))
+    assert(unstable.isEmpty, s"self-hash mismatch: $unstable")
+  }
+}

@@ -56,6 +56,25 @@ class TypeStatsSpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("repeated batch runs in one session are isolated (no state carryover)") {
+    // Round-4 VERDICT item 5: a long-lived session runs this stateful
+    // query next to 128 others — if consecutive invocations shared any
+    // state-store/RocksDB path, counts would double on the second run.
+    // Each batch TransformWithStateExec must get a FRESH store: back-to-
+    // back runs (with another stateful query interleaved, like the
+    // driver's Verify loop) must produce identical rows.
+    val events = fixtureEvents(200)
+    def run() = TypeStats.userTypeStats(
+      spark.createDataset(events)(Encoders.product[Ev]).toDF()).toDF()
+    val first = run().collect().toSeq.sortBy(_.getLong(0))
+    // Interleave a different stateful pipeline before the re-run.
+    assert(graft.queries.MediaStreamQueries
+      .queries("sessionize_stateful")(spark, "/root/testdata/sf0.001").count() > 0)
+    val second = run().collect().toSeq.sortBy(_.getLong(0))
+    assert(first == second)
+    assert(first.nonEmpty)
+  }
+
   test("per-user profile is order-insensitive in batch mode") {
     val events = fixtureEvents(150)
     val a = TypeStats.userTypeStats(
