@@ -339,23 +339,35 @@ object Similarity {
 
   /** The exploded (id, mi, sv) subvector relation: each vector split into
     * `m` contiguous subspaces of size(v)/m dims (1-based slice, matching
-    * DuckDB list_slice). Per-row column math, shuffle-free. */
+    * DuckDB list_slice). Per-row column math, shuffle-free. A vector
+    * whose length is NOT divisible by `m` fails LOUDLY (raise_error) —
+    * silently dropping the trailing dims would falsify pqCodes'
+    * documented invariant that per-subspace distances sum to the exact
+    * reconstruction error (round-4 ADVICE). */
   private def pqSubvectors(corpus: DataFrame, id: String, vec: String,
       m: Int): DataFrame = {
-    val sd = (size(col("v")) / lit(m)).cast("int")
+    val sd = when(pmod(size(col("v")), lit(m)) === 0,
+        (size(col("v")) / lit(m)).cast("int"))
+      .otherwise(raise_error(concat(
+        lit(s"pqSubvectors: vector length not divisible by m=$m: len="),
+        size(col("v")).cast("string"))).cast("int"))
     corpus.select(col(id), toDoubleVec(col(vec)).as("v"))
       .select(col(id), explode(sequence(lit(0), lit(m - 1))).as("mi"), col("v"))
       .select(col(id), col("mi"), slice(col("v"), col("mi") * sd + 1, sd).as("sv"))
   }
 
   /** Per-subspace codebooks (mi, c_id, cv): the subvectors of the `k`
-    * lowest-id vectors — deterministic, SQL-reproducible seeding (the
-    * same convention as [[ivfAssignments]]; production would Lloyd-refine
-    * each subspace exactly as [[ivfTrainedCentroids]] does, the plumbing
-    * is unchanged). m·k rows — always broadcastable. */
+    * LOWEST-id vectors, selected by an explicit orderBy/limit — NOT a
+    * `id < k` predicate, which assumed dense numeric ids from 0 and on a
+    * sparse or offset id domain silently seeded fewer than k (possibly
+    * zero) entries, emptying every downstream pqEncode/pqAdcTopK inner
+    * join (round-4 ADVICE). TakeOrdered on k rows, then the same
+    * deterministic, SQL-reproducible convention (production would
+    * Lloyd-refine each subspace exactly as [[ivfTrainedCentroids]] does,
+    * the plumbing is unchanged). m·k rows — always broadcastable. */
   def pqCodebooks(corpus: DataFrame, id: String, vec: String,
       m: Int = PqM, k: Int = PqK): DataFrame =
-    pqSubvectors(corpus.filter(col(id) < k), id, vec, m)
+    pqSubvectors(corpus.orderBy(col(id)).limit(k), id, vec, m)
       .select(col("mi"), col(id).cast("long").as("c_id"), col("sv").as("cv"))
 
   /** PQ encoding (id, mi, code, d): per subspace, the nearest codebook

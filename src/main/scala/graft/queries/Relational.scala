@@ -1355,18 +1355,27 @@ object Relational {
     val (a0, _) = graft.operators.TextOps.MinhashSeeds(0)
     val (a1, _) = graft.operators.TextOps.MinhashSeeds(1)
     val (a2, _) = graft.operators.TextOps.MinhashSeeds(2)
+    // Each key is reduced mod p BEFORE the seed multiply: (key % p) * a
+    // stays under 2^63 for any key domain, where raw key * a would
+    // silently wrap in Spark at orderkey ~1e10+ while DuckDB raises an
+    // overflow — breaking the differential exactly at the scale this
+    // operator claims to serve (round-4 ADVICE). Seeds are < p, so each
+    // term is < p^2 ≈ 1e18 and the 3-term sum is < 3p after the term mod.
+    def term(key: Column, a: Long): Column =
+      pmod(key.cast("bigint"), lit(m)) * a % lit(m)
     def sum1(name: String, df: DataFrame, rowHash: Column): DataFrame =
       df.select(((rowHash % m + m) % m).as("h"))
         .agg(count(lit(1)).as("n_rows"),
           (sum(col("h").cast(DecimalType(38, 0))) % lit(m)).cast("bigint").as("checksum"))
         .select(lit(name).as("tbl"), col("n_rows"), col("checksum"))
     val o = sum1("orders", Tables.orders(spark, dir),
-      col("o_orderkey") * a0 + col("o_custkey") * a1 +
-        PolyHash.hash(col("o_orderstatus")) * a2)
+      term(col("o_orderkey"), a0) + term(col("o_custkey"), a1) +
+        PolyHash.hash(col("o_orderstatus")) * a2 % m)
     val l = sum1("lineitem", Tables.lineitem(spark, dir),
-      col("l_orderkey") * a0 + col("l_partkey") * a1 + col("l_suppkey") * a2)
+      term(col("l_orderkey"), a0) + term(col("l_partkey"), a1) + term(col("l_suppkey"), a2))
     val c = sum1("customer", Tables.customer(spark, dir),
-      col("c_custkey") * a0 + col("c_nationkey") * a1 + PolyHash.hash(col("c_name")) * a2)
+      term(col("c_custkey"), a0) + term(col("c_nationkey"), a1) +
+        PolyHash.hash(col("c_name")) * a2 % m)
     o.unionByName(l).unionByName(c).orderBy("tbl")
   }
 
@@ -1377,19 +1386,20 @@ object Relational {
     val a2 = graft.operators.TextOps.MinhashSeeds(2)._1
     def ph(c: String) =
       s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($c,''), x -> ascii(x)::BIGINT)), (a,b) -> (a*31+b) % $m)"
+    def t(c: String, a: Long) = s"((CAST($c AS BIGINT) % $m) * ${a}) % $m"
     s"""SELECT * FROM (
        |  SELECT 'orders' AS tbl, COUNT(*) AS n_rows,
-       |    CAST(SUM(CAST(((CAST(o_orderkey AS BIGINT)*${a0} + CAST(o_custkey AS BIGINT)*${a1} + ${ph("o_orderstatus")}*${a2}) % $m + $m) % $m
+       |    CAST(SUM(CAST(((${t("o_orderkey", a0)} + ${t("o_custkey", a1)} + (${ph("o_orderstatus")}*${a2}) % $m) % $m + $m) % $m
        |      AS DECIMAL(38,0))) % $m AS BIGINT) AS checksum
        |  FROM orders
        |  UNION ALL
        |  SELECT 'lineitem', COUNT(*),
-       |    CAST(SUM(CAST(((CAST(l_orderkey AS BIGINT)*${a0} + CAST(l_partkey AS BIGINT)*${a1} + CAST(l_suppkey AS BIGINT)*${a2}) % $m + $m) % $m
+       |    CAST(SUM(CAST(((${t("l_orderkey", a0)} + ${t("l_partkey", a1)} + ${t("l_suppkey", a2)}) % $m + $m) % $m
        |      AS DECIMAL(38,0))) % $m AS BIGINT)
        |  FROM lineitem
        |  UNION ALL
        |  SELECT 'customer', COUNT(*),
-       |    CAST(SUM(CAST(((CAST(c_custkey AS BIGINT)*${a0} + CAST(c_nationkey AS BIGINT)*${a1} + ${ph("c_name")}*${a2}) % $m + $m) % $m
+       |    CAST(SUM(CAST(((${t("c_custkey", a0)} + ${t("c_nationkey", a1)} + (${ph("c_name")}*${a2}) % $m) % $m + $m) % $m
        |      AS DECIMAL(38,0))) % $m AS BIGINT)
        |  FROM customer
        |) t ORDER BY tbl""".stripMargin
@@ -1410,7 +1420,13 @@ object Relational {
     val sy = col("sy").cast("double")
     val sxy = col("sxy").cast("double")
     val sx2 = col("sx2").cast("double")
-    val slope = (nd * sxy - sx * sy) / (nd * sx2 - sx * sx)
+    // Degenerate group (all events on one day): the OLS denominator is 0.
+    // Spark (non-ANSI) would yield NULL while DuckDB's IEEE division gives
+    // Inf/NaN — NULL the denominator explicitly on BOTH engines so the
+    // differential can't diverge on that input (round-4 ADVICE).
+    val denRaw = nd * sx2 - sx * sx
+    val den = when(denRaw === 0.0d, lit(null).cast("double")).otherwise(denRaw)
+    val slope = (nd * sxy - sx * sy) / den
     Tables.events(spark, dir)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
@@ -1429,8 +1445,8 @@ object Relational {
       |    CAST(CAST(SUM(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DECIMAL(10,0)) * CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DECIMAL(10,0))) AS VARCHAR) AS DOUBLE) AS sx2
       |  FROM events GROUP BY event_type)
       |SELECT event_type, n,
-      |  (n::DOUBLE * sxy - sx * sy) / (n::DOUBLE * sx2 - sx * sx) AS slope,
-      |  (sy - (n::DOUBLE * sxy - sx * sy) / (n::DOUBLE * sx2 - sx * sx) * sx) / n::DOUBLE AS intercept
+      |  (n::DOUBLE * sxy - sx * sy) / NULLIF(n::DOUBLE * sx2 - sx * sx, 0) AS slope,
+      |  (sy - (n::DOUBLE * sxy - sx * sy) / NULLIF(n::DOUBLE * sx2 - sx * sx, 0) * sx) / n::DOUBLE AS intercept
       |FROM m ORDER BY event_type""".stripMargin
 
   /** Pure-SQL surface: the same engine driven through `spark.sql` with

@@ -323,8 +323,9 @@ object SimilarityQueries {
       s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))), (x,y) -> x+y)"
 
   /** Shared PQ CTE chain: doubles, subvectors (4 subspaces, 1-based
-    * inclusive slices = Spark's slice), seed codebooks (vec_id < 16),
-    * per-subspace distances, argmin codes. */
+    * inclusive slices = Spark's slice), seed codebooks (the k lowest
+    * vec_ids via ORDER BY/LIMIT, mirroring pqCodebooks' id-domain-safe
+    * seeding), per-subspace distances, argmin codes. */
   private val pqCtes: String =
     s"""ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
        |mm AS (SELECT unnest(range(0, ${graft.operators.Similarity.PqM})) AS mi),
@@ -332,7 +333,8 @@ object SimilarityQueries {
        |          list_slice(v, mi*(len(v)//${graft.operators.Similarity.PqM})+1,
        |                        (mi+1)*(len(v)//${graft.operators.Similarity.PqM})) AS sv
        |        FROM ev CROSS JOIN mm),
-       |cb AS (SELECT mi, vec_id AS c_id, sv AS cv FROM sub WHERE vec_id < ${graft.operators.Similarity.PqK}),
+       |cb AS (SELECT mi, vec_id AS c_id, sv AS cv FROM sub
+       |       WHERE vec_id IN (SELECT vec_id FROM ev ORDER BY vec_id LIMIT ${graft.operators.Similarity.PqK})),
        |pqd AS (SELECT s.vec_id, s.mi, c.c_id, ${sqDistSql("s.sv", "c.cv")} AS d
        |        FROM sub s JOIN cb c ON s.mi = c.mi),
        |best AS (SELECT vec_id, mi, c_id AS code, d FROM (

@@ -127,15 +127,23 @@ final class MemWriterFactory extends DataWriterFactory {
     }
 }
 
+/** Read path: rows are embedded INTO the `InputPartition` at planning
+  * time — `planInputPartitions` runs on the DRIVER, where the store
+  * lives, and Spark serializes the partition (UnsafeRow copies are
+  * serializable) to whichever executor runs the read task. The earlier
+  * shape resolved the store at EXECUTOR time, which silently returned
+  * empty on any real multi-JVM cluster (round-4 ADVICE); now the scan is
+  * cluster-correct by construction: writes travel driver-ward in commit
+  * messages, reads travel executor-ward in the partition. */
 final class MemTableScan(name: String) extends Scan with Batch {
   override def readSchema(): StructType = MemTableStore.schemaOf(name)
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(MemTablePartition(name))
+    Array(MemTablePartition(MemTableStore.rowsOf(name)))
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-        val rows = MemTableStore.rowsOf(p.asInstanceOf[MemTablePartition].name)
+        val rows = p.asInstanceOf[MemTablePartition].rows
         new PartitionReader[InternalRow] {
           private var i = -1
           override def next(): Boolean = { i += 1; i < rows.length }
@@ -146,4 +154,4 @@ final class MemTableScan(name: String) extends Scan with Batch {
     }
 }
 
-final case class MemTablePartition(name: String) extends InputPartition
+final case class MemTablePartition(rows: Array[InternalRow]) extends InputPartition
