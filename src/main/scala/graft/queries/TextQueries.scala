@@ -812,7 +812,142 @@ object TextQueries {
       |         / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(x AS DECIMAL(20,0))) AS DOUBLE)) AS gini
       |FROM r""".stripMargin
 
+  /** Bigram language-model quality score: the mean corpus-MLE transition
+    * probability avg p(w_{i+1}|w_i) per document — the cheap LM-quality
+    * signal (fluent prose scores high; shuffled/boilerplate word salad
+    * scores low) a data pipeline computes when a real LM pass is too
+    * expensive. No logs on purpose: ln is transcendental and engines
+    * disagree in the last ulp, so the score is the mean PROBABILITY, each
+    * ratio c2/c1 one correctly-rounded IEEE division (bit-identical on
+    * both engines), micro-scaled to exact decimals for the
+    * order-insensitive sum (the embedDimStats discipline).
+    *
+    * Scale shape: the bigram relation is computed once (pinned working
+    * set); unigram-context and bigram counts are two map-side-combined
+    * groupBys; scoring joins are equi-joins keyed on the gram — the same
+    * distributed shape as TF-IDF, no single-task stage anywhere. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val l = graft.operators.TextOps.words(col("text"))
+    val bigrams = Tables.documents(spark, dir)
+      .select(col("doc_id"), l.as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("l")) - 1),
+          i => struct(element_at(col("l"), i).as("w1"),
+            concat_ws(" ", element_at(col("l"), i),
+              element_at(col("l"), i + 1)).as("bg")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.bg").as("bg"))
+    val big = graft.GraftCaches.track(bigrams)
+    val c2 = big.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val p = col("c2").cast("double") / col("c1").cast("double")
+    big.join(c2, "bg").join(c1, "w1")
+      .select(col("doc_id"),
+        round(p * lit(1e9)).cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("pi"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("pi")).cast("double") / (lit(1e9) * count(lit(1)))).as("avg_p"))
+      .orderBy("doc_id")
+  }
+
+  val lmScoreSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS l FROM documents),
+      |big AS (
+      |  SELECT doc_id, l[i] AS w1, l[i] || ' ' || l[i+1] AS bg
+      |  FROM tok, LATERAL (SELECT unnest(range(1, len(l))) AS i) u
+      |  WHERE len(l) >= 2),
+      |c2 AS (SELECT bg, COUNT(*) AS c2 FROM big GROUP BY bg),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1)
+      |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+      |       CAST(SUM(CAST(round(CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE) * 1000000000.0)
+      |                     AS DECIMAL(38,0))) AS DOUBLE) / (1000000000.0 * COUNT(*)) AS avg_p
+      |FROM big b JOIN c2 USING (bg) JOIN c1 USING (w1)
+      |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+
+  /** Per-document n-gram novelty: the fraction of a document's DISTINCT
+    * word trigrams that occur in no other document — the self-information
+    * complement of [[DedupQueries]]' duplicate-gram inventory, used to
+    * up-weight documents that contribute new content and down-weight
+    * boilerplate recombinations. One distinct (doc, gram) relation feeds
+    * both the document-frequency aggregation and the per-doc rollup —
+    * the inverted-index shuffle IS the work, same as duplicate_ngrams. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val l = graft.operators.TextOps.words(col("text"))
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), l.as("l"))
+      .filter(size(col("l")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("l")) - 2),
+          i => concat_ws(" ", element_at(col("l"), i),
+            element_at(col("l"), i + 1), element_at(col("l"), i + 2)))).as("g"))
+      .distinct()
+    val g = graft.GraftCaches.track(grams)
+    val dfreq = g.groupBy("g").agg(count(lit(1)).as("df"))
+    g.join(dfreq, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  val ngramNoveltySql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS l FROM documents),
+      |gr AS (
+      |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS g
+      |  FROM tok, LATERAL (SELECT unnest(range(1, len(l) - 1)) AS i) u
+      |  WHERE len(l) >= 3),
+      |dfq AS (SELECT g, COUNT(*) AS df FROM gr GROUP BY g)
+      |SELECT doc_id, COUNT(*) AS n_grams,
+      |       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
+      |FROM gr JOIN dfq USING (g)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Deterministic k-per-group reservoir sample (10 docs per language):
+    * priority = a seeded affine hash of the id mapped to [0,1), smallest-k
+    * kept — reproducible run to run (a rand() reservoir can't be), and
+    * folded through the bounded-heap [[graft.functions.TopKAggregator]]
+    * so the shuffle carries AT MOST k rows per map task per group where
+    * the window formulation ships every row of a group to one reducer.
+    * The oracle deliberately IS the window formulation — the aggregator
+    * rewrite's equivalence is itself hash-checked (the interval_overlap
+    * discipline). */
+  def reservoirPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = graft.operators.TextOps.MinhashSeeds(6)
+    val m = PolyHash.Mod
+    val u = ((col("doc_id") * lit(a) + lit(b)) % lit(m)).cast("double") / lit(m.toDouble)
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), u.as("u"))
+      .groupBy("lang")
+      .agg(graft.functions.TopKAggregator.topK(10)(col("doc_id"), -col("u")).as("t"))
+      .select(col("lang"), posexplode(col("t.ids")).as(Seq("pos", "doc_id")))
+      .select(col("lang"), (col("pos") + 1).cast("bigint").as("rank"), col("doc_id"))
+      .orderBy("lang", "rank")
+  }
+
+  val reservoirPerGroupSql: String = {
+    val (a, b) = graft.operators.TextOps.MinhashSeeds(6)
+    val m = PolyHash.Mod
+    s"""WITH s AS (
+       |  SELECT lang, doc_id,
+       |         CAST((doc_id * ${a} + ${b}) % ${m} AS DOUBLE) / ${m.toDouble} AS u
+       |  FROM documents)
+       |SELECT lang,
+       |       CAST(row_number() OVER (PARTITION BY lang ORDER BY u ASC, doc_id ASC) AS BIGINT) AS rank,
+       |       doc_id
+       |FROM s
+       |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY u ASC, doc_id ASC) <= 10
+       |ORDER BY lang, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lm_score" -> (lmScore _),
+    "ngram_novelty" -> (ngramNovelty _),
+    "reservoir_per_group" -> (reservoirPerGroup _),
     "token_gini" -> (tokenGini _),
     "weighted_sample" -> (weightedSample _),
     "posting_lists" -> (postingLists _),
@@ -840,6 +975,9 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "lm_score" -> lmScoreSql,
+    "ngram_novelty" -> ngramNoveltySql,
+    "reservoir_per_group" -> reservoirPerGroupSql,
     "token_gini" -> tokenGiniSql,
     "weighted_sample" -> weightedSampleSql,
     "posting_lists" -> postingListsSql,
