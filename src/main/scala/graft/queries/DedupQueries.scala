@@ -400,7 +400,141 @@ object DedupQueries {
        |SELECT h, COUNT(*) AS df FROM g GROUP BY h HAVING COUNT(*) > 1
        |ORDER BY df DESC, h ASC LIMIT 100""".stripMargin
 
+  /** Corpus-overlap audit between two source groups (single-digit srcN vs
+    * the rest): exact Jaccard over the union of distinct shingle hashes
+    * NEXT TO the 8-permutation MinHash estimate of the same number — the
+    * dataset-overlap check run before mixing corpora (licensing, eval
+    * contamination, dedup budgeting). The exact side pays one distinct-
+    * gram shuffle (the honest cost — at 100 TB you keep ONLY the
+    * signature side, whose state is 8 values per corpus regardless of
+    * size, mergeable by MIN); having both in one row makes the estimate's
+    * error itself hash-checked, the same discipline as cms_heavy_hitters'
+    * est-vs-exact. */
+  def corpusOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val g = graft.GraftCaches.track(
+      Dedup.shingleSets(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), (length(col("source")) === 4).as("is_a")), "doc_id")
+        .select(col("is_a"), explode(col("hs")).as("h"))
+        .distinct())
+    val sides = g.groupBy("h").agg(
+      max(when(col("is_a"), 1).otherwise(0)).as("in_a"),
+      max(when(!col("is_a"), 1).otherwise(0)).as("in_b"))
+    val exact = sides.agg(
+      sum("in_a").cast("bigint").as("n_grams_a"),
+      sum("in_b").cast("bigint").as("n_grams_b"),
+      sum(col("in_a") * col("in_b")).cast("bigint").as("n_common"),
+      count(lit(1)).as("n_union"))
+    val mhCols = TextOps.MinhashSeeds.zipWithIndex.flatMap { case ((a, b), i) =>
+      val perm = (col("h") * a + b) % M
+      Seq(min(when(col("is_a"), perm)).as(s"a$i"),
+        min(when(!col("is_a"), perm)).as(s"b$i"))
+    }
+    val mh = g.agg(mhCols.head, mhCols.tail: _*)
+    val estCols = (0 until 8).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+    exact.crossJoin(mh)
+      .select(col("n_grams_a"), col("n_grams_b"), col("n_common"), col("n_union"),
+        (col("n_common").cast("double") / col("n_union").cast("double")).as("jaccard_exact"),
+        (estCols.reduce(_ + _).cast("double") / lit(8.0)).as("minhash_est"))
+  }
+
+  val corpusOverlapSql: String = {
+    val mins = (0 until 8).map { i =>
+      s"MIN(CASE WHEN is_a THEN (h*${A(i)} + ${B(i)}) % $M END) AS a$i,\n" +
+        s"         MIN(CASE WHEN NOT is_a THEN (h*${A(i)} + ${B(i)}) % $M END) AS b$i"
+    }.mkString(",\n         ")
+    val est = (0 until 8).map(i => s"CASE WHEN a$i = b$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $shingleCte,
+       |sid AS (SELECT DISTINCT len(d.source) = 4 AS is_a, unnest(w.hs) AS h
+       |        FROM w JOIN documents d ON w.doc_id = d.doc_id),
+       |sides AS (SELECT h, MAX(CASE WHEN is_a THEN 1 ELSE 0 END) AS in_a,
+       |                 MAX(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS in_b
+       |          FROM sid GROUP BY h),
+       |ex AS (SELECT CAST(SUM(in_a) AS BIGINT) AS n_grams_a,
+       |              CAST(SUM(in_b) AS BIGINT) AS n_grams_b,
+       |              CAST(SUM(in_a * in_b) AS BIGINT) AS n_common,
+       |              COUNT(*) AS n_union FROM sides),
+       |mh AS (SELECT $mins
+       |       FROM sid)
+       |SELECT n_grams_a, n_grams_b, n_common, n_union,
+       |       CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard_exact,
+       |       CAST($est AS DOUBLE) / 8.0 AS minhash_est
+       |FROM ex CROSS JOIN mh""".stripMargin
+  }
+
+  /** Incremental (delta) dedup — the production ingest shape: the NEW
+    * batch (docs with id ≡ 4 mod 5, ~20%) is checked against the EXISTING
+    * corpus without ever self-joining the existing side. Exact duplicates
+    * via an md5 content-hash left join (broadcastable at any corpus size:
+    * only the new batch's hashes travel); near-duplicate candidates via
+    * the banded-LSH key join against the existing index under the same
+    * degenerate-bucket cap as the self-join path; exact Jaccard verify
+    * confined to candidate edges. Per new doc: exact-dup flag, candidate
+    * count, best candidate Jaccard, near-dup flag (≥ 0.5). */
+  def deltaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isNew = pmod(col("doc_id"), lit(5)) === lit(4)
+    val g = graft.GraftCaches.track(Dedup.shingleSets(docs, "doc_id", "text"))
+    val bands = Dedup.lshBandsFrom(g, "doc_id")
+    val ok = bands.groupBy("band", "key").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= 100).select("band", "key")
+    val bb = bands.join(ok, Seq("band", "key"))
+      .join(docs.select(col("doc_id"), isNew.as("is_new")), "doc_id")
+    val cand = bb.filter(col("is_new"))
+      .select(col("doc_id").as("new_id"), col("band"), col("key"))
+      .join(bb.filter(!col("is_new"))
+        .select(col("doc_id").as("old_id"), col("band"), col("key")), Seq("band", "key"))
+      .select("new_id", "old_id").distinct()
+    val inter = size(array_intersect(col("ga"), col("gb")))
+    val agg = cand
+      .join(g.select(col("doc_id").as("new_id"), col("hs").as("ga")), "new_id")
+      .join(g.select(col("doc_id").as("old_id"), col("hs").as("gb")), "old_id")
+      .select(col("new_id"), col("old_id"),
+        (inter.cast("double") / (size(col("ga")) + size(col("gb")) - inter)).as("j"))
+      .groupBy("new_id")
+      .agg(count_distinct(col("old_id")).as("n_candidates"), max("j").as("best_jacc"))
+    val hashes = docs.select(col("doc_id"), isNew.as("is_new"), md5(col("text")).as("th"))
+    hashes.filter(col("is_new"))
+      .join(hashes.filter(!col("is_new")).select("th").distinct()
+        .withColumn("_ex", lit(1)), Seq("th"), "left")
+      .select(col("doc_id"), col("_ex").isNotNull.as("is_exact_dup"))
+      .join(agg, col("doc_id") === col("new_id"), "left")
+      .select(col("doc_id"), col("is_exact_dup"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("best_jacc"),
+        coalesce(col("best_jacc") >= 0.5, lit(false)).as("is_near_dup"))
+      .orderBy("doc_id")
+  }
+
+  val deltaDedupSql: String =
+    s"""WITH $shingleCte,
+       |$bandsCte,
+       |flags AS (SELECT doc_id, doc_id % 5 = 4 AS is_new, md5(text) AS th FROM documents),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+       |  FROM bb n JOIN flags fn ON fn.doc_id = n.doc_id AND fn.is_new
+       |       JOIN bb o ON o.j = n.j AND o.key = n.key
+       |       JOIN flags fo ON fo.doc_id = o.doc_id AND NOT fo.is_new),
+       |jac AS (
+       |  SELECT c.new_id, c.old_id,
+       |    CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+       |      (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS j
+       |  FROM cand c JOIN w a ON a.doc_id = c.new_id JOIN w b ON b.doc_id = c.old_id),
+       |agg AS (SELECT new_id, COUNT(DISTINCT old_id) AS n_candidates,
+       |               MAX(j) AS best_jacc FROM jac GROUP BY new_id)
+       |SELECT f.doc_id,
+       |       EXISTS(SELECT 1 FROM flags o WHERE NOT o.is_new AND o.th = f.th) AS is_exact_dup,
+       |       COALESCE(a.n_candidates, 0) AS n_candidates,
+       |       a.best_jacc,
+       |       COALESCE(a.best_jacc >= 0.5, false) AS is_near_dup
+       |FROM flags f LEFT JOIN agg a ON a.new_id = f.doc_id
+       |WHERE f.is_new
+       |ORDER BY f.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_overlap" -> (corpusOverlap _),
+    "delta_dedup" -> (deltaDedup _),
     "duplicate_ngrams" -> (duplicateNgrams _),
     "graph_pagerank" -> (graphPagerank _),
     "paragraph_dedup" -> (paragraphDedup _),
@@ -419,6 +553,8 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> (ngramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_overlap" -> corpusOverlapSql,
+    "delta_dedup" -> deltaDedupSql,
     "duplicate_ngrams" -> duplicateNgramsSql,
     "graph_pagerank" -> graphPagerankSql,
     "paragraph_dedup" -> paragraphDedupSql,
