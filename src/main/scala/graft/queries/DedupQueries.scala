@@ -412,14 +412,19 @@ object DedupQueries {
     * est-vs-exact. */
   def corpusOverlap(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val g = graft.GraftCaches.track(
+    // ONE map-side-combined shuffle keyed on the gram hash turns the
+    // exploded multiset directly into the per-distinct-gram membership
+    // relation (no separate distinct pass — max-flag aggregation IS the
+    // dedup); both output aggregates then fold the small cached `sides`
+    // relation, and the minhash mins are duplicate-insensitive so reading
+    // them off `sides` is exact.
+    val sides = graft.GraftCaches.track(
       Dedup.shingleSets(docs, "doc_id", "text")
         .join(docs.select(col("doc_id"), (length(col("source")) === 4).as("is_a")), "doc_id")
         .select(col("is_a"), explode(col("hs")).as("h"))
-        .distinct())
-    val sides = g.groupBy("h").agg(
-      max(when(col("is_a"), 1).otherwise(0)).as("in_a"),
-      max(when(!col("is_a"), 1).otherwise(0)).as("in_b"))
+        .groupBy("h").agg(
+          max(when(col("is_a"), 1).otherwise(0)).as("in_a"),
+          max(when(!col("is_a"), 1).otherwise(0)).as("in_b")))
     val exact = sides.agg(
       sum("in_a").cast("bigint").as("n_grams_a"),
       sum("in_b").cast("bigint").as("n_grams_b"),
@@ -427,10 +432,10 @@ object DedupQueries {
       count(lit(1)).as("n_union"))
     val mhCols = TextOps.MinhashSeeds.zipWithIndex.flatMap { case ((a, b), i) =>
       val perm = (col("h") * a + b) % M
-      Seq(min(when(col("is_a"), perm)).as(s"a$i"),
-        min(when(!col("is_a"), perm)).as(s"b$i"))
+      Seq(min(when(col("in_a") === 1, perm)).as(s"a$i"),
+        min(when(col("in_b") === 1, perm)).as(s"b$i"))
     }
-    val mh = g.agg(mhCols.head, mhCols.tail: _*)
+    val mh = sides.agg(mhCols.head, mhCols.tail: _*)
     val estCols = (0 until 8).map(i =>
       when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
     exact.crossJoin(mh)
@@ -441,14 +446,14 @@ object DedupQueries {
 
   val corpusOverlapSql: String = {
     val mins = (0 until 8).map { i =>
-      s"MIN(CASE WHEN is_a THEN (h*${A(i)} + ${B(i)}) % $M END) AS a$i,\n" +
-        s"         MIN(CASE WHEN NOT is_a THEN (h*${A(i)} + ${B(i)}) % $M END) AS b$i"
+      s"MIN(CASE WHEN in_a = 1 THEN (h*${A(i)} + ${B(i)}) % $M END) AS a$i,\n" +
+        s"         MIN(CASE WHEN in_b = 1 THEN (h*${A(i)} + ${B(i)}) % $M END) AS b$i"
     }.mkString(",\n         ")
     val est = (0 until 8).map(i => s"CASE WHEN a$i = b$i THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH $shingleCte,
-       |sid AS (SELECT DISTINCT len(d.source) = 4 AS is_a, unnest(w.hs) AS h
+       |sid AS (SELECT len(d.source) = 4 AS is_a, unnest(w.hs) AS h
        |        FROM w JOIN documents d ON w.doc_id = d.doc_id),
-       |sides AS (SELECT h, MAX(CASE WHEN is_a THEN 1 ELSE 0 END) AS in_a,
+       |sides AS MATERIALIZED (SELECT h, MAX(CASE WHEN is_a THEN 1 ELSE 0 END) AS in_a,
        |                 MAX(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS in_b
        |          FROM sid GROUP BY h),
        |ex AS (SELECT CAST(SUM(in_a) AS BIGINT) AS n_grams_a,
@@ -456,7 +461,7 @@ object DedupQueries {
        |              CAST(SUM(in_a * in_b) AS BIGINT) AS n_common,
        |              COUNT(*) AS n_union FROM sides),
        |mh AS (SELECT $mins
-       |       FROM sid)
+       |       FROM sides)
        |SELECT n_grams_a, n_grams_b, n_common, n_union,
        |       CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard_exact,
        |       CAST($est AS DOUBLE) / 8.0 AS minhash_est

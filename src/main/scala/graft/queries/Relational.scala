@@ -1480,7 +1480,50 @@ object Relational {
       |      (SELECT SUM(CAST(o_totalprice AS DECIMAL(14,2))) FROM orders)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Train/validation split leakage audit: users are assigned to splits
+    * by a seeded affine hash (80/20 — the deterministic, rerun-stable
+    * convention every split in this engine uses; a rand() split can't be
+    * audited because it can't be reproduced), and the audit then checks
+    * the assignment FROM THE EVENT DATA rather than trusting it: per
+    * split, user and event counts, the time range, and the number of
+    * users observed in BOTH splits — zero for a correct entity-level
+    * split, nonzero the moment someone "splits by event" (the leak every
+    * time-series training setup ships once). One groupBy(user) pass to
+    * assign + detect, one tiny aggregate per split. */
+  def leakageAudit(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = graft.operators.TextOps.MinhashSeeds(7)
+    val m = graft.functions.PolyHash.Mod
+    val split = when((col("user_id") * a + b) % m % 10 < 8, "train").otherwise("val")
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), split.as("split"))
+    val perUser = ev.groupBy("user_id")
+      .agg(count_distinct(col("split")).as("n_splits"))
+    ev.join(perUser, "user_id")
+      .groupBy("split")
+      .agg(count_distinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        min("ts").as("min_ts"), max("ts").as("max_ts"),
+        count_distinct(when(col("n_splits") > 1, col("user_id"))).as("n_leaked_users"))
+      .orderBy("split")
+  }
+
+  val leakageAuditSql: String = {
+    val (a, b) = graft.operators.TextOps.MinhashSeeds(7)
+    val m = graft.functions.PolyHash.Mod
+    s"""WITH ev AS (
+       |  SELECT user_id, ts,
+       |         CASE WHEN (user_id * ${a} + ${b}) % ${m} % 10 < 8 THEN 'train' ELSE 'val' END AS split
+       |  FROM events),
+       |pu AS (SELECT user_id, COUNT(DISTINCT split) AS n_splits FROM ev GROUP BY user_id)
+       |SELECT split, COUNT(DISTINCT ev.user_id) AS n_users, COUNT(*) AS n_events,
+       |       MIN(ts) AS min_ts, MAX(ts) AS max_ts,
+       |       COUNT(DISTINCT CASE WHEN n_splits > 1 THEN ev.user_id END) AS n_leaked_users
+       |FROM ev JOIN pu USING (user_id)
+       |GROUP BY split ORDER BY split""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "leakage_audit" -> (leakageAudit _),
     "sql_exists_orders" -> (sqlExistsOrders _),
     "trend_slope" -> (trendSlope _),
     "table_checksum" -> (tableChecksum _),
@@ -1531,6 +1574,7 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "leakage_audit" -> leakageAuditSql,
     "sql_exists_orders" -> sqlExistsOrdersSql,
     "trend_slope" -> trendSlopeSql,
     "table_checksum" -> tableChecksumSql,

@@ -944,7 +944,49 @@ object TextQueries {
        |ORDER BY lang, rank""".stripMargin
   }
 
+  /** Padding-waste audit for length-bucketed batching: documents ranked
+    * by token count (ascending, id tie-break) via [[graft.operators
+    * .PrefixScan]]'s distributed running count — never a global
+    * single-task window — then grouped into batches of 32 in rank order;
+    * per batch, the padded cost is n·max(tokens) and the waste is padded
+    * minus real — the number every training-throughput discussion starts
+    * from (length-sorted batching exists to shrink exactly this). The
+    * oracle computes the same ranks with a global window, so the
+    * distributed ranking rewrite is itself hash-checked. */
+  def paddingWaste(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(graft.operators.TextOps.words(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("one", lit(1L))
+    graft.operators.PrefixScan
+      .runningSumLong(toks, "one", "rank", col("n_tokens").asc, col("doc_id").asc)
+      .withColumn("batch_no", floor((col("rank") - 1) / 32).cast("bigint"))
+      .groupBy("batch_no")
+      .agg(count(lit(1)).as("n_docs"),
+        max("n_tokens").as("max_tokens"),
+        sum("n_tokens").as("sum_tokens"))
+      .select(col("batch_no"), col("n_docs"), col("max_tokens"), col("sum_tokens"),
+        (col("n_docs") * col("max_tokens") - col("sum_tokens")).as("padding_waste"),
+        (col("sum_tokens").cast("double") /
+          (col("n_docs") * col("max_tokens")).cast("double")).as("efficiency"))
+      .orderBy("batch_no")
+  }
+
+  val paddingWasteSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens
+      |  FROM documents),
+      |r AS (SELECT doc_id, n_tokens,
+      |        row_number() OVER (ORDER BY n_tokens ASC, doc_id ASC) AS rank FROM t),
+      |b AS (SELECT *, (rank - 1) // 32 AS batch_no FROM r)
+      |SELECT batch_no, COUNT(*) AS n_docs, MAX(n_tokens) AS max_tokens,
+      |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+      |       CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS padding_waste,
+      |       CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) * MAX(n_tokens) AS DOUBLE) AS efficiency
+      |FROM b GROUP BY batch_no ORDER BY batch_no""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "padding_waste" -> (paddingWaste _),
     "lm_score" -> (lmScore _),
     "ngram_novelty" -> (ngramNovelty _),
     "reservoir_per_group" -> (reservoirPerGroup _),
@@ -975,6 +1017,7 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "padding_waste" -> paddingWasteSql,
     "lm_score" -> lmScoreSql,
     "ngram_novelty" -> ngramNoveltySql,
     "reservoir_per_group" -> reservoirPerGroupSql,

@@ -24,12 +24,17 @@ class PlanGuardSpec extends AnyFunSuite {
   // ann_recall composes the brute-force baseline (embed_cosine_topk's
   // deliberate exact-scoring BNLJ) as its ground-truth side.
   // cms_heavy_hitters: the same 1-row total cross-broadcast as
-  // source_mix_weights. (pq_* stay OFF this list: codebook and LUT joins
-  // are equi-joins on (mi, code) — they must plan as BroadcastHashJoin.)
+  // source_mix_weights. corpus_overlap: the exact-stats row and the
+  // minhash-signature row are BOTH single-row aggregates joined into one
+  // output row — a deliberate scalar cross-broadcast. (pq_* stay OFF this
+  // list: codebook and LUT joins are equi-joins on (mi, code) — they must
+  // plan as BroadcastHashJoin. delta_dedup too: every join is an
+  // equi-join on band key / content hash / id.)
   private val bnljAllowed =
     Set("embed_cosine_topk", "ivf_assign", "ivf_topk", "ivf_train_assign",
       "ivf_kmeanspp_assign", "source_mix_weights", "ann_recall",
-      "cms_heavy_hitters", "zorder_cluster", "hist_quantiles")
+      "cms_heavy_hitters", "zorder_cluster", "hist_quantiles",
+      "corpus_overlap")
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
