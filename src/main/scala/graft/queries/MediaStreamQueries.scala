@@ -255,6 +255,24 @@ object MediaStreamQueries {
       |       STRING_AGG(event_type || ':' || n, ',' ORDER BY event_type) AS type_counts
       |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** transformWithState LIST-state differential: the per-user last-5
+    * recency buffer ([[graft.streaming.RecentEvents]]) against the
+    * relational top-5 window — ListState next to TypeStats' ValueState+
+    * MapState, so all three named-state kinds are oracle-checked. */
+  def streamRecentEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.RecentEvents.recentPerUser(Tables.events(spark, dir))
+      .orderBy("user_id")
+      .toDF()
+
+  val streamRecentEventsSql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS t,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_recent,
+      |       STRING_AGG(event_id, ',' ORDER BY t, event_id) AS recent_ids
+      |FROM r WHERE rn <= 5 GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Trailing-7-day distinct users per event day — the sliding DISTINCT
     * aggregation (DAU/WAU board) that tumbling windows can't express and
     * sliding SUM can't either (distinct doesn't merge). The scale shape:
@@ -339,6 +357,7 @@ object MediaStreamQueries {
     "event_rate_anomaly" -> (eventRateAnomaly _),
     "rolling_distinct_users" -> (rollingDistinctUsers _),
     "stream_type_stats" -> (streamTypeStats _),
+    "stream_recent_events" -> (streamRecentEvents _),
     "frame_sample" -> (frameSample _),
     "windowed_event_agg" -> (windowedEventAgg _),
     "sliding_event_agg" -> (slidingEventAgg _),
@@ -355,6 +374,7 @@ object MediaStreamQueries {
     "event_rate_anomaly" -> eventRateAnomalySql,
     "rolling_distinct_users" -> rollingDistinctUsersSql,
     "stream_type_stats" -> streamTypeStatsSql,
+    "stream_recent_events" -> streamRecentEventsSql,
     "frame_sample" -> frameSampleSql,
     "windowed_event_agg" -> windowedEventAggSql,
     "sliding_event_agg" -> slidingEventAggSql,

@@ -376,7 +376,52 @@ object SimilarityQueries {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, vec_id ASC) AS rank FROM s) t
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
+  /** Embedding outlier score: each vector's cosine to its own LABEL
+    * centroid — the quality pass that flags mislabeled/garbage embeddings
+    * before ANN-index build or class-balanced sampling (a vector far from
+    * its class centroid is a candidate label error). Centroid means use
+    * the exact micro-scaled decimal sums of embedDimStats (partition
+    * order can't perturb them) and assemble per label with a struct-sort,
+    * so the centroid relation — |labels|·dims rows, always broadcastable
+    * — is bit-reproducible; the per-vector cosine is then one broadcast
+    * join + the fixed-order VecDot fold at scan speed. At 100 TB: one
+    * posexplode shuffle for the moments, nothing else moves. */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("bigint").as("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val mu = emb.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg((sum(round(col("x") * lit(1e6)).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .cast("double") / (lit(1e6) * count(lit(1)))).as("mu"))
+    val centroids = mu.groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mu")))),
+        s => s.getField("mu")).as("c"))
+    val dot = Similarity.dot _
+    emb.join(broadcast(centroids), "label")
+      .select(col("vec_id"), col("label"),
+        (dot(col("v"), col("c")) /
+          (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("c"), col("c")))))
+          .as("cos_centroid"))
+      .orderBy("vec_id")
+  }
+
+  val embedOutliersSql: String =
+    s"""WITH ev AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+       |           FROM embeddings),
+       |d AS (SELECT label, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x FROM ev),
+       |mu AS (SELECT label, dim,
+       |         CAST(SUM(CAST(round(x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+       |           / (1000000.0 * COUNT(*)) AS mu
+       |       FROM d GROUP BY label, dim),
+       |c AS (SELECT label, list(mu ORDER BY dim) AS c FROM mu GROUP BY label)
+       |SELECT e.vec_id, e.label,
+       |       ${dotSql("e.v", "c.c")} /
+       |         (sqrt(${dotSql("e.v", "e.v")}) * sqrt(${dotSql("c.c", "c.c")})) AS cos_centroid
+       |FROM ev e JOIN c USING (label) ORDER BY e.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_outliers" -> (embedOutliers _),
     "pq_codes" -> (pqCodesQ _),
     "pq_adc_topk" -> (pqAdcTopKQ _),
     "embed_dim_stats" -> (embedDimStats _),
@@ -392,6 +437,7 @@ object SimilarityQueries {
     "ivf_topk" -> (ivfTopK _))
 
   val oracles: Map[String, String] = Map(
+    "embed_outliers" -> embedOutliersSql,
     "pq_codes" -> pqCodesSql,
     "pq_adc_topk" -> pqAdcTopKSql,
     "embed_dim_stats" -> embedDimStatsSql,

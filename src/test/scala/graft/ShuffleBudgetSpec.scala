@@ -40,7 +40,13 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "big_orders" -> 3,         // fact agg + join-back + result sort
     "snapshot_diff" -> 4,      // full-outer key shuffle (both sides) + status agg + result sort
     "zorder_cluster" -> 3,     // zmax 1-row agg + z-bucket agg + result sort
-    "pq_codes" -> 3)           // (id,mi) argmin agg + id regroup + result sort
+    "pq_codes" -> 3,           // (id,mi) argmin agg + id regroup + result sort
+    "lm_score" -> 6,           // c1 agg + c2 agg + 2 gram-keyed joins + doc agg + sort
+    "ngram_novelty" -> 6,      // distinct (doc,gram) + df agg + gram join + doc agg + sort
+    "reservoir_per_group" -> 2,// lang top-k agg (bounded buffers) + result sort
+    "padding_waste" -> 4,      // range exchange (PrefixScan) + batch agg + sort
+    "leakage_audit" -> 6,      // per-user split agg + user join + split agg + sort
+    "corpus_overlap" -> 7)     // gram membership agg + two 1-row folds over it
   // Iterated operators (graph_pagerank, dedup_components*) are NOT pinned:
   // their pre-execution plan string inlines every tracked-cache subtree per
   // round, so the static exchange count overstates what executes (cached
