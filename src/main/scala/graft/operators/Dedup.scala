@@ -411,6 +411,41 @@ object Dedup {
     }
   }
 
+  /** Label-propagation communities over the undirected candidate graph —
+    * the coarser-than-components clustering pass (components merge
+    * anything connected; LPA splits a weakly-bridged blob into dense
+    * cores, which is what boilerplate-family triage wants). Synchronous
+    * LPA with a DETERMINISTIC vote: each round every node adopts the
+    * most frequent label among its neighbors, ties broken by the LOWEST
+    * label (classic LPA's random tie-break can't be oracle-checked or
+    * reproduced); isolated carry their label. Fixed `iters` rounds,
+    * oracle-unrollable like [[pageRank]].
+    *
+    * Scale shape per round: one map-side-combined shuffle on (dst,
+    * label) for the vote counts, one argmax per dst (struct-max — never
+    * a per-node window), one node-keyed left join; per-round labels are
+    * PINNED (localCheckpoint) like every iterated operator here. */
+  def labelPropagation(edges: DataFrame, iters: Int = 2): DataFrame = {
+    val bidir = graft.GraftCaches.pin(
+      edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    val init = bidir.select(col("src").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+    val labeled = (1 to iters).foldLeft(init) { (lab, _) =>
+      val l = graft.GraftCaches.pin(lab)
+      // Votes: neighbor labels per dst; winner = max (count, -label).
+      val win = bidir.join(l, col("src") === col("doc_id"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("dst")
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("w"))
+        .select(col("dst"), (-col("w.neg")).as("win_lbl"))
+      l.join(win, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"), coalesce(col("win_lbl"), col("lbl")).as("lbl"))
+    }
+    labeled
+  }
+
   /** Segment-level exact dedup with document reassembly — the CCNet-style
     * line/paragraph dedup pass (boilerplate headers, licence blocks, nav
     * text repeat ACROSS documents; whole-doc dedup never sees them).

@@ -213,6 +213,37 @@ object DedupQueries {
        |SELECT doc_id, comp_id, doc_id = comp_id AS is_keeper
        |FROM l3 ORDER BY doc_id""".stripMargin
 
+  /** Deterministic label-propagation communities over the LSH candidate
+    * graph: 2 synchronous rounds, vote = most frequent neighbor label
+    * with lowest-label tie-break ([[Dedup.labelPropagation]]). The oracle
+    * unrolls both rounds — vote counts, the row_number argmax, the
+    * isolated-node carry — so every intermediate labeling is checked. */
+  def graphCommunities(spark: SparkSession, dir: String): DataFrame =
+    Dedup.labelPropagation(
+        Dedup.lshCandidatePairs(Tables.documents(spark, dir), "doc_id", "text"),
+        iters = 2)
+      .orderBy("doc_id")
+
+  private def lpaStepCte(j: Int): String =
+    s"""v$j AS (SELECT e2.dst, p.lbl, COUNT(*) AS cnt
+       |        FROM e2 JOIN p${j - 1} p ON p.doc_id = e2.src GROUP BY e2.dst, p.lbl),
+       |w$j AS (SELECT dst, lbl AS win_lbl FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, lbl ASC) AS rn
+       |          FROM v$j) t WHERE rn = 1),
+       |p$j AS MATERIALIZED (SELECT p.doc_id, COALESCE(w.win_lbl, p.lbl) AS lbl
+       |       FROM p${j - 1} p LEFT JOIN w$j w ON w.dst = p.doc_id)""".stripMargin
+
+  val graphCommunitiesSql: String =
+    s"""WITH $shingleCte,
+       |$bandsCte,
+       |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bb a JOIN bb b ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id),
+       |e2 AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM cand
+       |       UNION ALL SELECT doc_b, doc_a FROM cand),
+       |p0 AS (SELECT DISTINCT src AS doc_id, src AS lbl FROM e2),
+       |${(1 to 2).map(lpaStepCte).mkString(",\n")}
+       |SELECT doc_id, lbl FROM p2 ORDER BY doc_id""".stripMargin
+
   /** Iterate-until-stable cluster resolution over the same LSH candidate
     * edges. The oracle is deliberately DIFFERENT math: a recursive
     * reachability closure computing TRUE connected components (min
@@ -540,6 +571,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_overlap" -> (corpusOverlap _),
     "delta_dedup" -> (deltaDedup _),
+    "graph_communities" -> (graphCommunities _),
     "duplicate_ngrams" -> (duplicateNgrams _),
     "graph_pagerank" -> (graphPagerank _),
     "paragraph_dedup" -> (paragraphDedup _),
@@ -560,6 +592,7 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "corpus_overlap" -> corpusOverlapSql,
     "delta_dedup" -> deltaDedupSql,
+    "graph_communities" -> graphCommunitiesSql,
     "duplicate_ngrams" -> duplicateNgramsSql,
     "graph_pagerank" -> graphPagerankSql,
     "paragraph_dedup" -> paragraphDedupSql,

@@ -376,6 +376,33 @@ object SimilarityQueries {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, vec_id ASC) AS rank FROM s) t
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
+  /** Recall@10 of the IVF index against brute force — the companion to
+    * [[annRecall]] (which evaluates the LSH index): with both recall
+    * numbers hash-checked, the two ANN paths' quality is directly
+    * comparable in the same harness. Same composition: truth set is the
+    * denominator, left join direction keeps k rows per query. */
+  def ivfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.GraftCaches.track(Tables.embeddings(spark, dir))
+    val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 5, k = 10)
+      .select(col("q_id"), col("vec_id"))
+    val approx = Similarity.ivfTopK(emb, "vec_id", "embedding", col("vec_id") < 5, k = 10)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / col("k").cast("double"))
+      .orderBy("q_id")
+  }
+
+  val ivfRecallSql: String =
+    s"""WITH truth AS (SELECT q_id, vec_id FROM ($cosineTopKSql)),
+       |approx AS (SELECT q_id, vec_id, 1::BIGINT AS hit FROM ($ivfTopKSql))
+       |SELECT t.q_id, COUNT(*) AS k,
+       |       CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS n_hits,
+       |       CAST(SUM(COALESCE(a.hit, 0)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+       |FROM truth t LEFT JOIN approx a USING (q_id, vec_id)
+       |GROUP BY t.q_id ORDER BY q_id""".stripMargin
+
   /** Embedding outlier score: each vector's cosine to its own LABEL
     * centroid — the quality pass that flags mislabeled/garbage embeddings
     * before ANN-index build or class-balanced sampling (a vector far from
@@ -422,6 +449,7 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_outliers" -> (embedOutliers _),
+    "ivf_recall" -> (ivfRecall _),
     "pq_codes" -> (pqCodesQ _),
     "pq_adc_topk" -> (pqAdcTopKQ _),
     "embed_dim_stats" -> (embedDimStats _),
@@ -438,6 +466,7 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "embed_outliers" -> embedOutliersSql,
+    "ivf_recall" -> ivfRecallSql,
     "pq_codes" -> pqCodesSql,
     "pq_adc_topk" -> pqAdcTopKSql,
     "embed_dim_stats" -> embedDimStatsSql,

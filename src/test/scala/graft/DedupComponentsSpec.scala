@@ -21,6 +21,36 @@ class DedupComponentsSpec extends AnyFunSuite {
     GraftCaches.releaseAll()
   }
 
+  test("label propagation: deterministic vote, tie to lowest, isolated carry") {
+    import spark.implicits._
+    // Triangle 1-2-3 plus the pair 10-11. Round 1 (ties -> lowest):
+    //   1 <- {2,3} tie -> 2; 2 <- {1,3} tie -> 1; 3 <- {1,2} tie -> 1
+    //   10 <- {11} -> 11; 11 <- {10} -> 10
+    // Round 2:
+    //   1 <- {lbl(2)=1, lbl(3)=1} -> 1; 2 <- {2,1} tie -> 1; 3 <- {2,1} tie -> 1
+    //   10 <- {lbl(11)=10} -> 10; 11 <- {lbl(10)=11} -> 11
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.labelPropagation(edges, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 11L))
+    GraftCaches.releaseAll()
+  }
+
+  test("label propagation: majority beats lower label when counts differ") {
+    import spark.implicits._
+    // Triangle 2-3-4 with pendant 9 on node 4. Hand-traced:
+    // Round 1: 2<-{3,4}->3; 3<-{2,4}->2; 4<-{2,3,9}->2; 9<-{4}->4.
+    // Round 2: 2 <- {lbl(3)=2, lbl(4)=2}: label 2 wins by COUNT 2 (the
+    //          majority path, not the tie-break); 3 <- {3,2} tie -> 2;
+    //          4 <- {3,2,4} tie -> 2; 9 <- {lbl(4)=2} -> 2.
+    // The dense core's label floods the pendant in two rounds.
+    val edges = Seq((2L, 3L), (2L, 4L), (3L, 4L), (4L, 9L)).toDF("doc_a", "doc_b")
+    val got = Dedup.labelPropagation(edges, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(2L -> 2L, 3L -> 2L, 4L -> 2L, 9L -> 2L))
+    GraftCaches.releaseAll()
+  }
+
   test("iteration bound is honored: a long chain needs enough rounds") {
     import spark.implicits._
     val chain = (1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq

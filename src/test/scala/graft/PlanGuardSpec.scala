@@ -21,8 +21,10 @@ class PlanGuardSpec extends AnyFunSuite {
   // against a scan — a deliberate broadcast nested loop over a constant side.
   // source_mix_weights: the corpus-total side is ONE aggregated row
   // cross-broadcast to k source rows — a deliberate scalar broadcast.
-  // ann_recall composes the brute-force baseline (embed_cosine_topk's
-  // deliberate exact-scoring BNLJ) as its ground-truth side.
+  // ann_recall and ivf_recall compose the brute-force baseline
+  // (embed_cosine_topk's deliberate exact-scoring BNLJ) as their
+  // ground-truth side; ivf_recall's approx side also probes the 16-tiny-
+  // centroid constant relation like the other ivf_* queries.
   // cms_heavy_hitters: the same 1-row total cross-broadcast as
   // source_mix_weights. corpus_overlap: the exact-stats row and the
   // minhash-signature row are BOTH single-row aggregates joined into one
@@ -32,7 +34,7 @@ class PlanGuardSpec extends AnyFunSuite {
   // equi-join on band key / content hash / id.)
   private val bnljAllowed =
     Set("embed_cosine_topk", "ivf_assign", "ivf_topk", "ivf_train_assign",
-      "ivf_kmeanspp_assign", "source_mix_weights", "ann_recall",
+      "ivf_kmeanspp_assign", "source_mix_weights", "ann_recall", "ivf_recall",
       "cms_heavy_hitters", "zorder_cluster", "hist_quantiles",
       "corpus_overlap")
 
