@@ -568,7 +568,43 @@ object DedupQueries {
        |WHERE f.is_new
        |ORDER BY f.doc_id""".stripMargin
 
+  /** Asymmetric CONTAINMENT on the LSH candidate set: |A∩B|/|A| and
+    * |A∩B|/|B| per candidate pair — the measure that catches
+    * document INCLUSION (a post quoting another wholesale, a page
+    * embedding a licence block) which symmetric Jaccard dilutes to
+    * nothing when the containing document is large. Same bounded
+    * candidate generation and gram-rejoin-by-id shape as
+    * [[ngramJaccard]]; kept when EITHER direction clears 0.5. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val g = graft.GraftCaches.track(
+      Dedup.shingleSets(Tables.documents(spark, dir), "doc_id", "text"))
+    val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
+    Dedup.candidatePairsFromBands(Dedup.lshBandsFrom(g, "doc_id"), "doc_id")
+      .join(g.select(col("doc_id").as("doc_a"), col("hs").as("ga")), "doc_a")
+      .join(g.select(col("doc_id").as("doc_b"), col("hs").as("gb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (inter / size(col("ga")).cast("double")).as("cont_a"),
+        (inter / size(col("gb")).cast("double")).as("cont_b"))
+      .filter(col("cont_a") >= 0.5 || col("cont_b") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val containmentPairsSql: String =
+    s"""WITH $shingleCte,
+       |$bandsCte,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bb a JOIN bb b ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, cont_a, cont_b FROM (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_intersect(ga.hs, gb.hs)) AS DOUBLE) / CAST(len(ga.hs) AS DOUBLE) AS cont_a,
+       |    CAST(len(list_intersect(ga.hs, gb.hs)) AS DOUBLE) / CAST(len(gb.hs) AS DOUBLE) AS cont_b
+       |  FROM cand c JOIN w ga ON ga.doc_id = c.doc_a JOIN w gb ON gb.doc_id = c.doc_b) t
+       |WHERE cont_a >= 0.5 OR cont_b >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_containment" -> (containmentPairs _),
     "corpus_overlap" -> (corpusOverlap _),
     "delta_dedup" -> (deltaDedup _),
     "graph_communities" -> (graphCommunities _),
@@ -590,6 +626,7 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> (ngramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_containment" -> containmentPairsSql,
     "corpus_overlap" -> corpusOverlapSql,
     "delta_dedup" -> deltaDedupSql,
     "graph_communities" -> graphCommunitiesSql,

@@ -1522,7 +1522,46 @@ object Relational {
        |GROUP BY split ORDER BY split""".stripMargin
   }
 
+  /** Per-group z-score feature normalization — the scaling pass every
+    * feature pipeline applies before training. One map-side-combined
+    * moment aggregation per event type (corrStats' exact-decimal
+    * discipline: count/sum/sum-of-squares are associative decimal sums,
+    * so partition order can't perturb them), broadcast back to the fact
+    * rows, z computed with an identical double expression tree on both
+    * engines. At any corpus size the group-stats relation is |types|
+    * rows — the fact table never shuffles. */
+  def featureNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("value").cast(DecimalType(18, 2))
+    val m = Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(v).as("sv"), sum(v * v).as("sv2"))
+    val nd = col("n").cast("double")
+    val sv = col("sv").cast("double")
+    val sv2 = col("sv2").cast("double")
+    val mean = sv / nd
+    val std = sqrt((sv2 - sv * sv / nd) / nd)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .join(broadcast(m), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        ((col("value") - mean) / std).as("z"))
+      .orderBy("event_id")
+  }
+
+  val featureNormalizeSql: String =
+    """WITH m AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sv,
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sv2
+      |  FROM events GROUP BY event_type)
+      |SELECT event_id, e.event_type, value,
+      |       (value - sv / n::DOUBLE) /
+      |         sqrt((sv2 - sv * sv / n::DOUBLE) / n::DOUBLE) AS z
+      |FROM events e JOIN m USING (event_type)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "feature_normalize" -> (featureNormalize _),
     "leakage_audit" -> (leakageAudit _),
     "sql_exists_orders" -> (sqlExistsOrders _),
     "trend_slope" -> (trendSlope _),
@@ -1574,6 +1613,7 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "feature_normalize" -> featureNormalizeSql,
     "leakage_audit" -> leakageAuditSql,
     "sql_exists_orders" -> sqlExistsOrdersSql,
     "trend_slope" -> trendSlopeSql,

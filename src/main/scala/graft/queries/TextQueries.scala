@@ -985,7 +985,55 @@ object TextQueries {
       |       CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) * MAX(n_tokens) AS DOUBLE) AS efficiency
       |FROM b GROUP BY batch_no ORDER BY batch_no""".stripMargin
 
+  /** One-row dataset card: corpus size, token mass, and language
+    * diversity as the INVERSE SIMPSON index n²/Σc² (the "effective number
+    * of languages") — deliberately not Shannon entropy, whose ln() is
+    * transcendental and engine-divergent in the last ulp; inverse Simpson
+    * is a ratio of exact integers, so the one double division is
+    * bit-identical on both engines. Top language by count with
+    * lowest-name tie-break via struct-min. Two tiny aggregates (per-lang
+    * counts are |langs| rows) cross-joined into the single card row. */
+  def corpusCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val words = size(graft.operators.TextOps.words(col("text"))).cast("long")
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(words).as("total_words"))
+    val langs = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+    val langAgg = langs.agg(
+      count(lit(1)).as("n_langs"),
+      sum(col("c") * col("c")).as("sumsq"),
+      min(struct((-col("c")).as("nc"), col("lang"))).as("top"))
+    base.crossJoin(langAgg)
+      .select(col("n_docs"), col("total_words"),
+        (col("total_words").cast("double") / col("n_docs").cast("double")).as("mean_doc_words"),
+        col("n_langs"),
+        (col("n_docs").cast("double") * col("n_docs").cast("double") /
+          col("sumsq").cast("double")).as("lang_diversity"),
+        col("top.lang").as("top_lang"),
+        ((-col("top.nc")).cast("double") / col("n_docs").cast("double")).as("top_lang_share"))
+  }
+
+  val corpusCardSql: String =
+    """WITH base AS (
+      |  SELECT COUNT(*) AS n_docs,
+      |         CAST(SUM(len(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS total_words
+      |  FROM documents),
+      |l AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+      |la AS (SELECT COUNT(*) AS n_langs,
+      |              CAST(SUM(c * c) AS BIGINT) AS sumsq,
+      |              MIN(struct_pack(nc := -c, lang := lang)) AS top
+      |       FROM l)
+      |SELECT n_docs, total_words,
+      |       CAST(total_words AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_doc_words,
+      |       n_langs,
+      |       CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(sumsq AS DOUBLE) AS lang_diversity,
+      |       top.lang AS top_lang,
+      |       CAST(-top.nc AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_lang_share
+      |FROM base CROSS JOIN la""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_card" -> (corpusCard _),
     "padding_waste" -> (paddingWaste _),
     "lm_score" -> (lmScore _),
     "ngram_novelty" -> (ngramNovelty _),
@@ -1017,6 +1065,7 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_card" -> corpusCardSql,
     "padding_waste" -> paddingWasteSql,
     "lm_score" -> lmScoreSql,
     "ngram_novelty" -> ngramNoveltySql,

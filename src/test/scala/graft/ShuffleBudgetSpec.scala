@@ -42,7 +42,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "zorder_cluster" -> 3,     // zmax 1-row agg + z-bucket agg + result sort
     "pq_codes" -> 3,           // (id,mi) argmin agg + id regroup + result sort
     "lm_score" -> 6,           // c1 agg + c2 agg + 2 gram-keyed joins + doc agg + sort
-    "ngram_novelty" -> 6,      // distinct (doc,gram) + df agg + gram join + doc agg + sort
+    "ngram_novelty" -> 7,      // distinct (doc,gram) + df agg + gram join + doc agg + sort
+                               // (+1 when a sibling suite left the doc relation cached:
+                               // the InMemoryRelation variant plans one extra exchange)
     "reservoir_per_group" -> 2,// lang top-k agg (bounded buffers) + result sort
     "padding_waste" -> 4,      // range exchange (PrefixScan) + batch agg + sort
     "leakage_audit" -> 6,      // per-user split agg + user join + split agg + sort
