@@ -1560,7 +1560,107 @@ object Relational {
       |FROM events e JOIN m USING (event_type)
       |ORDER BY event_id""".stripMargin
 
+  /** Robust outlier screen per event type: median + MAD instead of
+    * mean + stddev (one fat-fingered 1e9 value drags a z-score
+    * threshold into uselessness; the median absolute deviation doesn't
+    * budge). Both statistics are PICK-based lower medians (rank =
+    * (n+1) div 2 over a total order) — no interpolation, so the values
+    * are exact row values and the engines can't disagree on averaging;
+    * deviations are one IEEE subtraction each. Flag = dev > 3·1.4826·MAD
+    * (the Gaussian-consistency constant), counted per type. Windows are
+    * per-type — partition-parallel; the exact-median sort is the price,
+    * hist_quantiles is the approximate path at 100 TB. */
+  def robustOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy("event_type").orderBy(col(valueCol), col("event_id"))
+      df.withColumn("rn", row_number().over(w).cast("bigint"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .filter(expr("rn = (n + 1) div 2"))
+        .select(col("event_type"), col(valueCol).as(out))
+    }
+    val med = lowerMedian(ev, "value", "med")
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = lowerMedian(dev.select(col("event_type"), col("dev"), col("event_id")),
+      "dev", "mad")
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        max("med").as("median_value"), max("mad").as("mad"),
+        sum(when(col("dev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  val robustOutliersSql: String =
+    """WITH ev AS (SELECT event_type, value, event_id FROM events),
+      |med AS (SELECT event_type, value AS med FROM (
+      |  SELECT event_type, value,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |         COUNT(*) OVER (PARTITION BY event_type) AS n FROM ev) t
+      |  WHERE rn = (n + 1) // 2),
+      |d AS (SELECT ev.event_type, ev.event_id, med.med, abs(value - med) AS dev
+      |      FROM ev JOIN med USING (event_type)),
+      |mad AS (SELECT event_type, dev AS mad FROM (
+      |  SELECT event_type, dev,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+      |         COUNT(*) OVER (PARTITION BY event_type) AS n FROM d) t
+      |  WHERE rn = (n + 1) // 2)
+      |SELECT d.event_type, COUNT(*) AS n, MAX(d.med) AS median_value, MAX(mad.mad) AS mad,
+      |       CAST(SUM(CASE WHEN d.dev > 3.0 * 1.4826 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM d JOIN mad USING (event_type)
+      |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+
+  /** Event-type co-occurrence with lift over (user, day) baskets — the
+    * market-basket screen ("which behaviors travel together") on the
+    * event stream. Baskets are distinct (user, day, type) triples, so the
+    * pair self-join is bounded by |types|² per basket regardless of event
+    * volume — the explosion is capped by the type domain, never the
+    * stream. lift = P(a,b)/(P(a)·P(b)) computed as a ratio of exact
+    * counts with one double division. */
+  def typeCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val basket = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+      .distinct()
+    val b = graft.GraftCaches.track(basket)
+    val totals = b.select("user_id", "day").distinct().agg(count(lit(1)).as("n_baskets"))
+    val perType = b.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+    val pairs = b.select(col("user_id"), col("day"), col("event_type").as("type_a"))
+      .join(b.select(col("user_id"), col("day"), col("event_type").as("type_b")),
+        Seq("user_id", "day"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(perType.select(col("event_type").as("type_a"), col("n_t").as("n_a"))), "type_a")
+      .join(broadcast(perType.select(col("event_type").as("type_b"), col("n_t").as("n_b"))), "type_b")
+      .crossJoin(broadcast(totals))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"), col("n_b"),
+        ((col("n_both") * col("n_baskets")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val typeCooccurrenceSql: String =
+    """WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events),
+      |tot AS (SELECT COUNT(*) AS n_baskets FROM (SELECT DISTINCT user_id, day FROM b)),
+      |pt AS (SELECT event_type, COUNT(*) AS n_t FROM b GROUP BY event_type),
+      |p AS (SELECT a.event_type AS type_a, c.event_type AS type_b, COUNT(*) AS n_both
+      |      FROM b a JOIN b c ON a.user_id = c.user_id AND a.day = c.day
+      |                       AND a.event_type < c.event_type
+      |      GROUP BY a.event_type, c.event_type)
+      |SELECT type_a, type_b, n_both, pa.n_t AS n_a, pb.n_t AS n_b,
+      |       CAST(n_both * n_baskets AS DOUBLE) / CAST(pa.n_t * pb.n_t AS DOUBLE) AS lift
+      |FROM p JOIN pt pa ON pa.event_type = p.type_a
+      |       JOIN pt pb ON pb.event_type = p.type_b
+      |       CROSS JOIN tot
+      |ORDER BY type_a, type_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "robust_outliers" -> (robustOutliers _),
+    "type_cooccurrence" -> (typeCooccurrence _),
     "feature_normalize" -> (featureNormalize _),
     "leakage_audit" -> (leakageAudit _),
     "sql_exists_orders" -> (sqlExistsOrders _),
@@ -1613,6 +1713,8 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "robust_outliers" -> robustOutliersSql,
+    "type_cooccurrence" -> typeCooccurrenceSql,
     "feature_normalize" -> featureNormalizeSql,
     "leakage_audit" -> leakageAuditSql,
     "sql_exists_orders" -> sqlExistsOrdersSql,
