@@ -1658,7 +1658,79 @@ object Relational {
       |       CROSS JOIN tot
       |ORDER BY type_a, type_b""".stripMargin
 
+  /** Cohort retention triangle: users grouped by FIRST-seen week, then
+    * for each (cohort, weeks-since) cell the count of cohort users active
+    * that week and the retention share — the product-analytics staple.
+    * Two map-side-combined aggregations (first-seen per user, distinct
+    * user-week activity) and one user-keyed join; the triangle itself is
+    * |weeks|² rows. Retention is a ratio of exact counts. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+    val activity = graft.GraftCaches.track(ev.distinct())
+    val cohort = activity.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val cohortSize = cohort.groupBy("cohort_week").agg(count(lit(1)).as("n_cohort"))
+    activity.join(cohort, "user_id")
+      .withColumn("weeks_since",
+        floor(datediff(col("week"), col("cohort_week")) / 7).cast("bigint"))
+      .groupBy("cohort_week", "weeks_since")
+      .agg(count_distinct(col("user_id")).as("n_active"))
+      .join(broadcast(cohortSize), "cohort_week")
+      .select(col("cohort_week"), col("weeks_since"), col("n_active"), col("n_cohort"),
+        (col("n_active").cast("double") / col("n_cohort").cast("double")).as("retention"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+
+  val cohortRetentionSql: String =
+    """WITH a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+      |c AS (SELECT user_id, MIN(week) AS cohort_week FROM a GROUP BY user_id),
+      |cs AS (SELECT cohort_week, COUNT(*) AS n_cohort FROM c GROUP BY cohort_week),
+      |r AS (SELECT c.cohort_week,
+      |             CAST((CAST(a.week AS DATE) - CAST(c.cohort_week AS DATE)) // 7 AS BIGINT) AS weeks_since,
+      |             COUNT(DISTINCT a.user_id) AS n_active
+      |      FROM a JOIN c USING (user_id)
+      |      GROUP BY c.cohort_week, weeks_since)
+      |SELECT r.cohort_week, weeks_since, n_active, n_cohort,
+      |       CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS retention
+      |FROM r JOIN cs USING (cohort_week)
+      |ORDER BY cohort_week, weeks_since""".stripMargin
+
+  /** Exponentially time-decayed engagement per user with EXACT decay
+    * weights: weight = 2^-(age_weeks), computed as an integer bit shift
+    * (1 << age) — never pow()/exp(), whose libm rounding differs between
+    * engines — and the weighted sum micro-scaled to exact decimals so
+    * partition order can't perturb it. The recency-weighted activity
+    * score every ranking/personalization pipeline keeps. Age capped at
+    * 40 weeks (2^-40 ≈ 1e-12 is below the 1e-9 quantum anyway). */
+  def decayedEngagement(spark: SparkSession, dir: String): DataFrame = {
+    val maxTs = Tables.events(spark, dir).agg(max(to_date(col("ts"))).as("d0"))
+    val age = least(floor(datediff(col("d0"), to_date(col("ts"))) / 7), lit(40))
+      .cast("int")
+    val wv = col("value") / expr("shiftleft(CAST(1 AS BIGINT), age)")
+    Tables.events(spark, dir)
+      .crossJoin(broadcast(maxTs))
+      .select(col("user_id"), col("value"), age.as("age"))
+      .select(col("user_id"),
+        round(wv * lit(1e9)).cast(DecimalType(38, 0)).as("wv"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("wv")).cast("double") / lit(1e9)).as("decayed_value"))
+      .orderBy("user_id")
+  }
+
+  val decayedEngagementSql: String =
+    """WITH m AS (SELECT MAX(CAST(ts AS DATE)) AS d0 FROM events),
+      |w AS (SELECT user_id,
+      |             CAST(round(value / (1::BIGINT << LEAST((d0 - CAST(ts AS DATE)) // 7, 40)) * 1000000000.0)
+      |                  AS DECIMAL(38,0)) AS wv
+      |      FROM events CROSS JOIN m)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |       CAST(SUM(wv) AS DOUBLE) / 1000000000.0 AS decayed_value
+      |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cohort_retention" -> (cohortRetention _),
+    "decayed_engagement" -> (decayedEngagement _),
     "robust_outliers" -> (robustOutliers _),
     "type_cooccurrence" -> (typeCooccurrence _),
     "feature_normalize" -> (featureNormalize _),
@@ -1713,6 +1785,8 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "cohort_retention" -> cohortRetentionSql,
+    "decayed_engagement" -> decayedEngagementSql,
     "robust_outliers" -> robustOutliersSql,
     "type_cooccurrence" -> typeCooccurrenceSql,
     "feature_normalize" -> featureNormalizeSql,

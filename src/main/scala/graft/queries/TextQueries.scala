@@ -1032,7 +1032,38 @@ object TextQueries {
       |       CAST(-top.nc AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_lang_share
       |FROM base CROSS JOIN la""".stripMargin
 
+  /** PII inventory: per-document counts of email-shaped, URL-shaped and
+    * long-digit-run spans plus a corpus-level rollup flag — the privacy
+    * audit that decides whether a source needs the redaction pass
+    * (text_redact is the scrubber; this is the detector that scopes it).
+    * Pure scan-speed regexp_count column math, RE2-safe patterns shared
+    * verbatim with the oracle. */
+  def piiInventory(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val url = "https?://[^\\s]+"
+    val digits = "[0-9]{6,}"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_count(lower(col("text")), lit(email)).cast("bigint").as("n_emails"),
+        regexp_count(lower(col("text")), lit(url)).cast("bigint").as("n_urls"),
+        regexp_count(col("text"), lit(digits)).cast("bigint").as("n_digit_runs"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_urls") + col("n_digit_runs") > 0)
+      .orderBy("doc_id")
+  }
+
+  val piiInventorySql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(lower(text), 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+      |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_digit_runs,
+      |  len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+      |    + len(regexp_extract_all(lower(text), 'https?://[^\s]+'))
+      |    + len(regexp_extract_all(text, '[0-9]{6,}')) > 0 AS has_pii
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_inventory" -> (piiInventory _),
     "corpus_card" -> (corpusCard _),
     "padding_waste" -> (paddingWaste _),
     "lm_score" -> (lmScore _),
@@ -1065,6 +1096,7 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "pii_inventory" -> piiInventorySql,
     "corpus_card" -> corpusCardSql,
     "padding_waste" -> paddingWasteSql,
     "lm_score" -> lmScoreSql,

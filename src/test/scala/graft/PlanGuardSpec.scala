@@ -36,7 +36,8 @@ class PlanGuardSpec extends AnyFunSuite {
     Set("embed_cosine_topk", "ivf_assign", "ivf_topk", "ivf_train_assign",
       "ivf_kmeanspp_assign", "source_mix_weights", "ann_recall", "ivf_recall",
       "cms_heavy_hitters", "zorder_cluster", "hist_quantiles",
-      "corpus_overlap", "corpus_card", "type_cooccurrence")
+      "corpus_overlap", "corpus_card", "type_cooccurrence",
+      "decayed_engagement")
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
