@@ -603,7 +603,72 @@ object DedupQueries {
        |WHERE cont_a >= 0.5 OR cont_b >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** LSH candidate-generation quality on a deterministic evaluation
+    * sample (doc_id < 100): precision and recall of the banded candidate
+    * set against EXACT Jaccard ≥ 0.3 ground truth. The truth side is NOT
+    * an all-pairs nested loop — pairs sharing zero grams have J = 0, so
+    * the gram-keyed equi self-join enumerates every pair with J > 0 and
+    * |A∩B| falls out as the shared-gram count (the scale-correct shape
+    * for exact pair enumeration). The eval-sample contract is the same
+    * as ann_recall's query subset: measure on a slice, index the corpus. */
+  def lshQuality(spark: SparkSession, dir: String): DataFrame = {
+    val g = graft.GraftCaches.track(
+      Dedup.shingleSets(
+        Tables.documents(spark, dir).filter(col("doc_id") < 100), "doc_id", "text"))
+    val ex = g.select(col("doc_id"), explode(col("hs")).as("h"))
+    val inter = ex.select(col("doc_id").as("doc_a"), col("h"))
+      .join(ex.select(col("doc_id").as("doc_b"), col("h")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+    val sizes = g.select(col("doc_id"), size(col("hs")).as("sz"))
+    val truth = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")), "doc_b")
+      .filter(col("ni").cast("double") /
+        (col("sa") + col("sb") - col("ni")).cast("double") >= 0.3)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("t"))
+    val cand = Dedup.candidatePairsFromBands(Dedup.lshBandsFrom(g, "doc_id"), "doc_id")
+      .select(col("doc_a"), col("doc_b"), lit(1).as("c"))
+    truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(sum(coalesce(col("t"), lit(0))).cast("bigint").as("n_true"),
+        sum(coalesce(col("c"), lit(0))).cast("bigint").as("n_cand"),
+        sum(coalesce(col("t"), lit(0)) * coalesce(col("c"), lit(0))).cast("bigint").as("n_hit"))
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_cand").cast("double")).as("precision"),
+        (col("n_hit").cast("double") / col("n_true").cast("double")).as("recall"))
+  }
+
+  val lshQualitySql: String =
+    s"""WITH $shingleCte,
+       |ws AS MATERIALIZED (SELECT * FROM w WHERE doc_id < 100),
+       |exg AS (SELECT doc_id, unnest(hs) AS h FROM ws),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ni
+       |          FROM exg a JOIN exg b ON a.h = b.h AND a.doc_id < b.doc_id
+       |          GROUP BY a.doc_id, b.doc_id),
+       |truth AS (SELECT doc_a, doc_b, 1 AS t
+       |          FROM inter JOIN ws sa ON sa.doc_id = inter.doc_a
+       |                     JOIN ws sb ON sb.doc_id = inter.doc_b
+       |          WHERE CAST(ni AS DOUBLE) /
+       |                CAST(len(sa.hs) + len(sb.hs) - ni AS DOUBLE) >= 0.3),
+       |bands AS (
+       |  SELECT doc_id, 0 AS j, ${bandKeySql(Seq(0, 1, 2, 3))} AS key FROM ws
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS j, ${bandKeySql(Seq(4, 5, 6, 7))} AS key FROM ws),
+       |okk AS (SELECT j, key FROM bands GROUP BY j, key HAVING COUNT(*) <= 100),
+       |bb2 AS (SELECT bands.* FROM bands JOIN okk USING (j, key)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, 1 AS c
+       |         FROM bb2 a JOIN bb2 b ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT CAST(SUM(COALESCE(t, 0)) AS BIGINT) AS n_true,
+       |       CAST(SUM(COALESCE(c, 0)) AS BIGINT) AS n_cand,
+       |       CAST(SUM(COALESCE(t, 0) * COALESCE(c, 0)) AS BIGINT) AS n_hit,
+       |       CAST(SUM(COALESCE(t, 0) * COALESCE(c, 0)) AS DOUBLE) /
+       |         CAST(SUM(COALESCE(c, 0)) AS DOUBLE) AS precision,
+       |       CAST(SUM(COALESCE(t, 0) * COALESCE(c, 0)) AS DOUBLE) /
+       |         CAST(SUM(COALESCE(t, 0)) AS DOUBLE) AS recall
+       |FROM truth FULL OUTER JOIN cand USING (doc_a, doc_b)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lsh_quality" -> (lshQuality _),
     "dedup_containment" -> (containmentPairs _),
     "corpus_overlap" -> (corpusOverlap _),
     "delta_dedup" -> (deltaDedup _),
@@ -626,6 +691,7 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> (ngramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "lsh_quality" -> lshQualitySql,
     "dedup_containment" -> containmentPairsSql,
     "corpus_overlap" -> corpusOverlapSql,
     "delta_dedup" -> deltaDedupSql,

@@ -1728,7 +1728,49 @@ object Relational {
       |       CAST(SUM(wv) AS DOUBLE) / 1000000000.0 AS decayed_value
       |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Join-key skew profile over orders-per-customer — the diagnostic run
+    * BEFORE choosing a join strategy at scale (a top-10 share near 1.0
+    * says salt-or-broadcast; near uniform says plain shuffle is fine).
+    * Group-size distribution summarized with the engine's own
+    * distributed shapes: the global median rank comes from
+    * [[graft.operators.PrefixScan]] (range-partitioned running count —
+    * no single-task window over 1e9 keys), the top-10 mass from a
+    * TakeOrdered heap, and the scalar pieces meet in 1-row
+    * cross-broadcasts. */
+  def keySkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(spark, dir)
+      .groupBy("o_custkey").agg(count(lit(1)).as("c"))
+    val cc = graft.GraftCaches.track(counts)
+    val stats = cc.agg(count(lit(1)).as("n_keys"),
+      sum("c").cast("bigint").as("total_orders"), max("c").as("max_per_key"))
+    val ranked = graft.operators.PrefixScan.runningSumLong(
+      cc.withColumn("one", lit(1L)), "one", "rank", col("c"), col("o_custkey"))
+    val med = ranked.crossJoin(broadcast(stats.select(col("n_keys").as("nk"))))
+      .filter(col("rank") === expr("(nk + 1) div 2"))
+      .select(col("c").as("median_per_key"))
+    val top10 = cc.orderBy(col("c").desc, col("o_custkey")).limit(10)
+      .agg(sum("c").cast("bigint").as("top10_orders"))
+    stats.crossJoin(broadcast(med)).crossJoin(broadcast(top10))
+      .select(col("n_keys"), col("total_orders"), col("max_per_key"),
+        col("median_per_key"),
+        (col("top10_orders").cast("double") /
+          col("total_orders").cast("double")).as("top10_share"))
+  }
+
+  val keySkewProfileSql: String =
+    """WITH c AS (SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY o_custkey),
+      |n AS (SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS total_orders,
+      |             MAX(c) AS max_per_key FROM c),
+      |r AS (SELECT c, row_number() OVER (ORDER BY c, o_custkey) AS rank FROM c),
+      |med AS (SELECT c AS median_per_key FROM r CROSS JOIN n WHERE rank = (n_keys + 1) // 2),
+      |t AS (SELECT CAST(SUM(c) AS BIGINT) AS top10_orders
+      |      FROM (SELECT c FROM c ORDER BY c DESC, o_custkey LIMIT 10))
+      |SELECT n_keys, total_orders, max_per_key, median_per_key,
+      |       CAST(top10_orders AS DOUBLE) / CAST(total_orders AS DOUBLE) AS top10_share
+      |FROM n CROSS JOIN med CROSS JOIN t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "key_skew_profile" -> (keySkewProfile _),
     "cohort_retention" -> (cohortRetention _),
     "decayed_engagement" -> (decayedEngagement _),
     "robust_outliers" -> (robustOutliers _),
@@ -1785,6 +1827,7 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "key_skew_profile" -> keySkewProfileSql,
     "cohort_retention" -> cohortRetentionSql,
     "decayed_engagement" -> decayedEngagementSql,
     "robust_outliers" -> robustOutliersSql,
