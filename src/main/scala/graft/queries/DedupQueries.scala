@@ -667,7 +667,46 @@ object DedupQueries {
        |         CAST(SUM(COALESCE(t, 0)) AS DOUBLE) AS recall
        |FROM truth FULL OUTER JOIN cand USING (doc_a, doc_b)""".stripMargin
 
+  /** Threshold sweep for near-dup tuning: duplicate-pair and would-drop
+    * counts at J ∈ {0.3, 0.5, 0.7, 0.9} from ONE candidate-verify pass —
+    * the "pick the dedup knob" table, computed without re-running the
+    * pipeline per threshold (explode the threshold list over the scored
+    * pairs; the expensive part — candidate generation + exact Jaccard —
+    * happens once). n_dropped counts distinct doc_b's (the kept-side
+    * convention: lower id survives). */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(
+      Tables.documents(spark, dir), "doc_id", "text", threshold = 0.0)
+    pairs
+      .select(col("doc_a"), col("doc_b"), col("jacc"),
+        explode(array(lit(0.3), lit(0.5), lit(0.7), lit(0.9))).as("threshold"))
+      .filter(col("jacc") >= col("threshold"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_pairs"),
+        count_distinct(col("doc_b")).as("n_dropped"))
+      .orderBy("threshold")
+  }
+
+  val thresholdSweepSql: String =
+    s"""WITH $shingleCte,
+       |$bandsCte,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bb a JOIN bb b ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id),
+       |j AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_intersect(ga.hs, gb.hs)) AS DOUBLE) /
+       |      (len(ga.hs) + len(gb.hs) - len(list_intersect(ga.hs, gb.hs))) AS jacc
+       |  FROM cand c JOIN w ga ON ga.doc_id = c.doc_a JOIN w gb ON gb.doc_id = c.doc_b),
+       |th AS (SELECT unnest([0.3, 0.5, 0.7, 0.9]) AS threshold)
+       |SELECT threshold, COUNT(*) AS n_pairs,
+       |       COUNT(DISTINCT doc_b) AS n_dropped
+       |FROM j CROSS JOIN th
+       |WHERE jacc >= threshold
+       |GROUP BY threshold ORDER BY threshold""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "threshold_sweep" -> (thresholdSweep _),
     "lsh_quality" -> (lshQuality _),
     "dedup_containment" -> (containmentPairs _),
     "corpus_overlap" -> (corpusOverlap _),
@@ -691,6 +730,7 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> (ngramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "threshold_sweep" -> thresholdSweepSql,
     "lsh_quality" -> lshQualitySql,
     "dedup_containment" -> containmentPairsSql,
     "corpus_overlap" -> corpusOverlapSql,
