@@ -215,6 +215,29 @@ object MediaStreamQueries {
       | AND a.event_id != b.event_id
       |ORDER BY a.user_id, event_a, event_b""".stripMargin
 
+  /** Batch differential for the LEFT OUTER stream-stream interval join
+    * ([[graft.streaming.StreamJoins.followWithinOuter]]): every event
+    * emits, with NULLs when no follower lands in the hour — the
+    * "did-not-convert within the window" funnel query as ONE join instead
+    * of inner-join + anti-join re-scan. Same plan batch and streaming;
+    * StreamingSpec pins the streaming-only semantics (outer rows emit
+    * only after the watermark closes their window). */
+  def streamOuterIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select("user_id", "event_id", "ts")
+    graft.streaming.StreamJoins.followWithinOuter(e, e, followSeconds = 3600L)
+      .orderBy("user_id", "event_a", "event_b")
+  }
+
+  val streamOuterIntervalJoinSql: String =
+    """SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+      |       epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+      |FROM events a LEFT JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND epoch_us(b.ts) >= epoch_us(a.ts)
+      | AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000
+      | AND a.event_id != b.event_id
+      |ORDER BY a.user_id, event_a, event_b""".stripMargin
+
   /** Frame-sampling plan (Multimodal.sampleFrames): every 3rd frame index
     * per decoded video — a relational explode over decoded metadata, no
     * payload movement. Rebuilds the stub decode in SQL, so the whole
@@ -358,6 +381,7 @@ object MediaStreamQueries {
     "rolling_distinct_users" -> (rollingDistinctUsers _),
     "stream_type_stats" -> (streamTypeStats _),
     "stream_recent_events" -> (streamRecentEvents _),
+    "stream_outer_interval_join" -> (streamOuterIntervalJoin _),
     "frame_sample" -> (frameSample _),
     "windowed_event_agg" -> (windowedEventAgg _),
     "sliding_event_agg" -> (slidingEventAgg _),
@@ -375,6 +399,7 @@ object MediaStreamQueries {
     "rolling_distinct_users" -> rollingDistinctUsersSql,
     "stream_type_stats" -> streamTypeStatsSql,
     "stream_recent_events" -> streamRecentEventsSql,
+    "stream_outer_interval_join" -> streamOuterIntervalJoinSql,
     "frame_sample" -> frameSampleSql,
     "windowed_event_agg" -> windowedEventAggSql,
     "sliding_event_agg" -> slidingEventAggSql,

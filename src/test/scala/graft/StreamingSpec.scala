@@ -152,6 +152,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() === 0)
   }
 
+  test("left-outer interval join emits NULL rows only after the watermark closes the window") {
+    implicit val sq = spark.sqlContext
+    val sa = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
+    val sb = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
+    def ev(id: Long, sec: Long, user: Long) =
+      Ev(id, new java.sql.Timestamp(sec * 1000L), user, "view", 1.0)
+
+    val q = graft.streaming.StreamJoins.followWithinOuter(
+        sa.toDF().select("user_id", "event_id", "ts"),
+        sb.toDF().select("user_id", "event_id", "ts"), followSeconds = 60L)
+      .writeStream.format("memory").queryName("souter_out")
+      .outputMode("append").start()
+    try {
+      // All times offset well past epoch 0: the initial watermark IS 0,
+      // and rows at event-time 0 are discarded as late before they ever
+      // reach the join state (cost a debugging session to learn).
+      val base = 10000L
+      // User 1: follower inside the 60s window. User 2: no follower EVER.
+      sa.addData(Seq(ev(1, base, 1), ev(2, base + 100, 2)))
+      sb.addData(Seq(ev(3, base + 30, 1)))
+      q.processAllAvailable()
+      val early = spark.table("souter_out").collect()
+      assert(!early.exists(r => r.getLong(0) == 2L),
+        "user 2's unmatched row must NOT emit before the watermark closes its window")
+
+      // Push the watermark far past base+100+60 (+1h watermark delay).
+      sa.addData(Seq(ev(8, base + 20000, 9)))
+      sb.addData(Seq(ev(9, base + 20000, 9)))
+      q.processAllAvailable()
+      sa.addData(Seq(ev(10, base + 40000, 9)))
+      sb.addData(Seq(ev(11, base + 40000, 9)))
+      q.processAllAvailable()
+
+      val rows = spark.table("souter_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(rows.contains((1L, 1L, 3L)), "matched pair must emit")
+      assert(rows.contains((2L, 2L, -1L)),
+        s"user 2 must emit with NULL follower once the watermark passes; got $rows")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark collapses re-deliveries across micro-batches") {
     implicit val sq = spark.sqlContext
     val events = fixtureEvents(80)
