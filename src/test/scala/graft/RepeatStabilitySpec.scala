@@ -34,7 +34,11 @@ class RepeatStabilitySpec extends AnyFunSuite {
     "embed_cosine_topk", "ann_lsh_topk", "ivf_topk", "pq_adc_topk",
     // stateful batch + sampling
     "sessionize_stateful", "stream_user_running", "weighted_sample",
-    "vocab_build")
+    "vocab_build",
+    // round-5 additions: iterated LPA, PrefixScan-ranked, eval compositions
+    "graph_communities", "padding_waste", "key_skew_profile",
+    "ivf_recall", "lsh_quality", "corpus_overlap", "decayed_engagement",
+    "reservoir_per_group")
 
   test("two interleaved executions of each query yield identical canonical hashes") {
     val qs = SparkEntry.queries
