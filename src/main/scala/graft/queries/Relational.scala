@@ -1769,7 +1769,33 @@ object Relational {
       |       CAST(top10_orders AS DOUBLE) / CAST(total_orders AS DOUBLE) AS top10_share
       |FROM n CROSS JOIN med CROSS JOIN t""".stripMargin
 
+  /** The SQL catalog door, oracle-checked end to end: register every
+    * fixture table as a temp view (`Tables.registerViews` — the no-Scala
+    * user's entry point) and drive a WINDOWED analytic purely through
+    * `spark.sql` — per-user event rank and the running value total,
+    * text identical on both engines except nothing: the SAME SQL string
+    * runs in DuckDB. Pins that the catalog path plans the window exactly
+    * like the DataFrame path (SqlCatalogSpec checks registration;
+    * this checks RESULTS). */
+  def sqlWindowDoor(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.Tables.registerViews(spark, dir)
+    spark.sql(sqlWindowDoorSql)
+  }
+
+  /** One SQL text for BOTH engines: the strongest possible parity claim
+    * for the SQL door (no dialect translation at all). */
+  val sqlWindowDoorSql: String =
+    """SELECT user_id, event_id,
+      |       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+      |         PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE) AS running_value
+      |FROM events
+      |WHERE user_id < 30
+      |ORDER BY user_id, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_window_door" -> (sqlWindowDoor _),
     "key_skew_profile" -> (keySkewProfile _),
     "cohort_retention" -> (cohortRetention _),
     "decayed_engagement" -> (decayedEngagement _),
@@ -1827,6 +1853,7 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "sql_window_door" -> sqlWindowDoorSql,
     "key_skew_profile" -> keySkewProfileSql,
     "cohort_retention" -> cohortRetentionSql,
     "decayed_engagement" -> decayedEngagementSql,
