@@ -1062,7 +1062,67 @@ object TextQueries {
       |    + len(regexp_extract_all(text, '[0-9]{6,}')) > 0 AS has_pii
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Applies [[sourceMixWeights]]' equal-token-share plan as an actual
+    * deterministic sampler: each source's keep rate is min(1, weight)
+    * (a sampler can only downsample; upweighting happens at training
+    * time), membership decided by the seeded affine hash of the doc id —
+    * reproducible across engines, partitionings and reruns, unlike any
+    * rand() sampler. Output is the per-source before/after audit: the
+    * proof the mix plan was APPLIED, with token masses to show the
+    * rebalancing effect. One broadcast of the |sources|-row weight
+    * relation; the corpus never shuffles for the sampling decision. */
+  def mixApply(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = graft.operators.TextOps.MinhashSeeds(4)
+    val m = PolyHash.Mod
+    val u = ((col("doc_id") * lit(a) + lit(b)) % lit(m)).cast("double") / lit(m.toDouble)
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(graft.operators.TextOps.words(col("text"))).cast("bigint").as("nt"))
+    val per = tok.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").as("total"), count(lit(1)).as("k"))
+    val rates = per.crossJoin(broadcast(tot))
+      .select(col("source"),
+        least(lit(1.0), col("total").cast("double") /
+          (col("k") * col("n_tokens")).cast("double")).as("rate"))
+    tok.join(broadcast(rates), "source")
+      .withColumn("kept", u < col("rate"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum("nt").as("tokens_before"),
+        sum(when(col("kept"), col("nt")).otherwise(0L)).as("tokens_kept"),
+        max("rate").as("rate"))
+      .orderBy("source")
+  }
+
+  val mixApplySql: String = {
+    val (a, b) = graft.operators.TextOps.MinhashSeeds(4)
+    val m = PolyHash.Mod
+    s"""WITH tok AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS nt
+       |  FROM documents),
+       |per AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+       |        FROM tok GROUP BY source),
+       |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total, COUNT(*) AS k FROM per),
+       |rates AS (SELECT source,
+       |            LEAST(1.0, CAST(total AS DOUBLE) / CAST(k * n_tokens AS DOUBLE)) AS rate
+       |          FROM per CROSS JOIN tot),
+       |flagged AS (
+       |  SELECT t.source, t.nt, r.rate,
+       |         CAST((t.doc_id * ${a} + ${b}) % ${m} AS DOUBLE) / ${m.toDouble} < r.rate AS kept
+       |  FROM tok t JOIN rates r USING (source))
+       |SELECT source, COUNT(*) AS n_before,
+       |       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(SUM(nt) AS BIGINT) AS tokens_before,
+       |       CAST(SUM(CASE WHEN kept THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept,
+       |       MAX(rate) AS rate
+       |FROM flagged GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_apply" -> (mixApply _),
     "pii_inventory" -> (piiInventory _),
     "corpus_card" -> (corpusCard _),
     "padding_waste" -> (paddingWaste _),
@@ -1096,6 +1156,7 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "mix_apply" -> mixApplySql,
     "pii_inventory" -> piiInventorySql,
     "corpus_card" -> corpusCardSql,
     "padding_waste" -> paddingWasteSql,

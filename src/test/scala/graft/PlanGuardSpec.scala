@@ -37,7 +37,7 @@ class PlanGuardSpec extends AnyFunSuite {
       "ivf_kmeanspp_assign", "source_mix_weights", "ann_recall", "ivf_recall",
       "cms_heavy_hitters", "zorder_cluster", "hist_quantiles",
       "corpus_overlap", "corpus_card", "type_cooccurrence",
-      "decayed_engagement", "key_skew_profile")
+      "decayed_engagement", "key_skew_profile", "mix_apply")
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
