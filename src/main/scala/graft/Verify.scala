@@ -38,18 +38,24 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(SparkEntry.queries)(names => SparkEntry.queries.filter(kv => names(kv._1)))
+    val failed = scala.collection.mutable.Set.empty[String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally GraftCaches.releaseAll()
     }
     // Repeat-stability pass (round-4 VERDICT item 1): under the same heap
     // and run composition as the dump pass, every query must reproduce
-    // its own pass-1 result bit-for-bit.
+    // its own pass-1 result bit-for-bit. Queries that already failed the
+    // dump pass are excluded: they have no parquet to compare against and
+    // are already reported on stderr — re-raising them here would conflate
+    // a plain query failure (tolerated, surfaces in the driver's compare)
+    // with a nondeterminism bug (fails the whole run).
     if (sys.env.get("SPARK_GRAFT_REPEAT").exists(_.nonEmpty)) {
-      val unstable = selected.flatMap { case (name, fn) =>
+      val unstable = selected.filterNot(kv => failed(kv._1)).flatMap { case (name, fn) =>
         val r = try {
           val h1 = canonicalHash(spark.read.parquet(s"$outDir/$name"))
           val h2 = canonicalHash(fn(spark, sfDir))

@@ -478,4 +478,62 @@ object Dedup {
       .join(perDoc, Seq(id))
       .select(col(id), col("dedup_text"), col("n_kept"), col("n_segs"))
   }
+
+  /** Span-level exact dedup — remove repeated cross-document token spans
+    * from INSIDE surviving documents (the "deduplicating training data
+    * makes language models better" transformation: whole-doc and
+    * paragraph dedup both miss a licence block or nav bar stitched into
+    * otherwise-unique pages mid-document). Every `w`-token rolling
+    * window is poly-hashed; a window hash seen in MORE THAN ONE document
+    * marks its `w` token positions as duplicated; per document the
+    * covered positions of all duplicated windows merge (the span-merge
+    * union) and the cleaned text is the remaining tokens in original
+    * order. Removal is symmetric (every copy loses the span): the
+    * target is cross-document boilerplate, where keeping one arbitrary
+    * copy re-introduces the skew dedup exists to remove. Documents
+    * shorter than `w` tokens carry no windows and pass through intact.
+    *
+    * Emits (id, n_tokens, n_dup_tokens, clean_text).
+    *
+    * Scale shape: the window relation is one codegen'd explode (n rows
+    * per n-token doc — same mass as the tokenized corpus, never
+    * quadratic); duplicated hashes come from ONE map-side-combined
+    * groupBy on the 8-byte hash; marking joins (id, start) rows back on
+    * that hash; the span merge is a per-doc collect_set of START offsets
+    * only (bounded by the doc's duplicated-window count — never
+    * materializing per-position rows on the shuffle); reassembly is one
+    * id-keyed left join against the pinned token relation. No document
+    * text ever rides a shuffle keyed on content — only 8-byte hashes
+    * and int offsets. */
+  def spanDedup(docs: DataFrame, id: String, text: String,
+      w: Int = 8): DataFrame = {
+    val toks = graft.GraftCaches.track(
+      docs.select(col(id), TextOps.words(col(text)).as("l"))
+        .withColumn("n", size(col("l"))))
+    // Window starts are 1-based; guarded by n >= w (sequence would run
+    // descending otherwise — the shingleHashes discipline).
+    val wins = graft.GraftCaches.track(
+      toks.filter(col("n") >= w)
+        .select(col(id), explode(transform(
+          sequence(lit(1), col("n") - (w - 1)),
+          i => struct(i.as("i"),
+            PolyHash.hash(concat_ws(" ", slice(col("l"), i, lit(w)))).as("h")))).as("s"))
+        .select(col(id), col("s.i").as("i"), col("s.h").as("h")))
+    val dup = wins.groupBy("h")
+      .agg(count_distinct(col(id)).as("nd"))
+      .filter(col("nd") > 1)
+      .select("h")
+    val starts = wins.join(dup, "h")
+      .groupBy(id)
+      .agg(collect_set(col("i")).as("starts"))
+    val covered = array_distinct(flatten(
+      transform(col("starts"), s => sequence(s, s + (w - 1)))))
+    val cov = coalesce(covered, expr("array()").cast("array<int>"))
+    toks.join(starts, Seq(id), "left")
+      .select(col(id), col("n").cast("bigint").as("n_tokens"),
+        size(cov).cast("bigint").as("n_dup_tokens"),
+        array_join(filter(col("l"),
+          (tok, idx) => not(array_contains(cov, (idx + 1).cast("int")))), " ")
+          .as("clean_text"))
+  }
 }

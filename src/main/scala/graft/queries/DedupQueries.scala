@@ -63,7 +63,6 @@ object DedupQueries {
   /** LSH candidate pairs (2 bands x 4 rows, bucket cap 100). */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.lshCandidatePairs(Tables.documents(spark, dir), "doc_id", "text")
-      .orderBy("doc_a", "doc_b")
 
   val minhashPairsSql: String =
     s"""WITH $shingleCte,
@@ -77,7 +76,6 @@ object DedupQueries {
     * only when gram sets are small enough to rejoin. */
   def minhashEstimate(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashEstimatePairs(Tables.documents(spark, dir), "doc_id", "text")
-      .orderBy("doc_a", "doc_b")
 
   val minhashEstimateSql: String = {
     val agree = (0 until 8).map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
@@ -117,7 +115,6 @@ object DedupQueries {
   def editDistance(spark: SparkSession, dir: String): DataFrame =
     Dedup.editDistancePairs(Tables.documents(spark, dir), "doc_id", "text",
         maxDist = 40)
-      .orderBy("doc_a", "doc_b")
 
   val editDistanceSql: String =
     s"""WITH $shingleCte,
@@ -135,7 +132,6 @@ object DedupQueries {
     * the HAVING. */
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDupPairs(Tables.documents(spark, dir), "doc_id", "text")
-      .orderBy("doc_a", "doc_b")
 
   val simhashNearDupSql: String =
     s"""WITH w AS (
@@ -168,7 +164,6 @@ object DedupQueries {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
         threshold = 0.12)
-      .orderBy("doc_a", "doc_b")
 
   val ngramJaccardSql: String =
     s"""WITH $shingleCte,
@@ -279,7 +274,6 @@ object DedupQueries {
     Dedup.keepBest(
         Dedup.duplicateComponents(Dedup.lshCandidatePairs(docs, "doc_id", "text"), iters = 3),
         docs, "doc_id", "n_chars")
-      .orderBy("comp_id")
   }
 
   val dedupKeepBestSql: String =
@@ -316,7 +310,7 @@ object DedupQueries {
     e1.join(e2, col("b") === col("b2"))
       .join(e3, col("a") === col("a3") && col("c") === col("c3"))
       .select("a", "b", "c")
-      .orderBy("a", "b", "c")
+    // No trailing sort: its sampling pass re-runs both triangle joins.
   }
 
   val graphTrianglesSql: String =
@@ -335,7 +329,6 @@ object DedupQueries {
   def benchmarkOverlap(spark: SparkSession, dir: String): DataFrame =
     Dedup.contaminationOverlap(Tables.documents(spark, dir), "doc_id", "text",
         benchPred = col("doc_id") < 10, threshold = 0.3)
-      .orderBy("doc_id")
 
   val benchmarkOverlapSql: String =
     s"""WITH $shingleCte,
@@ -356,7 +349,6 @@ object DedupQueries {
   def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
     Dedup.paragraphDedup(Tables.documents(spark, dir), "doc_id", "text",
         segTokens = 8)
-      .orderBy("doc_id")
 
   val paragraphDedupSql: String =
     """WITH t AS (
@@ -540,7 +532,6 @@ object DedupQueries {
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         col("best_jacc"),
         coalesce(col("best_jacc") >= 0.5, lit(false)).as("is_near_dup"))
-      .orderBy("doc_id")
   }
 
   val deltaDedupSql: String =
@@ -586,7 +577,6 @@ object DedupQueries {
         (inter / size(col("ga")).cast("double")).as("cont_a"),
         (inter / size(col("gb")).cast("double")).as("cont_b"))
       .filter(col("cont_a") >= 0.5 || col("cont_b") >= 0.5)
-      .orderBy("doc_a", "doc_b")
   }
 
   val containmentPairsSql: String =
@@ -634,8 +624,15 @@ object DedupQueries {
         sum(coalesce(col("c"), lit(0))).cast("bigint").as("n_cand"),
         sum(coalesce(col("t"), lit(0)) * coalesce(col("c"), lit(0))).cast("bigint").as("n_hit"))
       .select(col("n_true"), col("n_cand"), col("n_hit"),
-        (col("n_hit").cast("double") / col("n_cand").cast("double")).as("precision"),
-        (col("n_hit").cast("double") / col("n_true").cast("double")).as("recall"))
+        // NULL-on-zero denominators: on a slice with no candidates (or no
+        // truth pairs) non-ANSI Spark yields NULL but DuckDB's IEEE
+        // division yields Inf/NaN — guard both engines the same way.
+        (col("n_hit").cast("double") /
+          when(col("n_cand") === 0L, lit(null)).otherwise(col("n_cand")).cast("double"))
+          .as("precision"),
+        (col("n_hit").cast("double") /
+          when(col("n_true") === 0L, lit(null)).otherwise(col("n_true")).cast("double"))
+          .as("recall"))
   }
 
   val lshQualitySql: String =
@@ -662,9 +659,9 @@ object DedupQueries {
        |       CAST(SUM(COALESCE(c, 0)) AS BIGINT) AS n_cand,
        |       CAST(SUM(COALESCE(t, 0) * COALESCE(c, 0)) AS BIGINT) AS n_hit,
        |       CAST(SUM(COALESCE(t, 0) * COALESCE(c, 0)) AS DOUBLE) /
-       |         CAST(SUM(COALESCE(c, 0)) AS DOUBLE) AS precision,
+       |         NULLIF(CAST(SUM(COALESCE(c, 0)) AS DOUBLE), 0) AS precision,
        |       CAST(SUM(COALESCE(t, 0) * COALESCE(c, 0)) AS DOUBLE) /
-       |         CAST(SUM(COALESCE(t, 0)) AS DOUBLE) AS recall
+       |         NULLIF(CAST(SUM(COALESCE(t, 0)) AS DOUBLE), 0) AS recall
        |FROM truth FULL OUTER JOIN cand USING (doc_a, doc_b)""".stripMargin
 
   /** Threshold sweep for near-dup tuning: duplicate-pair and would-drop
@@ -684,7 +681,6 @@ object DedupQueries {
       .groupBy("threshold")
       .agg(count(lit(1)).as("n_pairs"),
         count_distinct(col("doc_b")).as("n_dropped"))
-      .orderBy("threshold")
   }
 
   val thresholdSweepSql: String =
@@ -705,7 +701,39 @@ object DedupQueries {
        |WHERE jacc >= threshold
        |GROUP BY threshold ORDER BY threshold""".stripMargin
 
+  /** Span-level exact dedup (8-token rolling windows): repeated
+    * cross-document spans removed from every document's text — see
+    * [[Dedup.spanDedup]]. The oracle rebuilds the identical window
+    * hash (array_to_string slice → ascii list_reduce), the same
+    * df-across-docs > 1 predicate, and the same position-set span merge
+    * in pure SQL, so the cleaned TEXT itself is hash-checked, not just
+    * the counts. */
+  def dedupSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.spanDedup(Tables.documents(spark, dir), "doc_id", "text", w = 8)
+
+  val dedupSpansSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(string_split(text,' '), x -> x != '') AS l FROM documents),
+       |t2 AS MATERIALIZED (SELECT doc_id, l, len(l) AS n FROM tok),
+       |wins AS MATERIALIZED (
+       |  SELECT doc_id, i,
+       |    list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(string_split(array_to_string(l[i:i+7], ' '), ''), c -> ascii(c)::BIGINT)),
+       |      (a,b) -> (a*31+b) % $M) AS h
+       |  FROM t2, LATERAL (SELECT unnest(range(1, n - 6)) AS i) u
+       |  WHERE n >= 8),
+       |dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+       |ds AS (SELECT doc_id, list_distinct(flatten(list(range(i, i + 8)))) AS cov
+       |       FROM wins JOIN dup USING (h) GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |       CAST(COALESCE(len(cov), 0) AS BIGINT) AS n_dup_tokens,
+       |       COALESCE(array_to_string(list_transform(
+       |         list_filter(range(1, n + 1), j -> cov IS NULL OR NOT list_contains(cov, j)),
+       |         j -> l[j]), ' '), '') AS clean_text
+       |FROM t2 t LEFT JOIN ds USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_spans" -> (dedupSpans _),
     "threshold_sweep" -> (thresholdSweep _),
     "lsh_quality" -> (lshQuality _),
     "dedup_containment" -> (containmentPairs _),
@@ -730,6 +758,7 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> (ngramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_spans" -> dedupSpansSql,
     "threshold_sweep" -> thresholdSweepSql,
     "lsh_quality" -> lshQualitySql,
     "dedup_containment" -> containmentPairsSql,

@@ -1540,12 +1540,17 @@ object Relational {
     val sv2 = col("sv2").cast("double")
     val mean = sv / nd
     val std = sqrt((sv2 - sv * sv / nd) / nd)
+    // std=0 guard (single-row or constant group): non-ANSI Spark division
+    // yields NULL but DuckDB's IEEE division yields Inf/NaN — NULL on both
+    // engines, the same discipline as trendSlope's NULLIF denominator.
+    val stdSafe = when(std === 0.0, lit(null)).otherwise(std)
     Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"))
       .join(broadcast(m), "event_type")
       .select(col("event_id"), col("event_type"), col("value"),
-        ((col("value") - mean) / std).as("z"))
-      .orderBy("event_id")
+        ((col("value") - mean) / stdSafe).as("z"))
+    // No trailing sort: the consumer orders; a global orderBy's sampling
+    // pass would re-run the whole scan + broadcast join.
   }
 
   val featureNormalizeSql: String =
@@ -1556,9 +1561,8 @@ object Relational {
       |  FROM events GROUP BY event_type)
       |SELECT event_id, e.event_type, value,
       |       (value - sv / n::DOUBLE) /
-      |         sqrt((sv2 - sv * sv / n::DOUBLE) / n::DOUBLE) AS z
-      |FROM events e JOIN m USING (event_type)
-      |ORDER BY event_id""".stripMargin
+      |         NULLIF(sqrt((sv2 - sv * sv / n::DOUBLE) / n::DOUBLE), 0) AS z
+      |FROM events e JOIN m USING (event_type)""".stripMargin
 
   /** Robust outlier screen per event type: median + MAD instead of
     * mean + stddev (one fat-fingered 1e9 value drags a z-score
@@ -1592,7 +1596,7 @@ object Relational {
         max("med").as("median_value"), max("mad").as("mad"),
         sum(when(col("dev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
           .otherwise(0L)).as("n_outliers"))
-      .orderBy("event_type")
+    // No trailing sort: its sampling pass re-runs both median windows.
   }
 
   val robustOutliersSql: String =
@@ -1640,7 +1644,7 @@ object Relational {
       .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"), col("n_b"),
         ((col("n_both") * col("n_baskets")).cast("double") /
           (col("n_a") * col("n_b")).cast("double")).as("lift"))
-      .orderBy("type_a", "type_b")
+    // No trailing sort: its sampling pass re-runs the basket pair join.
   }
 
   val typeCooccurrenceSql: String =
@@ -1678,7 +1682,7 @@ object Relational {
       .join(broadcast(cohortSize), "cohort_week")
       .select(col("cohort_week"), col("weeks_since"), col("n_active"), col("n_cohort"),
         (col("n_active").cast("double") / col("n_cohort").cast("double")).as("retention"))
-      .orderBy("cohort_week", "weeks_since")
+    // No trailing sort: its sampling pass re-runs the cohort join + agg.
   }
 
   val cohortRetentionSql: String =
@@ -1715,7 +1719,7 @@ object Relational {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
         (sum(col("wv")).cast("double") / lit(1e9)).as("decayed_value"))
-      .orderBy("user_id")
+    // No trailing sort: its sampling pass re-runs the events scan + agg.
   }
 
   val decayedEngagementSql: String =

@@ -165,7 +165,7 @@ object TextQueries {
       .withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)).cast("bigint"))
       .filter(col("rn") <= 3)
-      .orderBy("doc_id", "rn")
+    // No trailing sort: its sampling pass re-runs the tf/df joins.
   }
 
   val tfidfTopTermsSql: String =
@@ -847,7 +847,9 @@ object TextQueries {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         (sum(col("pi")).cast("double") / (lit(1e9) * count(lit(1)))).as("avg_p"))
-      .orderBy("doc_id")
+    // No trailing sort: a global orderBy's RangePartitioning sampling pass
+    // re-executes this whole unpinned upstream (the round-3 range_join
+    // lesson, SURVEY §7.6) — result ordering belongs to the consumer.
   }
 
   val lmScoreSql: String =
@@ -890,7 +892,9 @@ object TextQueries {
         sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_novel"))
       .withColumn("novelty",
         col("n_novel").cast("double") / col("n_grams").cast("double"))
-      .orderBy("doc_id")
+    // No trailing sort: the sampling pass of a global orderBy would run
+    // the gram inverted-index join twice (driver-measured 3.4 s → the #3
+    // slowest query in round 5 for exactly this reason).
   }
 
   val ngramNoveltySql: String =

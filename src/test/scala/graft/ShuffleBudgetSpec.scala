@@ -36,13 +36,13 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "pivot_event_counts" -> 3,
     "revenue_by_nation" -> 2,  // fact-fact shuffle; all dims broadcast
     "posting_lists" -> 3,      // (term,doc) tf agg + term agg + result sort
-    "paragraph_dedup" -> 5,    // seg-text dedup + doc reassembly + per-doc counts + join + sort
+    "paragraph_dedup" -> 4,    // seg-text dedup + doc reassembly + per-doc counts + join (no result sort)
     "big_orders" -> 3,         // fact agg + join-back + result sort
     "snapshot_diff" -> 4,      // full-outer key shuffle (both sides) + status agg + result sort
     "zorder_cluster" -> 3,     // zmax 1-row agg + z-bucket agg + result sort
     "pq_codes" -> 3,           // (id,mi) argmin agg + id regroup + result sort
-    "lm_score" -> 6,           // c1 agg + c2 agg + 2 gram-keyed joins + doc agg + sort
-    "ngram_novelty" -> 7,      // distinct (doc,gram) + df agg + gram join + doc agg + sort
+    "lm_score" -> 5,           // c1 agg + c2 agg + 2 gram-keyed joins + doc agg (no result sort)
+    "ngram_novelty" -> 6,      // distinct (doc,gram) + df agg + gram join + doc agg (no result sort)
                                // (+1 when a sibling suite left the doc relation cached:
                                // the InMemoryRelation variant plans one extra exchange)
     "reservoir_per_group" -> 2,// lang top-k agg (bounded buffers) + result sort
