@@ -1125,7 +1125,46 @@ object TextQueries {
        |FROM flagged GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** BPE merge training ([[graft.operators.Bpe.train]]): 8 rounds of
+    * count-pairs → merge-argmax over the word vocabulary. The oracle
+    * unrolls every round as CTEs — same frequency-weighted pair count,
+    * same (cnt DESC, l, r) argmax tie-break, same single-pass string
+    * replace — so the learned merge LIST is hash-checked bit-for-bit,
+    * the pageRank/LPA unrolled-oracle discipline applied to the
+    * tokenizer surface. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.train(Tables.documents(spark, dir), "text", rounds = BpeRounds)
+
+  private val BpeRounds = 8
+
+  val bpeTrainSql: String = {
+    def roundCte(i: Int): String =
+      s"""p$i AS MATERIALIZED (
+         |  SELECT syms[j] AS l, syms[j+1] AS r, CAST(SUM(f) AS BIGINT) AS cnt
+         |  FROM (SELECT f, list_filter(string_split(trim(s), ' '), x -> x != '') AS syms
+         |        FROM v${i - 1}) t,
+         |       LATERAL (SELECT unnest(range(1, len(syms))) AS j) u
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |v$i AS MATERIALIZED (
+         |  SELECT f, replace(s, ' ' || (SELECT l FROM m$i) || ' ' || (SELECT r FROM m$i) || ' ',
+         |                       ' ' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || ' ') AS s
+         |  FROM v${i - 1})""".stripMargin
+    val unions = (1 to BpeRounds).map(i =>
+      s"SELECT $i AS round, l AS lhs, r AS rhs, l || r AS merged, cnt AS pair_count FROM m$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH vocab AS MATERIALIZED (
+       |  SELECT w, COUNT(*) AS f FROM (
+       |    SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+       |    FROM documents) GROUP BY w),
+       |v0 AS MATERIALIZED (
+       |  SELECT f, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s FROM vocab),
+       |${(1 to BpeRounds).map(roundCte).mkString(",\n")}
+       |${unions}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_train" -> (bpeTrain _),
     "mix_apply" -> (mixApply _),
     "pii_inventory" -> (piiInventory _),
     "corpus_card" -> (corpusCard _),
@@ -1160,6 +1199,7 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "bpe_train" -> bpeTrainSql,
     "mix_apply" -> mixApplySql,
     "pii_inventory" -> piiInventorySql,
     "corpus_card" -> corpusCardSql,
