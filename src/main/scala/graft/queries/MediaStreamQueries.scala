@@ -131,7 +131,6 @@ object MediaStreamQueries {
     * fold is hash-checked against DuckDB's arg_max. */
   def streamUserRunning(spark: SparkSession, dir: String): DataFrame =
     StreamingCalendar.userRunningCounts(Tables.events(spark, dir))
-      .orderBy("user_id")
       .toDF()
 
   val streamUserRunningSql: String =
@@ -142,7 +141,6 @@ object MediaStreamQueries {
     * the relational row_number window — the leaderboard differential. */
   def streamTopK(spark: SparkSession, dir: String): DataFrame =
     StreamingCalendar.topKPerUser(Tables.events(spark, dir), k = 3)
-      .orderBy("user_id", "rank")
       .toDF()
 
   val streamTopKSql: String =
@@ -160,7 +158,6 @@ object MediaStreamQueries {
   def sessionizeStateful(spark: SparkSession, dir: String): DataFrame =
     StreamingCalendar.sessionizeStateful(
         Tables.events(spark, dir), gapMicros = 7L * 24 * 3600 * 1000000L)
-      .orderBy("user_id", "session_no")
       .toDF()
 
   /** EventTimeTimeout sessionizer in one-shot batch mode: timeouts never
@@ -173,7 +170,6 @@ object MediaStreamQueries {
   def sessionizeClosed(spark: SparkSession, dir: String): DataFrame =
     StreamingCalendar.sessionizeClosed(
         Tables.events(spark, dir), gapMicros = 24L * 3600 * 1000000L)
-      .orderBy("user_id", "session_no")
       .toDF()
 
   val sessionizeClosedSql: String =
@@ -202,7 +198,6 @@ object MediaStreamQueries {
   def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir).select("user_id", "event_id", "ts")
     graft.streaming.StreamJoins.followWithin(e, e, followSeconds = 3600L)
-      .orderBy("user_id", "event_a", "event_b")
   }
 
   val streamIntervalJoinSql: String =
@@ -225,7 +220,6 @@ object MediaStreamQueries {
   def streamOuterIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir).select("user_id", "event_id", "ts")
     graft.streaming.StreamJoins.followWithinOuter(e, e, followSeconds = 3600L)
-      .orderBy("user_id", "event_a", "event_b")
   }
 
   val streamOuterIntervalJoinSql: String =
@@ -267,8 +261,10 @@ object MediaStreamQueries {
     * differential next to the mapGroupsWithState one above. */
   def streamTypeStats(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.TypeStats.userTypeStats(Tables.events(spark, dir))
-      .orderBy("user_id")
       .toDF()
+    // No trailing sort: its sampling pass re-runs the whole stateful
+    // operator, including one RocksDB store open per partition — the
+    // round-5 bench spread on this query was exactly that double run.
 
   val streamTypeStatsSql: String =
     """WITH c AS (
@@ -284,7 +280,6 @@ object MediaStreamQueries {
     * MapState, so all three named-state kinds are oracle-checked. */
   def streamRecentEvents(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.RecentEvents.recentPerUser(Tables.events(spark, dir))
-      .orderBy("user_id")
       .toDF()
 
   val streamRecentEventsSql: String =
