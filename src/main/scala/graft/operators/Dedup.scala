@@ -479,6 +479,52 @@ object Dedup {
       .select(col(id), col("dedup_text"), col("n_kept"), col("n_segs"))
   }
 
+  /** Incremental delta-dedup: score a NEW batch against the EXISTING
+    * corpus without ever self-joining the corpus — the production ingest
+    * shape (the corpus is petabytes and already deduped; only new-vs-old
+    * edges matter). `isNew` partitions `docs` into the batch and the
+    * corpus. Exact path: md5(text) semi-probe against the corpus's
+    * distinct hashes. Near-dup path: banded-LSH candidates restricted to
+    * new-old pairs under the shared bucket cap, exact Jaccard confined
+    * to candidate edges, per-new-doc best-match aggregation. Emits
+    * (id, is_exact_dup, n_candidates, best_jacc, is_near_dup).
+    *
+    * At scale the old side's band relation and hash set are precomputed
+    * tables maintained across ingests; here both derive from `docs` in
+    * one pass (the tracked shingle relation is shared by both sides). */
+  def deltaDedup(docs: DataFrame, id: String, text: String, isNew: Column,
+      threshold: Double = 0.5, maxBucket: Int = 100): DataFrame = {
+    val g = graft.GraftCaches.track(shingleSets(docs, id, text))
+    val bands = lshBandsFrom(g, id)
+    val ok = bands.groupBy("band", "key").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket).select("band", "key")
+    val bb = bands.join(ok, Seq("band", "key"))
+      .join(docs.select(col(id), isNew.as("is_new")), id)
+    val cand = bb.filter(col("is_new"))
+      .select(col(id).as("new_id"), col("band"), col("key"))
+      .join(bb.filter(!col("is_new"))
+        .select(col(id).as("old_id"), col("band"), col("key")), Seq("band", "key"))
+      .select("new_id", "old_id").distinct()
+    val inter = size(array_intersect(col("ga"), col("gb")))
+    val agg = cand
+      .join(g.select(col(id).as("new_id"), col("hs").as("ga")), "new_id")
+      .join(g.select(col(id).as("old_id"), col("hs").as("gb")), "old_id")
+      .select(col("new_id"), col("old_id"),
+        (inter.cast("double") / (size(col("ga")) + size(col("gb")) - inter)).as("j"))
+      .groupBy("new_id")
+      .agg(count_distinct(col("old_id")).as("n_candidates"), max("j").as("best_jacc"))
+    val hashes = docs.select(col(id), isNew.as("is_new"), md5(col(text)).as("th"))
+    hashes.filter(col("is_new"))
+      .join(hashes.filter(!col("is_new")).select("th").distinct()
+        .withColumn("_ex", lit(1)), Seq("th"), "left")
+      .select(col(id), col("_ex").isNotNull.as("is_exact_dup"))
+      .join(agg, col(id) === col("new_id"), "left")
+      .select(col(id), col("is_exact_dup"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("best_jacc"),
+        coalesce(col("best_jacc") >= lit(threshold), lit(false)).as("is_near_dup"))
+  }
+
   /** Span-level exact dedup — remove repeated cross-document token spans
     * from INSIDE surviving documents (the "deduplicating training data
     * makes language models better" transformation: whole-doc and

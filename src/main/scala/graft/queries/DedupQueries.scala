@@ -500,39 +500,9 @@ object DedupQueries {
     * degenerate-bucket cap as the self-join path; exact Jaccard verify
     * confined to candidate edges. Per new doc: exact-dup flag, candidate
     * count, best candidate Jaccard, near-dup flag (≥ 0.5). */
-  def deltaDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val isNew = pmod(col("doc_id"), lit(5)) === lit(4)
-    val g = graft.GraftCaches.track(Dedup.shingleSets(docs, "doc_id", "text"))
-    val bands = Dedup.lshBandsFrom(g, "doc_id")
-    val ok = bands.groupBy("band", "key").agg(count(lit(1)).as("n"))
-      .filter(col("n") <= 100).select("band", "key")
-    val bb = bands.join(ok, Seq("band", "key"))
-      .join(docs.select(col("doc_id"), isNew.as("is_new")), "doc_id")
-    val cand = bb.filter(col("is_new"))
-      .select(col("doc_id").as("new_id"), col("band"), col("key"))
-      .join(bb.filter(!col("is_new"))
-        .select(col("doc_id").as("old_id"), col("band"), col("key")), Seq("band", "key"))
-      .select("new_id", "old_id").distinct()
-    val inter = size(array_intersect(col("ga"), col("gb")))
-    val agg = cand
-      .join(g.select(col("doc_id").as("new_id"), col("hs").as("ga")), "new_id")
-      .join(g.select(col("doc_id").as("old_id"), col("hs").as("gb")), "old_id")
-      .select(col("new_id"), col("old_id"),
-        (inter.cast("double") / (size(col("ga")) + size(col("gb")) - inter)).as("j"))
-      .groupBy("new_id")
-      .agg(count_distinct(col("old_id")).as("n_candidates"), max("j").as("best_jacc"))
-    val hashes = docs.select(col("doc_id"), isNew.as("is_new"), md5(col("text")).as("th"))
-    hashes.filter(col("is_new"))
-      .join(hashes.filter(!col("is_new")).select("th").distinct()
-        .withColumn("_ex", lit(1)), Seq("th"), "left")
-      .select(col("doc_id"), col("_ex").isNotNull.as("is_exact_dup"))
-      .join(agg, col("doc_id") === col("new_id"), "left")
-      .select(col("doc_id"), col("is_exact_dup"),
-        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-        col("best_jacc"),
-        coalesce(col("best_jacc") >= 0.5, lit(false)).as("is_near_dup"))
-  }
+  def deltaDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.deltaDedup(Tables.documents(spark, dir), "doc_id", "text",
+      isNew = pmod(col("doc_id"), lit(5)) === lit(4))
 
   val deltaDedupSql: String =
     s"""WITH $shingleCte,

@@ -48,11 +48,28 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "reservoir_per_group" -> 2,// lang top-k agg (bounded buffers) + result sort
     "padding_waste" -> 4,      // range exchange (PrefixScan) + batch agg + sort
     "leakage_audit" -> 6,      // per-user split agg + user join + split agg + sort
-    "corpus_overlap" -> 7)     // gram membership agg + two 1-row folds over it
-  // Iterated operators (graph_pagerank, dedup_components*) are NOT pinned:
-  // their pre-execution plan string inlines every tracked-cache subtree per
-  // round, so the static exchange count overstates what executes (cached
-  // rounds materialize once) — the per-round budget is documented on the
+    "corpus_overlap" -> 7,     // gram membership agg + two 1-row folds over it
+    // Round-5/6 families (static counts include tracked-cache subtrees
+    // inlined once per reference — see the iterated-operator note below):
+    "delta_dedup" -> 8,        // batch-vs-corpus band join + md5 path + candidate verify
+    "type_cooccurrence" -> 10, // basket distinct referenced 3x (totals/per-type/pair join) + pair agg
+    "cohort_retention" -> 8,   // activity distinct x2 refs + first-seen agg + user join + cell agg
+    "key_skew_profile" -> 9,   // per-key agg x3 refs + PrefixScan range exchange + top-10 heap
+    "dedup_spans" -> 3,        // dup-hash agg + start-offset regroup + id-keyed reassembly join
+    "dedup_containment" -> 3,  // band self-join + gram rejoin on capped candidates
+    "threshold_sweep" -> 5,    // one candidate-verify pass + threshold agg (explode is free)
+    "feature_normalize" -> 1,  // group stats broadcast back onto the fact — scan-shaped
+    "robust_outliers" -> 4,    // two per-type median windows + broadcast joins + final agg
+    "decayed_engagement" -> 2, // 1-row max-date broadcast + user agg
+    "tfidf_top_terms" -> 4,    // (doc,term) tf agg + term df agg + join + per-doc window
+    "stream_type_stats" -> 1,  // transformWithState: ONE user-keyed exchange, no result sort
+    "stream_user_running" -> 1)// mapGroupsWithState: same single-exchange shape
+  // Iterated operators (graph_pagerank, dedup_components*,
+  // graph_communities, bpe_train) are NOT pinned: their pre-execution
+  // plan string inlines every tracked-cache subtree per round (and
+  // bpe_train is a driver loop of per-round jobs, not one plan), so the
+  // static exchange count overstates what executes (cached rounds
+  // materialize once) — the per-round budget is documented on the
   // operators instead.
 
   test("shuffle count stays within the designed budget") {
