@@ -34,13 +34,29 @@ object Bpe {
   /** Learned merge list: (round, lhs, rhs, merged, pair_count), one row
     * per training round, `rounds` rows total (fewer only if the corpus
     * runs out of adjacent pairs first). */
-  def train(docs: DataFrame, text: String, rounds: Int): DataFrame = {
+  def train(docs: DataFrame, text: String, rounds: Int): DataFrame =
+    iterate(docs, text, rounds)._1
+
+  /** The ENCODER the training loop implies: each vocabulary word with its
+    * final segmentation after all `rounds` merges were applied in learned
+    * order (one leftmost-non-overlapping replace pass per merge — the
+    * identical semantics training used to build per-round state, so
+    * "apply" is the training state itself, not a second code path).
+    * Returns (w, units) where units = subword count; vocabulary-sized, so
+    * the caller broadcasts it against corpus tokens. */
+  def encodeVocab(docs: DataFrame, text: String, rounds: Int): DataFrame =
+    iterate(docs, text, rounds)._2
+      .select(col("w"),
+        size(org.apache.spark.sql.functions.filter(
+          split(trim(col("s")), " "), x => x =!= "")).cast("long").as("units"))
+
+  private def iterate(docs: DataFrame, text: String, rounds: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val vocab0 = docs
       .select(explode(TextOps.words(col(text))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
-      .select(col("f"),
+      .select(col("w"), col("f"),
         concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" ")).as("s"))
     var state = graft.GraftCaches.pin(vocab0)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -67,9 +83,10 @@ object Bpe {
         r += 1
       }
     }
-    merges.toSeq.toDF("round", "lhs", "rhs", "pair_count")
+    val mergeDf = merges.toSeq.toDF("round", "lhs", "rhs", "pair_count")
       .select(col("round"), col("lhs"), col("rhs"),
         concat(col("lhs"), col("rhs")).as("merged"),
         col("pair_count"))
+    (mergeDf, state)
   }
 }

@@ -181,6 +181,90 @@ object TextQueries {
       |  FROM tf JOIN df USING (term) CROSS JOIN n) s
       |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
 
+  /** BM25 top-10 retrieval for a fixed 3-term query set. Log-free scoring
+    * (idf as the rational (N-df+0.5)/(df+0.5), no ln — the repo-wide
+    * cross-engine exactness discipline: IEEE ÷ and × reproduce bit-for-bit
+    * across engines, libm's ln does not), so every score is hash-checked.
+    * Scale shape: the tf aggregation filters to query terms BEFORE the
+    * shuffle (the scan-side filter is the retrieval pruning), df and avgdl
+    * are broadcast scalars, and the per-term top-10 is the bounded-heap
+    * [[graft.functions.TopKAggregator]] — ≤10 rows per map task per term
+    * on the shuffle, never a full posting list through one window
+    * reducer. The oracle is the row_number window formulation, so the
+    * aggregator rewrite itself is what's being hash-checked. */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    val qTerms = Seq("spark", "join", "vector")
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    val toks = graft.GraftCaches.track(
+      docs.select(col("doc_id"),
+        explode(org.apache.spark.sql.functions.filter(split(col("text"), " "), w => w =!= "")).as("term")))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = toks.filter(col("term").isin(qTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val avg = dl.agg((sum(col("dl")).cast("bigint").cast("double") / lit(n)).as("avgdl"))
+    val idf = (lit(n).cast("double") - col("df") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val denom = col("tf").cast("double") +
+      lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))
+    val score = idf * ((col("tf").cast("double") * lit(2.2)) / denom)
+    tf.join(dl, "doc_id").join(broadcast(dfRel), "term").crossJoin(broadcast(avg))
+      .select(col("term"), col("doc_id"), score.as("score"))
+      .groupBy("term")
+      .agg(graft.functions.TopKAggregator.topK(10)(col("doc_id"), col("score")).as("top"))
+      .select(col("term"), posexplode(arrays_zip(col("top.ids"), col("top.sims"))))
+      .select(col("term"), (col("pos") + 1).cast("bigint").as("rn"),
+        col("col.ids").as("doc_id"), col("col.sims").as("score"))
+  }
+
+  val bm25SearchSql: String =
+    """WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term FROM documents),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+      |a AS (SELECT CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) / (SELECT n FROM n) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t
+      |       WHERE term IN ('spark', 'join', 'vector') GROUP BY doc_id, term),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |s AS (SELECT tf.term, tf.doc_id,
+      |        ((CAST((SELECT n FROM n) AS DOUBLE) - df.df + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+      |        * ((CAST(tf.tf AS DOUBLE) * 2.2)
+      |           / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / a.avgdl)))) AS score
+      |      FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN a)
+      |SELECT term, rn, doc_id, score FROM (
+      |  SELECT term, CAST(row_number() OVER (PARTITION BY term
+      |           ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rn, doc_id, score
+      |  FROM s) r
+      |WHERE rn <= 10""".stripMargin
+
+  /** Exact-phrase search ("spark join") via the positional inverted
+    * index: each phrase word filters the token stream AT THE SCAN (the
+    * posting list for one term, a tiny fraction of the corpus), and the
+    * occurrence join is an equi-join on (doc_id, adjusted position) —
+    * never a substring scan over full documents, never a regex. At
+    * 100 TB this is two pruned posting lists joined on their natural
+    * key; n-word phrases chain n-1 such joins. Positions are 0-based. */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.GraftCaches.track(
+      Tables.documents(spark, dir).select(col("doc_id"),
+        posexplode(org.apache.spark.sql.functions.filter(split(col("text"), " "), w => w =!= ""))
+          .as(Seq("pos", "w"))))
+    val first = toks.filter(col("w") === "spark").select(col("doc_id"), col("pos"))
+    val second = toks.filter(col("w") === "join")
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    first.join(second, Seq("doc_id", "pos"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), min(col("pos")).cast("bigint").as("first_pos"))
+  }
+
+  val phraseSearchSql: String =
+    """WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents),
+      |t AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS p FROM d),
+      |f AS (SELECT doc_id, p FROM t WHERE w = 'spark'),
+      |s AS (SELECT doc_id, p - 1 AS p FROM t WHERE w = 'join')
+      |SELECT f.doc_id, COUNT(*) AS n_hits, CAST(MIN(f.p) - 1 AS BIGINT) AS first_pos
+      |FROM f JOIN s ON f.doc_id = s.doc_id AND f.p = s.p GROUP BY f.doc_id""".stripMargin
+
   /** HLL-style approximate distinct-token count: 64 registers keyed by
     * poly_hash(term) % 64, each holding the max bit-pattern observable
     * rho = trailing-zero count of the remaining hash bits + 1, harmonic
@@ -1137,7 +1221,12 @@ object TextQueries {
 
   private val BpeRounds = 8
 
-  val bpeTrainSql: String = {
+  /** Shared CTE chain for the BPE oracle family: vocab → v0 (char-split
+    * symbol strings, word `w` threaded through every round so the FINAL
+    * state doubles as the encoded vocabulary) → N rounds of (pair count
+    * p_i, argmax m_i, merged state v_i). `bpe_train` reads the m_i rows;
+    * `bpe_apply` reads v_N. */
+  private def bpeCtes(rounds: Int): String = {
     def roundCte(i: Int): String =
       s"""p$i AS MATERIALIZED (
          |  SELECT syms[j] AS l, syms[j+1] AS r, CAST(SUM(f) AS BIGINT) AS cnt
@@ -1147,24 +1236,62 @@ object TextQueries {
          |  GROUP BY 1, 2),
          |m$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
          |v$i AS MATERIALIZED (
-         |  SELECT f, replace(s, ' ' || (SELECT l FROM m$i) || ' ' || (SELECT r FROM m$i) || ' ',
-         |                       ' ' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || ' ') AS s
+         |  SELECT w, f, replace(s, ' ' || (SELECT l FROM m$i) || ' ' || (SELECT r FROM m$i) || ' ',
+         |                         ' ' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || ' ') AS s
          |  FROM v${i - 1})""".stripMargin
-    val unions = (1 to BpeRounds).map(i =>
-      s"SELECT $i AS round, l AS lhs, r AS rhs, l || r AS merged, cnt AS pair_count FROM m$i")
-      .mkString("\n  UNION ALL ")
-    s"""WITH vocab AS MATERIALIZED (
+    s"""vocab AS MATERIALIZED (
        |  SELECT w, COUNT(*) AS f FROM (
        |    SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
        |    FROM documents) GROUP BY w),
        |v0 AS MATERIALIZED (
-       |  SELECT f, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s FROM vocab),
-       |${(1 to BpeRounds).map(roundCte).mkString(",\n")}
+       |  SELECT w, f, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s FROM vocab),
+       |${(1 to rounds).map(roundCte).mkString(",\n")}""".stripMargin
+  }
+
+  val bpeTrainSql: String = {
+    val unions = (1 to BpeRounds).map(i =>
+      s"SELECT $i AS round, l AS lhs, r AS rhs, l || r AS merged, cnt AS pair_count FROM m$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${bpeCtes(BpeRounds)}
        |${unions}""".stripMargin
   }
 
+  /** BPE ENCODE ([[graft.operators.Bpe.encodeVocab]]): the corpus
+    * re-tokenized with the 8 learned merges. The encoded vocabulary is
+    * the training loop's own final state (apply = train-state, one code
+    * path), broadcast against the exploded corpus tokens — the shuffle
+    * carries (word, units) pairs sized by the VOCABULARY, and the per-doc
+    * aggregation is one map-side-combined groupBy; at 100 TB the encode
+    * cost is the token explode, never a per-document merge loop. The
+    * oracle replays the same 8-round chain and reads v8 as the encoder,
+    * so every per-doc subword count is hash-checked bit-for-bit. */
+  def bpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val enc = graft.operators.Bpe.encodeVocab(docs, "text", rounds = BpeRounds)
+    docs.select(col("doc_id"), explode(graft.operators.TextOps.words(col("text"))).as("w"))
+      .join(broadcast(enc), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("units")).cast("bigint").as("n_units"))
+      .select(col("doc_id"), col("n_words"), col("n_units"),
+        (col("n_units").cast("double") / col("n_words")).as("units_per_word"))
+  }
+
+  val bpeApplySql: String =
+    s"""WITH ${bpeCtes(BpeRounds)},
+       |enc AS (SELECT w, len(list_filter(string_split(trim(s), ' '), x -> x != '')) AS units
+       |        FROM v$BpeRounds),
+       |tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+       |        FROM documents)
+       |SELECT t.doc_id, COUNT(*) AS n_words,
+       |       CAST(SUM(e.units) AS BIGINT) AS n_units,
+       |       CAST(CAST(SUM(e.units) AS BIGINT) AS DOUBLE) / COUNT(*) AS units_per_word
+       |FROM tok t JOIN enc e USING (w) GROUP BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_train" -> (bpeTrain _),
+    "bpe_apply" -> (bpeApply _),
+    "bm25_search" -> (bm25Search _),
+    "phrase_search" -> (phraseSearch _),
     "mix_apply" -> (mixApply _),
     "pii_inventory" -> (piiInventory _),
     "corpus_card" -> (corpusCard _),
@@ -1200,6 +1327,9 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "bpe_train" -> bpeTrainSql,
+    "bpe_apply" -> bpeApplySql,
+    "bm25_search" -> bm25SearchSql,
+    "phrase_search" -> phraseSearchSql,
     "mix_apply" -> mixApplySql,
     "pii_inventory" -> piiInventorySql,
     "corpus_card" -> corpusCardSql,
