@@ -42,4 +42,16 @@ class BpeSpec extends AnyFunSuite {
       (3, "aa", "aaa", "aaaaa", 1L)))
     GraftCaches.releaseAll()
   }
+
+  test("encodeVocab is the training loop's own final state") {
+    import spark.implicits._
+    // Round 1 merges (a,b): 'ab' collapses to 1 unit, 'ac' stays 2
+    // ('a','c'), 'abc' becomes 2 ('ab','c') — apply = train-state, so
+    // subword counts reflect exactly the merges learned, no more.
+    val docs = Seq((0L, "ab ab ab abc"), (1L, "ac")).toDF("doc_id", "text")
+    val got = Bpe.encodeVocab(docs, "text", rounds = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("ab" -> 1L, "ac" -> 2L, "abc" -> 2L))
+    GraftCaches.releaseAll()
+  }
 }

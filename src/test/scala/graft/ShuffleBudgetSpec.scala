@@ -63,7 +63,12 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "decayed_engagement" -> 2, // 1-row max-date broadcast + user agg
     "tfidf_top_terms" -> 4,    // (doc,term) tf agg + term df agg + join + per-doc window
     "stream_type_stats" -> 1,  // transformWithState: ONE user-keyed exchange, no result sort
-    "stream_user_running" -> 1)// mapGroupsWithState: same single-exchange shape
+    "stream_user_running" -> 1,// mapGroupsWithState: same single-exchange shape
+    "bm25_search" -> 7,        // dl agg + term-filtered tf agg + df agg + 1-row avgdl
+                               // + doc-keyed join re-exchange + per-term heap (tracked
+                               // token relation inlined twice in the static plan)
+    "phrase_search" -> 1)      // scan-filtered posting lists broadcast-join at fixture
+                               // scale; the per-doc agg is the only exchange
   // Iterated operators (graph_pagerank, dedup_components*,
   // graph_communities, bpe_train) are NOT pinned: their pre-execution
   // plan string inlines every tracked-cache subtree per round (and
