@@ -447,7 +447,44 @@ object SimilarityQueries {
        |         (sqrt(${dotSql("e.v", "e.v")}) * sqrt(${dotSql("c.c", "c.c")})) AS cos_centroid
        |FROM ev e JOIN c USING (label) ORDER BY e.vec_id""".stripMargin
 
+  /** Two-stage retrieval: BM25 lexical candidates re-ranked by embedding
+    * cosine against a fixed query vector (vec_id 0) — the classic
+    * retrieve-then-rerank pipeline as ONE composed dataflow. Stage 1 is
+    * [[TextQueries.bm25Search]]'s top-10-per-term output (itself
+    * hash-checked), distinct'd to a candidate set bounded by
+    * |terms| × 10; stage 2 broadcasts that set against `embeddings`
+    * (vec_id = doc_id), scores with the same left-fold cosine every
+    * similarity oracle rebuilds, and ranks in a single partition — sound
+    * at any corpus scale because the RANKED relation is candidate-sized,
+    * never corpus-sized; only the two index scans touch the corpus. */
+  def retrieveRerank(spark: SparkSession, dir: String): DataFrame = {
+    val cands = TextQueries.bm25Search(spark, dir).select(col("doc_id")).distinct()
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("q_nrm"))
+    e.join(broadcast(cands), col("vec_id") === col("doc_id"))
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"),
+        (Similarity.dot(col("qv"), col("v")) / (col("q_nrm") * col("nrm"))).as("sim"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("sim").desc, col("doc_id").asc)).cast("bigint"))
+  }
+
+  val retrieveRerankSql: String =
+    s"""WITH cand AS (SELECT DISTINCT doc_id FROM (${TextQueries.bm25SearchSql}) b),
+       |$eCte,
+       |q AS (SELECT embedding AS qv, nrm AS q_nrm FROM e0 WHERE vec_id = 0)
+       |SELECT doc_id, sim,
+       |       CAST(row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS BIGINT) AS rank
+       |FROM (SELECT c.doc_id,
+       |        ${dotSql("q.qv", "e.embedding")} / (q.q_nrm * e.nrm) AS sim
+       |      FROM cand c JOIN e0 e ON e.vec_id = c.doc_id CROSS JOIN q) s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "retrieve_rerank" -> (retrieveRerank _),
     "embed_outliers" -> (embedOutliers _),
     "ivf_recall" -> (ivfRecall _),
     "pq_codes" -> (pqCodesQ _),
@@ -465,6 +502,7 @@ object SimilarityQueries {
     "ivf_topk" -> (ivfTopK _))
 
   val oracles: Map[String, String] = Map(
+    "retrieve_rerank" -> retrieveRerankSql,
     "embed_outliers" -> embedOutliersSql,
     "ivf_recall" -> ivfRecallSql,
     "pq_codes" -> pqCodesSql,
