@@ -63,4 +63,18 @@ object Multimodal {
     features.filter(col("modality") === "video")
       .select(col("id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(step))).as("frame_no"))
+
+  /** Resize plan: aspect-preserving fit of each visual item into a
+    * `box`×`box` square — the standard pre-training normalization step.
+    * Output dimensions are pure INTEGER math over the decoded metadata
+    * ((dim * box) div max(w,h) — exactly mirrorable in SQL, no float
+    * rounding divergence), so the plan is oracle-checkable end-to-end;
+    * the pixel resample itself would live next to the codec in
+    * [[decodeStub]]'s slot and is out of scope in this container. Audio
+    * is excluded (no spatial dims to resize). */
+  def resizePlan(features: Dataset[MediaFeatures], box: Int): DataFrame =
+    features.filter(col("modality") =!= "audio")
+      .select(col("id"), col("modality"), col("width"), col("height"),
+        expr(s"cast((width * $box) div greatest(width, height) as int)").as("out_w"),
+        expr(s"cast((height * $box) div greatest(width, height) as int)").as("out_h"))
 }

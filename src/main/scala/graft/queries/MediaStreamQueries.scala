@@ -126,6 +126,34 @@ object MediaStreamQueries {
       |  checksum
       |FROM f ORDER BY id""".stripMargin
 
+  /** Resize plan ([[Multimodal.resizePlan]]): aspect-preserving fit of
+    * every visual item into a 224-box — decode → resize as one composed
+    * typed path, with the output dimensions pure integer math so the
+    * whole chain is hash-checked. Completes the multimodal quartet
+    * (decode, feature-extract, resize, frame-sample). */
+  def mediaResize(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.resizePlan(
+      Multimodal.extractFeatures(
+        Multimodal.asMedia(Tables.documents(spark, dir), "doc_id", "text"),
+        partitions = 8),
+      box = 224)
+
+  val mediaResizeSql: String =
+    """WITH f AS (
+      |  SELECT doc_id AS id,
+      |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
+      |    list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text,''), c -> ascii(c)::BIGINT)),
+      |                (a,b) -> (a*31+b) % 1000000007) AS checksum
+      |  FROM documents),
+      |d AS (SELECT id, modality,
+      |        CAST(64 + checksum % 960 AS INT) AS width,
+      |        CAST(64 + (checksum // 7) % 540 AS INT) AS height
+      |      FROM f WHERE modality != 'audio')
+      |SELECT id, modality, width, height,
+      |  CAST((width * 224) // GREATEST(width, height) AS INT) AS out_w,
+      |  CAST((height * 224) // GREATEST(width, height) AS INT) AS out_h
+      |FROM d""".stripMargin
+
   /** mapGroupsWithState stateful aggregation, exercised in batch mode.
     * "Last" is arg_max by event_id (deterministic), so the typed state
     * fold is hash-checked against DuckDB's arg_max. */
@@ -383,6 +411,7 @@ object MediaStreamQueries {
     "session_window_agg" -> (sessionWindowAgg _),
     "binary_meta_extract" -> (binaryMetaExtract _),
     "multimodal_features" -> (multimodalFeatures _),
+    "media_resize" -> (mediaResize _),
     "stream_user_running" -> (streamUserRunning _),
     "stream_topk" -> (streamTopK _),
     "sessionize_stateful" -> (sessionizeStateful _),
@@ -401,6 +430,7 @@ object MediaStreamQueries {
     "session_window_agg" -> sessionWindowAggSql,
     "binary_meta_extract" -> binaryMetaExtractSql,
     "multimodal_features" -> multimodalFeaturesSql,
+    "media_resize" -> mediaResizeSql,
     "stream_user_running" -> streamUserRunningSql,
     "stream_topk" -> streamTopKSql,
     "sessionize_stateful" -> Relational.sessionizeSql,

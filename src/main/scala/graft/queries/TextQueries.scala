@@ -265,6 +265,37 @@ object TextQueries {
       |SELECT f.doc_id, COUNT(*) AS n_hits, CAST(MIN(f.p) - 1 AS BIGINT) AS first_pos
       |FROM f JOIN s ON f.doc_id = s.doc_id AND f.p = s.p GROUP BY f.doc_id""".stripMargin
 
+  /** Deterministic epoch shuffle — the global permutation + fixed-size
+    * sharding every training run does between epochs. The permutation
+    * key is a seeded affine hash of the doc id (reproducible across
+    * engines and runs — reshuffling an epoch is just changing the seed),
+    * and the GLOBAL position comes from
+    * [[graft.operators.PrefixScan.runningSumLong]] — range-partitioned
+    * running count, so no single-task `Window.orderBy` over the corpus;
+    * at 100 TB every stage stays partition-parallel and each shard of 64
+    * docs is addressable as (shard, pos) by the data loader. The oracle
+    * is the global-window formulation, so the PrefixScan rewrite itself
+    * is hash-checked. */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = graft.operators.TextOps.MinhashSeeds(5)
+    val m = PolyHash.Mod
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"), ((col("doc_id") * a + b) % m).as("skey"), lit(1L).as("one"))
+    graft.operators.PrefixScan.runningSumLong(keyed, "one", "rk", col("skey"), col("doc_id"))
+      .select(col("doc_id"), col("skey"),
+        expr("(rk - 1) div 64").as("shard"),
+        expr("(rk - 1) % 64").as("pos"))
+  }
+
+  val epochShuffleSql: String = {
+    val (a, b) = graft.operators.TextOps.MinhashSeeds(5)
+    s"""WITH k AS (SELECT doc_id, (doc_id * ${a} + ${b}) % ${PolyHash.Mod} AS skey FROM documents),
+       |r AS (SELECT doc_id, skey,
+       |        CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT) - 1 AS rk
+       |      FROM k)
+       |SELECT doc_id, skey, rk // 64 AS shard, rk % 64 AS pos FROM r""".stripMargin
+  }
+
   /** HLL-style approximate distinct-token count: 64 registers keyed by
     * poly_hash(term) % 64, each holding the max bit-pattern observable
     * rho = trailing-zero count of the remaining hash bits + 1, harmonic
@@ -1292,6 +1323,7 @@ object TextQueries {
     "bpe_apply" -> (bpeApply _),
     "bm25_search" -> (bm25Search _),
     "phrase_search" -> (phraseSearch _),
+    "epoch_shuffle" -> (epochShuffle _),
     "mix_apply" -> (mixApply _),
     "pii_inventory" -> (piiInventory _),
     "corpus_card" -> (corpusCard _),
@@ -1330,6 +1362,7 @@ object TextQueries {
     "bpe_apply" -> bpeApplySql,
     "bm25_search" -> bm25SearchSql,
     "phrase_search" -> phraseSearchSql,
+    "epoch_shuffle" -> epochShuffleSql,
     "mix_apply" -> mixApplySql,
     "pii_inventory" -> piiInventorySql,
     "corpus_card" -> corpusCardSql,
