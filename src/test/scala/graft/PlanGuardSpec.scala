@@ -37,7 +37,12 @@ class PlanGuardSpec extends AnyFunSuite {
       "ivf_kmeanspp_assign", "source_mix_weights", "ann_recall", "ivf_recall",
       "cms_heavy_hitters", "zorder_cluster", "hist_quantiles",
       "corpus_overlap", "corpus_card", "type_cooccurrence",
-      "decayed_engagement", "key_skew_profile", "mix_apply")
+      "decayed_engagement", "key_skew_profile", "mix_apply",
+      // bm25_search: the 1-row avgdl aggregate cross-broadcast onto the
+      // scored postings; retrieve_rerank: the 1-row query-vector side
+      // cross-broadcast onto the bounded candidate set. Both the same
+      // deliberate scalar-broadcast shape as source_mix_weights.
+      "bm25_search", "retrieve_rerank")
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
