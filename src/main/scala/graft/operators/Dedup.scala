@@ -479,6 +479,43 @@ object Dedup {
       .select(col(id), col("dedup_text"), col("n_kept"), col("n_segs"))
   }
 
+  /** Cross-document boilerplate strip (the CCNet/RefinedWeb per-domain
+    * cleaning step): fixed `segTokens`-token segments; a segment whose
+    * (source, seg_text) occurs in >= `minDf` DISTINCT documents of the
+    * SAME source is boilerplate (nav bars, headers, license footers
+    * repeat within a site, not across the web) and is removed from every
+    * document — unlike [[paragraphDedup]]'s global keep-FIRST, boilerplate
+    * keeps NO copy. Scale shape: one per-row explode, one two-phase
+    * count-distinct keyed on (source, seg_text), and the boilerplate
+    * relation — bounded by the repeated mass, tiny by construction —
+    * joins back on the same key; documents never ride a shuffle, only
+    * segments do, and reconstruction is one per-doc sorted collect. */
+  def boilerplateStrip(docs: DataFrame, id: String, text: String,
+      source: String, segTokens: Int = 2, minDf: Int = 3): DataFrame = {
+    val segs = graft.GraftCaches.track(
+      docs.select(col(id), col(source).as("src"), split(col(text), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .withColumn("s",
+          explode(expr(s"sequence(0, greatest(n - 1, 0), $segTokens)")))
+        .select(col(id), col("src"),
+          (col("s") / segTokens).cast("int").as("seg_no"),
+          array_join(slice(col("toks"), col("s") + 1, lit(segTokens)), " ").as("seg_text")))
+    val bf = segs.groupBy("src", "seg_text")
+      .agg(count_distinct(col(id)).as("ndoc"))
+      .filter(col("ndoc") >= minDf)
+      .select("src", "seg_text")
+    val perDoc = segs.groupBy(id).agg(count(lit(1)).as("n_segs"))
+    val kept = segs.join(bf, Seq("src", "seg_text"), "left_anti")
+    perDoc.join(
+      kept.groupBy(id).agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg_no"), col("seg_text")))),
+          s => s.getField("seg_text")), " ").as("clean_text")),
+      Seq(id), "left")
+      .select(col(id), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("n_segs"))
+  }
+
   /** Incremental delta-dedup: score a NEW batch against the EXISTING
     * corpus without ever self-joining the corpus — the production ingest
     * shape (the corpus is petabytes and already deduped; only new-vs-old

@@ -369,6 +369,34 @@ object DedupQueries {
       |FROM keep k JOIN per ON per.doc_id = k.doc_id
       |GROUP BY k.doc_id, per.n_segs ORDER BY k.doc_id""".stripMargin
 
+  /** Per-source boilerplate strip: 2-token segments present in >= 3
+    * distinct docs of the same source are removed from ALL of them (no
+    * surviving copy — the nav-bar/footer rule), docs rebuilt in segment
+    * order. See [[graft.operators.Dedup.boilerplateStrip]]. */
+  def boilerplateLines(spark: SparkSession, dir: String): DataFrame =
+    Dedup.boilerplateStrip(Tables.documents(spark, dir), "doc_id", "text",
+        source = "source", segTokens = 2, minDf = 3)
+
+  val boilerplateLinesSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS toks,
+      |         len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |s AS (SELECT doc_id, source, toks, unnest(range(0, greatest(n, 1), 2)) AS st FROM t),
+      |seg AS (SELECT doc_id, source, CAST(st // 2 AS INT) AS seg_no,
+      |               array_to_string(list_slice(toks, st + 1, st + 2), ' ') AS seg_text
+      |        FROM s),
+      |bf AS (SELECT source, seg_text FROM seg
+      |       GROUP BY source, seg_text HAVING COUNT(DISTINCT doc_id) >= 3),
+      |kept AS (SELECT seg.* FROM seg ANTI JOIN bf USING (source, seg_text)),
+      |per AS (SELECT doc_id, COUNT(*) AS n_segs FROM seg GROUP BY doc_id),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+      |               array_to_string(list(seg_text ORDER BY seg_no), ' ') AS clean_text
+      |        FROM kept GROUP BY doc_id)
+      |SELECT per.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+      |       CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept, per.n_segs
+      |FROM per LEFT JOIN agg USING (doc_id) ORDER BY per.doc_id""".stripMargin
+
   /** PageRank (3 rounds, 0.85/0.15) over the LSH candidate graph. The
     * oracle unrolls all three power-iteration rounds on the same
     * bands/cand CTEs, so every intermediate rank vector — not just the
@@ -713,6 +741,7 @@ object DedupQueries {
     "duplicate_ngrams" -> (duplicateNgrams _),
     "graph_pagerank" -> (graphPagerank _),
     "paragraph_dedup" -> (paragraphDedup _),
+    "boilerplate_lines" -> (boilerplateLines _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "graph_triangles" -> (graphTriangles _),
     "dedup_components" -> (dedupComponents _),
@@ -738,6 +767,7 @@ object DedupQueries {
     "duplicate_ngrams" -> duplicateNgramsSql,
     "graph_pagerank" -> graphPagerankSql,
     "paragraph_dedup" -> paragraphDedupSql,
+    "boilerplate_lines" -> boilerplateLinesSql,
     "dedup_keep_best" -> dedupKeepBestSql,
     "graph_triangles" -> graphTrianglesSql,
     "dedup_components" -> dedupComponentsSql,

@@ -1564,6 +1564,57 @@ object Relational {
       |         NULLIF(sqrt((sv2 - sv * sv / n::DOUBLE) / n::DOUBLE), 0) AS z
       |FROM events e JOIN m USING (event_type)""".stripMargin
 
+  /** Winsorized per-type stats: clamp `value` to its own type's
+    * [p05, p95] and report the clamped mean plus tail counts — the
+    * standard heavy-tail-robust preprocessing for reward/engagement
+    * features. The quantile relation is one small per-type aggregate
+    * BROADCAST onto the fact scan (the fact table never reshuffles for
+    * the clamp), and the winsorized mean is reconstructed exactly as
+    * (sum_mid + n_lo*lo + n_hi*hi) / n: the mid-mass sum is an exact
+    * DECIMAL (order-independent), the tail mass is count x bound, so the
+    * one double expression is bit-equal across engines — no
+    * order-dependent double summation anywhere. Exact `percentile` keeps
+    * the differential bit-for-bit (quantile_cont interpolation matches);
+    * at 100 TB you'd swap in approx_percentile and keep the same plan. */
+  def winsorizeStats(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, array(0.05D, 0.95D))").as("qs"))
+      .select(col("event_type"), col("qs")(0).as("lo"), col("qs")(1).as("hi"))
+    val v = col("value").cast(DecimalType(18, 2))
+    Tables.events(spark, dir)
+      .join(broadcast(q), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+        sum(when(col("value") >= col("lo") && col("value") <= col("hi"), v)).as("sum_mid"),
+        min(col("lo")).as("lo"), min(col("hi")).as("hi"))
+      .select(col("event_type"), col("n"), col("n_lo"), col("n_hi"),
+        col("lo"), col("hi"),
+        ((col("sum_mid").cast("double") + col("n_lo") * col("lo") + col("n_hi") * col("hi"))
+          / col("n")).as("win_mean"))
+      .orderBy("event_type")
+  }
+
+  val winsorizeStatsSql: String =
+    """WITH q AS (
+      |  SELECT event_type, quantile_cont(value, 0.05) AS lo,
+      |         quantile_cont(value, 0.95) AS hi
+      |  FROM events GROUP BY event_type),
+      |a AS (
+      |  SELECT e.event_type, COUNT(*) AS n,
+      |    SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS n_lo,
+      |    SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS n_hi,
+      |    SUM(CASE WHEN value >= lo AND value <= hi
+      |             THEN CAST(value AS DECIMAL(18,2)) END) AS sum_mid,
+      |    MIN(lo) AS lo, MIN(hi) AS hi
+      |  FROM events e JOIN q USING (event_type) GROUP BY e.event_type)
+      |SELECT event_type, CAST(n AS BIGINT) AS n, CAST(n_lo AS BIGINT) AS n_lo,
+      |  CAST(n_hi AS BIGINT) AS n_hi, lo, hi,
+      |  (CAST(CAST(sum_mid AS VARCHAR) AS DOUBLE) + n_lo * lo + n_hi * hi) / n AS win_mean
+      |FROM a ORDER BY event_type""".stripMargin
+
   /** Robust outlier screen per event type: median + MAD instead of
     * mean + stddev (one fat-fingered 1e9 value drags a z-score
     * threshold into uselessness; the median absolute deviation doesn't
@@ -1806,6 +1857,7 @@ object Relational {
     "robust_outliers" -> (robustOutliers _),
     "type_cooccurrence" -> (typeCooccurrence _),
     "feature_normalize" -> (featureNormalize _),
+    "winsorize_stats" -> (winsorizeStats _),
     "leakage_audit" -> (leakageAudit _),
     "sql_exists_orders" -> (sqlExistsOrders _),
     "trend_slope" -> (trendSlope _),
@@ -1864,6 +1916,7 @@ object Relational {
     "robust_outliers" -> robustOutliersSql,
     "type_cooccurrence" -> typeCooccurrenceSql,
     "feature_normalize" -> featureNormalizeSql,
+    "winsorize_stats" -> winsorizeStatsSql,
     "leakage_audit" -> leakageAuditSql,
     "sql_exists_orders" -> sqlExistsOrdersSql,
     "trend_slope" -> trendSlopeSql,

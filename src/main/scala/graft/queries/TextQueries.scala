@@ -131,6 +131,57 @@ object TextQueries {
       |  len(regexp_extract_all(text, '\b(the|a|an|of)\b')) AS n_stop
       |FROM documents) t ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style quality rule bundle (Rae et al. 2021's repetition-free
+    * heuristics, the rule-filter stage every pretraining pipeline runs
+    * before model-based scoring): word-count bounds, mean/max word
+    * length bounds, minimum stop-word evidence, and the conjunction as
+    * the keep decision. All rules are single-pass scan-speed column math
+    * over the token array — no shuffle, fully codegen'd, and each rule
+    * is emitted as its own flag so downstream can audit WHICH rule
+    * rejected a document (the corpus-card composition need), not just
+    * that one did. */
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = org.apache.spark.sql.functions.filter(split(col("text"), " "), w => w =!= "")
+    val wordsOk = col("n_words") >= 30 && col("n_words") <= 5000
+    val meanOk = col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0
+    val maxOk = col("max_word_len") <= 15L
+    val stopOk = col("n_stop") >= 2L
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks).cast("bigint").as("n_words"),
+        aggregate(toks, lit(0L), (a, w) => a + length(w)).as("sum_len"),
+        array_max(transform(toks, w => length(w))).cast("bigint").as("max_word_len"),
+        regexp_count(col("text"), lit(enRx)).cast("bigint").as("n_stop"))
+      .select(col("doc_id"), col("n_words"),
+        (col("sum_len").cast("double") / col("n_words")).as("mean_word_len"),
+        col("max_word_len"), col("n_stop"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("max_word_len"), col("n_stop"),
+        wordsOk.as("words_ok"), meanOk.as("mean_ok"),
+        maxOk.as("max_ok"), stopOk.as("stop_ok"),
+        (wordsOk && meanOk && maxOk && stopOk).as("pass"))
+      .orderBy("doc_id")
+  }
+
+  val gopherQualitySql: String =
+    """SELECT doc_id, n_words, mean_word_len, max_word_len, n_stop,
+      |  words_ok, mean_ok, max_ok, stop_ok,
+      |  (words_ok AND mean_ok AND max_ok AND stop_ok) AS pass
+      |FROM (SELECT doc_id, n_words, mean_word_len, max_word_len, n_stop,
+      |  (n_words >= 30 AND n_words <= 5000) AS words_ok,
+      |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS mean_ok,
+      |  (max_word_len <= 15) AS max_ok,
+      |  (n_stop >= 2) AS stop_ok
+      |FROM (SELECT doc_id,
+      |  CAST(len(ws) AS BIGINT) AS n_words,
+      |  CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE)
+      |    / CAST(len(ws) AS BIGINT) AS mean_word_len,
+      |  CAST(list_max(list_transform(ws, w -> len(w))) AS BIGINT) AS max_word_len,
+      |  CAST(len(regexp_extract_all(text, '\b(the|a|an|of)\b')) AS BIGINT) AS n_stop
+      |FROM (SELECT doc_id, text,
+      |  list_filter(string_split(text, ' '), x -> x != '') AS ws
+      |FROM documents) w) m) r ORDER BY doc_id""".stripMargin
+
   /** Document fingerprint via the native poly_hash expression (codegen'd);
     * oracle rebuilds the same rolling hash with list_reduce. */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -1354,6 +1405,7 @@ object TextQueries {
     "ntile_quality_bins" -> (ntileQualityBins _),
     "lang_id_heuristic" -> (langIdHeuristic _),
     "quality_score" -> (qualityScore _),
+    "gopher_quality" -> (gopherQuality _),
     "doc_fingerprint" -> (docFingerprint _),
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
@@ -1393,6 +1445,7 @@ object TextQueries {
     "ntile_quality_bins" -> ntileQualityBinsSql,
     "lang_id_heuristic" -> langIdHeuristicSql,
     "quality_score" -> qualityScoreSql,
+    "gopher_quality" -> gopherQualitySql,
     "doc_fingerprint" -> docFingerprintSql,
     "tfidf_top_terms" -> tfidfTopTermsSql)
 }
