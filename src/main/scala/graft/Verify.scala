@@ -38,13 +38,14 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(SparkEntry.queries)(names => SparkEntry.queries.filter(kv => names(kv._1)))
-    val failed = scala.collection.mutable.Set.empty[String]
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        failed += name -> msg
+        System.err.println(s"[verify] $name failed: $msg")
       } finally GraftCaches.releaseAll()
     }
     // Repeat-stability pass (round-4 VERDICT item 1): under the same heap
@@ -55,7 +56,7 @@ object Verify {
     // a plain query failure (tolerated, surfaces in the driver's compare)
     // with a nondeterminism bug (fails the whole run).
     if (sys.env.get("SPARK_GRAFT_REPEAT").exists(_.nonEmpty)) {
-      val unstable = selected.filterNot(kv => failed(kv._1)).flatMap { case (name, fn) =>
+      val unstable = selected.filterNot(kv => failed.contains(kv._1)).flatMap { case (name, fn) =>
         val r = try {
           val h1 = canonicalHash(spark.read.parquet(s"$outDir/$name"))
           val h2 = canonicalHash(fn(spark, sfDir))
@@ -87,6 +88,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Failure record (round-6 VERDICT item 3): a throwing query must leave a
+    // trace in the correctness artifacts, not just a stderr line — otherwise
+    // the round's CORRECTNESS json silently shrinks and reads fully green.
+    val failedJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failed.json"), failedJson)
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size}/${selected.size} queries failed (see failed.json)")
     spark.stop()
   }
 }

@@ -16,11 +16,17 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read it as raw nanos
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a micros
-    * TimestampType column (the fixture has no sub-microsecond components, so
-    * the conversion is lossless).
+  /** `events.parquet` fixtures have shipped `ts` in two vintages:
+    * parquet TIMESTAMP(NANOS) (which Spark's vectorized reader only accepts
+    * as a raw int64 via `spark.sql.legacy.parquet.nanosAsLong`) and plain
+    * TIMESTAMP(MICROS) (loaded as TIMESTAMP_NTZ when not UTC-adjusted).
+    * Branch on the LOADED schema so the engine absorbs either vintage and
+    * always hands consumers a session-tz `TimestampType` column:
+    *  - `LongType`  → legacy nanos fixture: convert nanos → micros timestamp
+    *    (fixtures carry no sub-microsecond components; lossless).
+    *  - anything else (TIMESTAMP_NTZ / TIMESTAMP) → `cast("timestamp")`;
+    *    the session timezone is pinned to UTC (GraftSession), so the NTZ →
+    *    LTZ cast is wall-clock identity.
     *
     * NOTE this mutates SESSION-GLOBAL config as a side effect of the read:
     * any later parquet read of nanos timestamps in the same session sees
@@ -28,10 +34,15 @@ object Tables {
     * TestSpark) also set the flag at session build; the set here is a
     * defensive idempotent repeat for foreign sessions. */
   private def eventsWithTs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = apply(spark, dir, "events")
+    val tsCol = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
+    raw.withColumn("ts", tsCol)
   }
 
   def region(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "region")
