@@ -1082,10 +1082,12 @@ object Relational {
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderdate"),
         col("o_totalprice").cast(DecimalType(14, 2)).as("price"))
+    // No trailing sort: PrefixScan already emits rows ordered by the scan
+    // key, and a global orderBy's sampling pass would re-run the scan's
+    // offset machinery; the driver compare sorts rows itself.
     graft.operators.PrefixScan
       .runningSumDecimal(o, "price", "cum", col("o_orderdate"), col("o_orderkey"))
       .select(col("o_orderkey"), col("o_orderdate"), col("cum").cast("double").as("cum_revenue"))
-      .orderBy("o_orderkey")
   }
 
   val cumulativeRevenueSql: String =
@@ -1147,10 +1149,12 @@ object Relational {
       .agg(sum(col("l_quantity").cast(DecimalType(12, 2))).as("total_qty"),
         count(lit(1)).as("n_items"))
       .filter(col("total_qty") > 180)
+    // No trailing sort: RangePartitioning's sampling pass would re-execute
+    // the whole scan+join child (there is no shuffle boundary under the
+    // sort — the join is an AQE broadcast); the consumer orders.
     big.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderkey"), col("o_custkey"),
         col("total_qty").cast("double").as("total_qty"), col("n_items"))
-      .orderBy("o_orderkey")
   }
 
   val bigOrdersSql: String =
@@ -1189,7 +1193,8 @@ object Relational {
           coalesce(col("v_base"), lit(0).cast(DecimalType(14, 2)))).as("diff"))
       .groupBy("status")
       .agg(count(lit(1)).as("n"), sum(col("diff")).cast("double").as("net_drift"))
-      .orderBy("status")
+    // No trailing sort on the 4-row result: the sort's sampling pass costs a
+    // second execution of the final aggregate; the consumer orders.
   }
 
   val snapshotDiffSql: String =

@@ -237,30 +237,33 @@ object TextQueries {
     * cross-engine exactness discipline: IEEE ÷ and × reproduce bit-for-bit
     * across engines, libm's ln does not), so every score is hash-checked.
     * Scale shape: the tf aggregation filters to query terms BEFORE the
-    * shuffle (the scan-side filter is the retrieval pruning), df and avgdl
-    * are broadcast scalars, and the per-term top-10 is the bounded-heap
-    * [[graft.functions.TopKAggregator]] — ≤10 rows per map task per term
-    * on the shuffle, never a full posting list through one window
-    * reducer. The oracle is the row_number window formulation, so the
+    * shuffle (the scan-side filter is the retrieval pruning), df and the
+    * (N, avgdl) scalars are broadcast, and the per-term top-10 is the
+    * bounded-heap [[graft.functions.TopKAggregator]] — ≤10 rows per map
+    * task per term on the shuffle, never a full posting list through one
+    * window reducer. Per-doc length is `size()` of the token array AT THE
+    * SCAN — no explode/groupBy shuffle just to count tokens — and N rides
+    * the same aggregate as avgdl, so there is no separate driver-side
+    * count() action and the (single-consumer) token relation needs no
+    * cache. The oracle is the row_number window formulation, so the
     * aggregator rewrite itself is what's being hash-checked. */
   def bm25Search(spark: SparkSession, dir: String): DataFrame = {
     val qTerms = Seq("spark", "join", "vector")
     val docs = Tables.documents(spark, dir)
-    val n = docs.count()
-    val toks = graft.GraftCaches.track(
-      docs.select(col("doc_id"),
-        explode(org.apache.spark.sql.functions.filter(split(col("text"), " "), w => w =!= "")).as("term")))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val tf = toks.filter(col("term").isin(qTerms: _*))
+    val words = org.apache.spark.sql.functions.filter(split(col("text"), " "), w => w =!= "")
+    val dl = docs.select(col("doc_id"), size(words).cast("bigint").as("dl"))
+    val scal = dl.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("bigint").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs.select(col("doc_id"), explode(words).as("term"))
+      .filter(col("term").isin(qTerms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfRel = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val avg = dl.agg((sum(col("dl")).cast("bigint").cast("double") / lit(n)).as("avgdl"))
-    val idf = (lit(n).cast("double") - col("df") + lit(0.5)) /
+    val idf = (col("n").cast("double") - col("df") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5))
     val denom = col("tf").cast("double") +
       lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))
     val score = idf * ((col("tf").cast("double") * lit(2.2)) / denom)
-    tf.join(dl, "doc_id").join(broadcast(dfRel), "term").crossJoin(broadcast(avg))
+    tf.join(dl, "doc_id").join(broadcast(dfRel), "term").crossJoin(broadcast(scal))
       .select(col("term"), col("doc_id"), score.as("score"))
       .groupBy("term")
       .agg(graft.functions.TopKAggregator.topK(10)(col("doc_id"), col("score")).as("top"))

@@ -29,4 +29,18 @@ class CacheLifecycleSpec extends AnyFunSuite {
     assert(after.subsetOf(before),
       s"persistent RDDs grew: ${after -- before} remain after releaseAll")
   }
+
+  test("bm25_search and retrieve_rerank track no caches (round-6 VERDICT 6/7)") {
+    // bm25's token relation is single-consumer since the dl agg moved to a
+    // size()-at-scan projection, so neither the lexical stage nor the
+    // two-stage rerank pipeline should persist anything: plan construction
+    // must leave the registry exactly as it found it.
+    GraftCaches.releaseAll()
+    graft.queries.TextQueries.bm25Search(spark, dir)
+    assert(GraftCaches.trackedCount === 0,
+      "bm25_search tracked a cache; its token relation is single-use")
+    SimilarityQueries.retrieveRerank(spark, dir)
+    assert(GraftCaches.trackedCount === 0,
+      "retrieve_rerank tracked a cache; candidates are already bounded")
+  }
 }

@@ -37,8 +37,8 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "revenue_by_nation" -> 2,  // fact-fact shuffle; all dims broadcast
     "posting_lists" -> 3,      // (term,doc) tf agg + term agg + result sort
     "paragraph_dedup" -> 4,    // seg-text dedup + doc reassembly + per-doc counts + join (no result sort)
-    "big_orders" -> 3,         // fact agg + join-back + result sort
-    "snapshot_diff" -> 4,      // full-outer key shuffle (both sides) + status agg + result sort
+    "big_orders" -> 1,         // fact agg; join-back is AQE broadcast; no result sort
+    "snapshot_diff" -> 3,      // full-outer key shuffle (both sides) + status agg; no result sort
     "zorder_cluster" -> 3,     // zmax 1-row agg + z-bucket agg + result sort
     "pq_codes" -> 3,           // (id,mi) argmin agg + id regroup + result sort
     "lm_score" -> 5,           // c1 agg + c2 agg + 2 gram-keyed joins + doc agg (no result sort)
@@ -64,9 +64,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "tfidf_top_terms" -> 4,    // (doc,term) tf agg + term df agg + join + per-doc window
     "stream_type_stats" -> 1,  // transformWithState: ONE user-keyed exchange, no result sort
     "stream_user_running" -> 1,// mapGroupsWithState: same single-exchange shape
-    "bm25_search" -> 7,        // dl agg + term-filtered tf agg + df agg + 1-row avgdl
-                               // + doc-keyed join re-exchange + per-term heap (tracked
-                               // token relation inlined twice in the static plan)
+    "bm25_search" -> 5,        // term-filtered tf agg + df agg + 1-row (N,avgdl) fold
+                               // + doc-keyed join re-exchange + per-term heap; per-doc
+                               // length is size() at the scan — no dl agg shuffle
     "phrase_search" -> 1)      // scan-filtered posting lists broadcast-join at fixture
                                // scale; the per-doc agg is the only exchange
   // Iterated operators (graph_pagerank, dedup_components*,
