@@ -452,4 +452,46 @@ object Similarity {
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus, compare vectors ONLY within their cluster, and
+    * drop every vector whose cosine to a LOWER-id cell-mate clears
+    * `threshold` — one deterministic survivor (the lowest id) per
+    * semantic-duplicate group. Clustering here is the deterministic
+    * k-lowest-id-seed assignment ([[ivfAssignments]]' shape); production
+    * swaps in the Lloyd-trained centroids — the relation shape and every
+    * downstream join are identical.
+    *
+    * Scale shape: the pairwise stage is CELL-bucketed, never corpus-
+    * quadratic — the candidate self-join carries only (centroid_id, id)
+    * rows, vectors rejoin by id for the cosine verify, and cells larger
+    * than `maxCell` are excluded from pairing (the skew guard every
+    * within-cluster comparison needs: one degenerate cluster would
+    * otherwise put a quadratic task on one core). The oracle applies the
+    * identical HAVING cap, so the guard itself is hash-checked. Returns
+    * (id, centroid_id, is_kept) for EVERY corpus vector. */
+  def semDedup(corpus: DataFrame, id: String, vec: String,
+      threshold: Double, k: Int = 16, maxCell: Int = 200): DataFrame = {
+    val e = graft.GraftCaches.track(
+      corpus.select(col(id), toDoubleVec(col(vec)).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v")))))
+    val c = e.filter(col(id) < k)
+      .select(col(id).as("c_id"), col("v").as("cv"), col("nrm").as("c_nrm"))
+    val assign = graft.GraftCaches.track(assignTo(e, id, c))
+    val okCells = assign.groupBy("centroid_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxCell).select("centroid_id")
+    val members = assign.join(broadcast(okCells), "centroid_id")
+      .select(col("centroid_id"), col(id))
+    val cand = members.as("a")
+      .join(members.as("b").withColumnRenamed(id, "id_b"), "centroid_id")
+      .filter(col(id) < col("id_b"))
+      .select(col(id).as("id_a"), col("id_b"))
+    val dropped = cand
+      .join(e.select(col(id).as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(e.select(col(id).as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select(col("id_b")).distinct()
+    assign.join(dropped, col(id) === col("id_b"), "left")
+      .select(col(id), col("centroid_id"), col("id_b").isNull.as("is_kept"))
+  }
 }

