@@ -131,6 +131,46 @@ object TextQueries {
       |  len(regexp_extract_all(text, '\b(the|a|an|of)\b')) AS n_stop
       |FROM documents) t ORDER BY doc_id""".stripMargin
 
+  /** Per-source quota cap — the Common-Crawl-style per-domain cap every
+    * corpus mixer applies so one crawl source can't dominate the mix:
+    * keep at most K=10 documents per source, ranked by the SAME quality
+    * composite as `quality_score` (shared expression tree, so the
+    * doubles stay bit-equal cross-engine). Scale shape: one shuffle
+    * keyed on source with the bounded-heap
+    * [[graft.functions.TopKAggregator]] doing map-side partial top-K —
+    * ≤10 rows per map task per source on the wire, never a full
+    * per-source posting through one window reducer (the oracle IS the
+    * row_number window formulation, so the heap rewrite is what's
+    * hash-checked). Output is ≤ |sources|×10 rows at any corpus size. */
+  def sourceQuotaCap(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(org.apache.spark.sql.functions.filter(split(col("text"), " "), w => w =!= "")).cast("bigint").as("n_tokens"),
+        regexp_count(col("text"), lit(enRx)).as("n_stop"))
+      .select(col("source"), col("doc_id"),
+        (least(col("n_tokens") / lit(50.0), lit(1.0)) * 0.5 +
+          (col("n_stop").cast("double") / col("n_tokens")) * 0.5).as("quality"))
+    scored.groupBy("source")
+      .agg(graft.functions.TopKAggregator.topK(10)(col("doc_id"), col("quality")).as("top"))
+      .select(col("source"), posexplode(arrays_zip(col("top.ids"), col("top.sims"))))
+      .select(col("source"), (col("pos") + 1).cast("bigint").as("rk"),
+        col("col.ids").as("doc_id"), col("col.sims").as("quality"))
+  }
+
+  val sourceQuotaCapSql: String =
+    """WITH s AS (
+      |  SELECT source, doc_id,
+      |    least(n_tokens / 50.0, 1.0) * 0.5 + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5 AS quality
+      |  FROM (SELECT source, doc_id,
+      |          len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+      |          len(regexp_extract_all(text, '\b(the|a|an|of)\b')) AS n_stop
+      |        FROM documents) t)
+      |SELECT source, CAST(rn AS BIGINT) AS rk, doc_id, quality FROM (
+      |  SELECT source, doc_id, quality,
+      |         row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rn
+      |  FROM s) r
+      |WHERE rn <= 10""".stripMargin
+
   /** Gopher-style quality rule bundle (Rae et al. 2021's repetition-free
     * heuristics, the rule-filter stage every pretraining pipeline runs
     * before model-based scoring): word-count bounds, mean/max word
@@ -1408,6 +1448,7 @@ object TextQueries {
     "ntile_quality_bins" -> (ntileQualityBins _),
     "lang_id_heuristic" -> (langIdHeuristic _),
     "quality_score" -> (qualityScore _),
+    "source_quota_cap" -> (sourceQuotaCap _),
     "gopher_quality" -> (gopherQuality _),
     "doc_fingerprint" -> (docFingerprint _),
     "tfidf_top_terms" -> (tfidfTopTerms _))
@@ -1448,6 +1489,7 @@ object TextQueries {
     "ntile_quality_bins" -> ntileQualityBinsSql,
     "lang_id_heuristic" -> langIdHeuristicSql,
     "quality_score" -> qualityScoreSql,
+    "source_quota_cap" -> sourceQuotaCapSql,
     "gopher_quality" -> gopherQualitySql,
     "doc_fingerprint" -> docFingerprintSql,
     "tfidf_top_terms" -> tfidfTopTermsSql)

@@ -22,10 +22,16 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {
-      val df = fn(spark, dir)
-      assert(df.columns.nonEmpty)
-      val n = df.count()
-      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+      // release per query, like Verify/Bench: leaked tracked caches from
+      // 160+ queries otherwise accumulate across THIS suite and change
+      // sibling suites' plan shapes (InMemoryRelation variants plan extra
+      // exchanges — an order-dependent ShuffleBudgetSpec flake).
+      try {
+        val df = fn(spark, dir)
+        assert(df.columns.nonEmpty)
+        val n = df.count()
+        if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+      } finally GraftCaches.releaseAll()
     }
   }
 }
