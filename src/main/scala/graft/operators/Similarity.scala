@@ -453,6 +453,43 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** kNN label-noise audit (the deep-kNN label-consistency screen of
+    * confident-learning pipelines): for every labeled vector, the
+    * fraction of its k nearest retrieved neighbors that share its label —
+    * low agreement flags probable mislabels / out-of-distribution rows
+    * before they reach training. Neighbor retrieval is the banded-LSH
+    * candidate machinery, NOT all-pairs: candidates come from
+    * [[Dedup.candidatePairsFromBands]] (band-key equi-join, degenerate
+    * buckets capped at `maxBucket`), both orientations of each pair feed
+    * a per-vector bounded-heap top-k, and labels rejoin by id — only
+    * (id, band, key) and (id, id, sim) rows ride shuffles. Emits
+    * (id, label, n_nbrs, n_same, agree_frac, noisy) for every vector
+    * with at least one candidate neighbor. */
+  def knnLabelNoise(corpus: DataFrame, id: String, vec: String,
+      label: String, k: Int = 5, maxBucket: Int = 100): DataFrame = {
+    val e = indexed(corpus, id, vec)
+    val cand = Dedup.candidatePairsFromBands(bandRows(e, id), id, maxBucket)
+    val pairs = cand.select(col("doc_a").as("q_id"), col("doc_b").as("nbr"))
+      .unionAll(cand.select(col("doc_b").as("q_id"), col("doc_a").as("nbr")))
+    val ev = e.select(col(id), col("v"), col("nrm"))
+    val scored = pairs
+      .join(ev.select(col(id).as("q_id"), col("v").as("qv"), col("nrm").as("q_nrm")), "q_id")
+      .join(ev.select(col(id).as("nbr"), col("v").as("nv"), col("nrm").as("n_nrm")), "nbr")
+      .select(col("q_id"), col("nbr"),
+        (dot(col("qv"), col("nv")) / (col("q_nrm") * col("n_nrm"))).as("sim"))
+    val labels = corpus.select(col(id), col(label))
+    val topk = rankTopK(scored.withColumnRenamed("nbr", id), id, k)
+    topk
+      .join(labels.select(col(id).as("q_id"), col(label).as("q_label")), "q_id")
+      .join(labels.select(col(id), col(label).as("n_label")), id)
+      .groupBy(col("q_id").as(id), col("q_label").as(label))
+      .agg(count(lit(1)).as("n_nbrs"),
+        sum(when(col("n_label") === col("q_label"), 1L).otherwise(0L)).as("n_same"))
+      .select(col(id), col(label), col("n_nbrs"), col("n_same"),
+        (col("n_same").cast("double") / col("n_nbrs").cast("double")).as("agree_frac"))
+      .withColumn("noisy", col("agree_frac") < 0.5)
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster the corpus, compare vectors ONLY within their cluster, and
     * drop every vector whose cosine to a LOWER-id cell-mate clears

@@ -512,7 +512,43 @@ object SimilarityQueries {
        |SELECT a.vec_id, a.centroid_id, d.id_b IS NULL AS is_kept
        |FROM a LEFT JOIN d ON a.vec_id = d.id_b""".stripMargin
 
+  /** kNN label-noise audit over the labeled embedding corpus: fraction of
+    * the ≤5 nearest banded-LSH-retrieved neighbors sharing each vector's
+    * label; agreement < 0.5 flags the row as probably mislabeled. The
+    * candidate set is the capped band-bucket join (never all-pairs) and
+    * the per-vector top-k is the bounded heap; the oracle rebuilds bands,
+    * cap, both pair orientations, and the row_number window, so the
+    * whole retrieval+audit chain is hash-checked. */
+  def knnLabelNoiseQ(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnLabelNoise(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      "label", k = 5, maxBucket = 100)
+
+  val knnLabelNoiseSql: String =
+    s"""WITH $eCte,
+       |$bandsCte,
+       |okb AS (SELECT band, key FROM bands GROUP BY band, key HAVING COUNT(*) <= 100),
+       |bnd AS (SELECT b.vec_id, b.band, b.key FROM bands b JOIN okb USING (band, key)),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM bnd a JOIN bnd b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+       |pairs AS (SELECT id_a AS q_id, id_b AS nbr FROM cand
+       |          UNION ALL SELECT id_b, id_a FROM cand),
+       |s AS (SELECT p.q_id, p.nbr, ${cosSql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} AS sim
+       |      FROM pairs p JOIN e0 a ON a.vec_id = p.q_id JOIN e0 b ON b.vec_id = p.nbr),
+       |k AS (SELECT q_id, nbr FROM (
+       |  SELECT q_id, nbr, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, nbr ASC) AS rank
+       |  FROM s) t WHERE rank <= 5),
+       |g AS (SELECT k.q_id AS vec_id, ql.label, COUNT(*) AS n_nbrs,
+       |        CAST(SUM(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+       |      FROM k JOIN embeddings ql ON ql.vec_id = k.q_id
+       |             JOIN embeddings nl ON nl.vec_id = k.nbr
+       |      GROUP BY k.q_id, ql.label)
+       |SELECT vec_id, label, n_nbrs, n_same,
+       |       CAST(n_same AS DOUBLE) / CAST(n_nbrs AS DOUBLE) AS agree_frac,
+       |       CAST(n_same AS DOUBLE) / CAST(n_nbrs AS DOUBLE) < 0.5 AS noisy
+       |FROM g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_label_noise" -> (knnLabelNoiseQ _),
     "semdedup" -> (semDedupQ _),
     "retrieve_rerank" -> (retrieveRerank _),
     "embed_outliers" -> (embedOutliers _),
@@ -532,6 +568,7 @@ object SimilarityQueries {
     "ivf_topk" -> (ivfTopK _))
 
   val oracles: Map[String, String] = Map(
+    "knn_label_noise" -> knnLabelNoiseSql,
     "semdedup" -> semDedupSql,
     "retrieve_rerank" -> retrieveRerankSql,
     "embed_outliers" -> embedOutliersSql,
