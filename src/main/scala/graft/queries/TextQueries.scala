@@ -222,6 +222,103 @@ object TextQueries {
       |  list_filter(string_split(text, ' '), x -> x != '') AS ws
       |FROM documents) w) m) r ORDER BY doc_id""".stripMargin
 
+  /** Stage-by-stage curation funnel — the observability relation every
+    * corpus pipeline publishes next to its output: how many documents
+    * each filter stage received, kept, and dropped, with the stages
+    * applied CUMULATIVELY in the canonical order
+    * lang-ID → Gopher rules → exact dedup → per-source quota. Each
+    * stage reuses the EXACT expression tree of its standalone query
+    * (lang_id_heuristic / gopher_quality / dedup_exact's md5 /
+    * source_quota_cap's cap), so the funnel is the composition of
+    * already-hash-checked parts. Scale shape: one scan computes all
+    * flags; exact dedup is one window keyed on the content hash
+    * (min-surviving-doc_id, no self-join); the quota stage needs only
+    * COUNTS, so it collapses to Σ_source min(10, survivors) — a
+    * per-source aggregate, no window at all. Output is 4 rows. */
+  def filterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.operators.TextOps.words(col("text"))
+    val base = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      size(toks).cast("bigint").as("n_words"),
+      aggregate(toks, lit(0L), (a, w) => a + length(w)).as("sum_len"),
+      array_max(transform(toks, w => length(w))).cast("bigint").as("max_word_len"),
+      regexp_count(col("text"), lit(enRx)).cast("bigint").as("s_en"),
+      regexp_count(col("text"), lit(esRx)).cast("bigint").as("s_es"),
+      regexp_count(col("text"), lit(deRx)).cast("bigint").as("s_de"),
+      md5(col("text")).as("h"))
+    val meanWl = col("sum_len").cast("double") / col("n_words")
+    val flags = base
+      .withColumn("lang_ok", col("s_en") >= col("s_es") && col("s_en") >= col("s_de"))
+      .withColumn("gopher_ok", col("lang_ok") &&
+        col("n_words") >= 30 && col("n_words") <= 5000 &&
+        meanWl >= 3.0 && meanWl <= 10.0 &&
+        col("max_word_len") <= 15L && col("s_en") >= 2L)
+      .withColumn("dedup_ok", col("gopher_ok") &&
+        col("doc_id") === min(when(col("gopher_ok"), col("doc_id")))
+          .over(Window.partitionBy("h")))
+    val counts = flags.agg(
+      count(lit(1)).as("n_all"),
+      sum(when(col("lang_ok"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("gopher_ok"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("dedup_ok"), 1L).otherwise(0L)).as("n3"))
+    val quota = flags.filter(col("dedup_ok"))
+      .groupBy("source").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(least(col("c"), lit(10L))), lit(0L)).as("n4"))
+    counts.crossJoin(broadcast(quota))
+      .select(explode(array(
+        struct(lit(1L).as("stage"), lit("lang_en").as("filter"),
+          col("n_all").as("n_in"), col("n1").as("n_kept")),
+        struct(lit(2L).as("stage"), lit("gopher_rules").as("filter"),
+          col("n1").as("n_in"), col("n2").as("n_kept")),
+        struct(lit(3L).as("stage"), lit("exact_dedup").as("filter"),
+          col("n2").as("n_in"), col("n3").as("n_kept")),
+        struct(lit(4L).as("stage"), lit("source_quota").as("filter"),
+          col("n3").as("n_in"), col("n4").as("n_kept")))).as("s"))
+      .select(col("s.stage"), col("s.filter"), col("s.n_in"), col("s.n_kept"),
+        (col("s.n_in") - col("s.n_kept")).as("n_dropped"))
+  }
+
+  val filterFunnelSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, source, md5(text) AS h,
+      |    CAST(len(ws) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE)
+      |      / CAST(len(ws) AS BIGINT) AS mean_word_len,
+      |    CAST(list_max(list_transform(ws, w -> len(w))) AS BIGINT) AS max_word_len,
+      |    CAST(len(regexp_extract_all(text, '\b(the|a|an|of)\b')) AS BIGINT) AS s_en,
+      |    CAST(len(regexp_extract_all(text, '\b(el|la|los|de)\b')) AS BIGINT) AS s_es,
+      |    CAST(len(regexp_extract_all(text, '\b(der|die|das|und)\b')) AS BIGINT) AS s_de
+      |  FROM (SELECT doc_id, source, text,
+      |          list_filter(string_split(text, ' '), x -> x != '') AS ws
+      |        FROM documents) w),
+      |f AS (
+      |  SELECT *,
+      |    (s_en >= s_es AND s_en >= s_de) AS lang_ok,
+      |    (s_en >= s_es AND s_en >= s_de
+      |      AND n_words >= 30 AND n_words <= 5000
+      |      AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+      |      AND max_word_len <= 15 AND s_en >= 2) AS gopher_ok
+      |  FROM b),
+      |g AS (
+      |  SELECT *, (gopher_ok AND doc_id = MIN(CASE WHEN gopher_ok THEN doc_id END)
+      |                             OVER (PARTITION BY h)) AS dedup_ok
+      |  FROM f),
+      |counts AS (
+      |  SELECT COUNT(*) AS n_all,
+      |    CAST(SUM(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN gopher_ok THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(SUM(CASE WHEN dedup_ok THEN 1 ELSE 0 END) AS BIGINT) AS n3
+      |  FROM g),
+      |quota AS (
+      |  SELECT COALESCE(CAST(SUM(LEAST(c, 10)) AS BIGINT), 0) AS n4
+      |  FROM (SELECT source, COUNT(*) AS c FROM g WHERE dedup_ok GROUP BY source) s)
+      |SELECT stage, filter, n_in, n_kept, n_in - n_kept AS n_dropped FROM (
+      |  SELECT 1::BIGINT AS stage, 'lang_en' AS filter, n_all AS n_in, n1 AS n_kept FROM counts
+      |  UNION ALL SELECT 2, 'gopher_rules', n1, n2 FROM counts
+      |  UNION ALL SELECT 3, 'exact_dedup', n2, n3 FROM counts
+      |  UNION ALL SELECT 4, 'source_quota', n3, n4 FROM counts CROSS JOIN quota) u""".stripMargin
+
   /** Document fingerprint via the native poly_hash expression (codegen'd);
     * oracle rebuilds the same rolling hash with list_reduce. */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -1449,6 +1546,7 @@ object TextQueries {
     "lang_id_heuristic" -> (langIdHeuristic _),
     "quality_score" -> (qualityScore _),
     "source_quota_cap" -> (sourceQuotaCap _),
+    "filter_funnel" -> (filterFunnel _),
     "gopher_quality" -> (gopherQuality _),
     "doc_fingerprint" -> (docFingerprint _),
     "tfidf_top_terms" -> (tfidfTopTerms _))
@@ -1490,6 +1588,7 @@ object TextQueries {
     "lang_id_heuristic" -> langIdHeuristicSql,
     "quality_score" -> qualityScoreSql,
     "source_quota_cap" -> sourceQuotaCapSql,
+    "filter_funnel" -> filterFunnelSql,
     "gopher_quality" -> gopherQualitySql,
     "doc_fingerprint" -> docFingerprintSql,
     "tfidf_top_terms" -> tfidfTopTermsSql)

@@ -46,7 +46,10 @@ class PlanGuardSpec extends AnyFunSuite {
       // semdedup: the cell assignment is the same deliberate
       // 16-tiny-centroid broadcast nested loop as the ivf_* family; the
       // within-cell pair stage itself is an equi-join on centroid_id.
-      "semdedup")
+      "semdedup",
+      // filter_funnel: the 1-row stage-count aggregate cross-broadcast
+      // onto the 1-row quota aggregate — scalar broadcast, 1x1 rows.
+      "filter_funnel")
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
