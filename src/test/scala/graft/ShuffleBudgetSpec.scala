@@ -67,8 +67,14 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "bm25_search" -> 5,        // term-filtered tf agg + df agg + 1-row (N,avgdl) fold
                                // + doc-keyed join re-exchange + per-term heap; per-doc
                                // length is size() at the scan — no dl agg shuffle
-    "phrase_search" -> 1)      // scan-filtered posting lists broadcast-join at fixture
+    "phrase_search" -> 1,      // scan-filtered posting lists broadcast-join at fixture
                                // scale; the per-doc agg is the only exchange
+    "source_quota_cap" -> 1,   // ONE source-keyed exchange; bounded-heap partial top-K
+    "filter_funnel" -> 5,      // content-hash window + two 1-row folds + quota agg
+    "semdedup" -> 11,          // static count inlines the tracked assign/vector caches
+                               // per reference (cell pair join + verify + left join)
+    "knn_label_noise" -> 7)    // capped band self-join + pair scoring rejoins +
+                               // per-vector heap + label joins (tracked subtrees inlined)
   // Iterated operators (graph_pagerank, dedup_components*,
   // graph_communities, bpe_train) are NOT pinned: their pre-execution
   // plan string inlines every tracked-cache subtree per round (and
