@@ -16,22 +16,59 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * the same rule ad hoc.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+
+  private def reg(extensions: SparkSessionExtensions, name: String,
+      clazz: Class[_])(build: Seq[Expression] => Expression): Unit =
+    extensions.injectFunction((
+      FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, name),
+      build))
+
+  /** A literal-int argument (band / bit-width choices must be plan-time
+    * constants — they select the hyperplane pattern, not data). */
+  private def litInt(name: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal INT argument, got $other")
+  }
+
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => RangeJoinRewrite)
     extensions.injectPlannerStrategy(_ => BucketedJoinStrategy)
-    // FunctionRegistry surface: the Z-order layout key as a SQL-callable
-    // function, so `spark.sql("... ORDER BY zorder_code(a, b)")` works for
-    // users who never touch the Scala API.
-    extensions.injectFunction((
-      FunctionIdentifier("zorder_code"),
-      new ExpressionInfo(classOf[graft.functions.ZOrderCode].getName, "zorder_code"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(children.length == 2, "zorder_code(x, y) takes exactly 2 arguments")
-        graft.functions.ZOrderCode(
-          org.apache.spark.sql.catalyst.expressions.Cast(children(0),
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.catalyst.expressions.Cast(children(1),
-            org.apache.spark.sql.types.LongType))
-      }))
+    // FunctionRegistry surface: every native codegen expression the engine
+    // ships is SQL-callable, so a spark.sql-only user (via
+    // Tables.registerViews) has the full function surface — layout keys,
+    // content hashes, LSH keys, and the exact vector dot product:
+    //   SELECT poly_hash(text), simhash32(text) FROM documents
+    //   SELECT vec_dot(embedding, embedding) FROM embeddings
+    //   SELECT lsh_band_key(embedding, 0) FROM embeddings
+    //   ... ORDER BY zorder_code(a, b)
+    reg(extensions, "zorder_code", classOf[graft.functions.ZOrderCode]) { children =>
+      require(children.length == 2, "zorder_code(x, y) takes exactly 2 arguments")
+      graft.functions.ZOrderCode(
+        Cast(children(0), LongType), Cast(children(1), LongType))
+    }
+    reg(extensions, "poly_hash", classOf[graft.functions.PolyHash]) { children =>
+      require(children.length == 1, "poly_hash(s) takes exactly 1 argument")
+      graft.functions.PolyHash(children(0))
+    }
+    reg(extensions, "simhash32", classOf[graft.functions.Simhash32]) { children =>
+      require(children.length == 1, "simhash32(s) takes exactly 1 argument")
+      graft.functions.Simhash32(children(0))
+    }
+    reg(extensions, "vec_dot", classOf[graft.functions.VecDot]) { children =>
+      require(children.length == 2, "vec_dot(a, b) takes exactly 2 arguments")
+      graft.functions.VecDot(children(0), children(1))
+    }
+    reg(extensions, "lsh_band_key", classOf[graft.functions.LshBandKey]) { children =>
+      require(children.length == 2 || children.length == 3,
+        "lsh_band_key(v, band[, bits]) takes 2 or 3 arguments")
+      graft.functions.LshBandKey(children(0),
+        litInt("lsh_band_key band", children(1)),
+        if (children.length == 3) litInt("lsh_band_key bits", children(2))
+        else graft.operators.Similarity.BandBits)
+    }
   }
 }
