@@ -109,6 +109,11 @@ class ScaleSmokeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "CartesianProduct in plan")
     val agg = timed(s"semDedup over $nVecs vectors")(
       kept.agg(count(lit(1)), sum(when(col("is_kept"), 0L).otherwise(1L))).collect()(0))
+    info(s"semDedup dropped ${agg.getLong(1)} of ${agg.getLong(0)} " +
+      "(uniform synthetic vectors overfill cells at big N: the maxCell cap " +
+      "excludes them from pairing rather than going quadratic — the guard " +
+      "this smoke exercises; wall time is the flat N x k centroid assign, " +
+      "linear and embarrassingly parallel)")
     assert(agg.getLong(0) === nVecs, "every vector must receive a verdict")
     assert(agg.getLong(1) >= 0L)
     GraftCaches.releaseAll()
