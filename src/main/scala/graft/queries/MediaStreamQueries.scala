@@ -302,6 +302,26 @@ object MediaStreamQueries {
       |       STRING_AGG(event_type || ':' || n, ',' ORDER BY event_type) AS type_counts
       |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Streaming ingest dedup ([[graft.streaming.DedupStream]]): keep-first
+    * per (user_id, event_type) via transformWithState, hash-checked
+    * against the relational row_number()=1 window — the at-least-once
+    * replay guard every streaming sink needs. State per key is ONE long;
+    * the shuffle carries (user, type, id, ts) — never payloads. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.DedupStream.firstSeen(Tables.events(spark, dir))
+      .toDF()
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        timestamp_micros(col("ts_us")).as("ts"))
+
+  val streamDedupSql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_type, event_id, ts,
+      |         row_number() OVER (PARTITION BY user_id, event_type
+      |                            ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |SELECT user_id, event_type, event_id, ts
+      |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
   /** transformWithState LIST-state differential: the per-user last-5
     * recency buffer ([[graft.streaming.RecentEvents]]) against the
     * relational top-5 window — ListState next to TypeStats' ValueState+
@@ -403,6 +423,7 @@ object MediaStreamQueries {
     "event_rate_anomaly" -> (eventRateAnomaly _),
     "rolling_distinct_users" -> (rollingDistinctUsers _),
     "stream_type_stats" -> (streamTypeStats _),
+    "stream_dedup" -> (streamDedup _),
     "stream_recent_events" -> (streamRecentEvents _),
     "stream_outer_interval_join" -> (streamOuterIntervalJoin _),
     "frame_sample" -> (frameSample _),
@@ -422,6 +443,7 @@ object MediaStreamQueries {
     "event_rate_anomaly" -> eventRateAnomalySql,
     "rolling_distinct_users" -> rollingDistinctUsersSql,
     "stream_type_stats" -> streamTypeStatsSql,
+    "stream_dedup" -> streamDedupSql,
     "stream_recent_events" -> streamRecentEventsSql,
     "stream_outer_interval_join" -> streamOuterIntervalJoinSql,
     "frame_sample" -> frameSampleSql,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 import graft.sources.Tables
 
@@ -316,7 +316,57 @@ object Parsing {
        |FROM s GROUP BY doc ORDER BY doc""".stripMargin
   }
 
+  /** JSONL ingest with a corrupt-record envelope — the training-data
+    * wire format (one JSON doc per line) read through Spark's distributed
+    * JSON source with an EXPLICIT schema (no inference pass over the
+    * data: one scan, scale-safe) in PERMISSIVE mode, so malformed lines
+    * land whole in `_corrupt_record` instead of failing the job — the
+    * source-layer twin of `error_envelope_rejects`. The JSONL relation is
+    * derived deterministically from `documents` (a poly-hash-selected 10%
+    * of lines are corrupted by prefixing a byte that can never start
+    * JSON), so the oracle can replay both the line construction and the
+    * parse outcome; everything evaluates scan-side, zero shuffles. */
+  def jsonlIngest(spark: SparkSession, dir: String): DataFrame = {
+    val line = concat(
+      lit("{\"id\": "), col("doc_id"),
+      lit(", \"lang\": \""), col("lang"),
+      lit("\", \"n_chars\": "), col("n_chars"), lit("}"))
+    val corrupt = pmod(graft.functions.PolyHash.hash(
+      concat(col("doc_id").cast("string"), lit(":jz"))), lit(10)) === 0
+    val lines = Tables.documents(spark, dir)
+      .select(when(corrupt, concat(lit("#"), line)).otherwise(line).as("value"))
+      .as(org.apache.spark.sql.Encoders.STRING)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType), StructField("_corrupt_record", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(lines)
+      .select(col("id"), col("lang"), col("n_chars"),
+        col("_corrupt_record").isNotNull.as("is_corrupt"),
+        col("_corrupt_record").as("raw"))
+  }
+
+  val jsonlIngestSql: String = {
+    val m = graft.functions.PolyHash.Mod
+    s"""WITH l AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    '{"id": ' || doc_id || ', "lang": "' || lang || '", "n_chars": ' || n_chars || '}' AS line,
+       |    list_reduce(list_prepend(0::BIGINT, list_transform(
+       |        string_split(CAST(doc_id AS VARCHAR) || ':jz', ''), c -> ascii(c)::BIGINT)),
+       |      (a,b) -> (a*31+b) % $m) % 10 = 0 AS corrupt
+       |  FROM documents)
+       |SELECT CASE WHEN corrupt THEN NULL ELSE doc_id END AS id,
+       |       CASE WHEN corrupt THEN NULL ELSE lang END AS lang,
+       |       CASE WHEN corrupt THEN NULL ELSE n_chars END AS n_chars,
+       |       corrupt AS is_corrupt,
+       |       CASE WHEN corrupt THEN '#' || line END AS raw
+       |FROM l ORDER BY is_corrupt, id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "jsonl_ingest" -> (jsonlIngest _),
     "filename_meta_parse" -> (filenameMetaParse _),
     "label_field_lookup" -> (labelFieldLookup _),
     "bullet_split_filter" -> (bulletSplitFilter _),
@@ -332,6 +382,7 @@ object Parsing {
     "section_table_route" -> (sectionTableRoute _))
 
   val oracles: Map[String, String] = Map(
+    "jsonl_ingest" -> jsonlIngestSql,
     "filename_meta_parse" -> filenameMetaParseSql,
     "label_field_lookup" -> labelFieldLookupSql,
     "bullet_split_filter" -> bulletSplitFilterSql,

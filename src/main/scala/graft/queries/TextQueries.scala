@@ -333,6 +333,68 @@ object TextQueries {
        |  n_chars
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** MLM masking plan (BERT-style, Devlin et al. 2019): a deterministic
+    * 15% of token positions per document are selected for masking, and
+    * each selected position gets the 80/10/10 [MASK]/random-token/keep
+    * treatment. Unlike the usual rand()-driven masking, every decision is
+    * a pure function of (doc_id, position) via poly_hash — reproducible
+    * across runs, engines, and partitionings, so a training job can
+    * regenerate the exact epoch-0 masking for debugging. The decision
+    * hash d ∈ [0,100): d<12 → [MASK] (12/15 of selections = 80%),
+    * d∈[12,14) → replace with the deterministic "random" token at
+    * position (d·7 mod n), d=14 → keep-but-predict; d≥15 → unmasked.
+    * Entirely array higher-order functions over the token array — a
+    * zero-shuffle scan-speed map at any corpus size (the plan relation is
+    * the same rows as the input). */
+  def mlmMaskPlan(spark: SparkSession, dir: String): DataFrame = {
+    val toks = org.apache.spark.sql.functions.filter(split(col("text"), " "), w => w =!= "")
+    val dec = transform(toks, (_, i) => pmod(PolyHash.hash(
+      concat(col("doc_id").cast("string"), lit(":"), i.cast("string"), lit(":mlm"))), lit(100)))
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"), dec.as("dec"))
+      .select(col("doc_id"), col("toks"), col("dec"),
+        size(col("toks")).as("n"))
+    d.select(
+        col("doc_id"),
+        col("n").cast("bigint").as("n_tokens"),
+        size(org.apache.spark.sql.functions.filter(col("dec"), x => x < 15))
+          .cast("bigint").as("n_masked"),
+        array_join(transform(
+          org.apache.spark.sql.functions.filter(
+            sequence(lit(0), col("n") - 1), i => element_at(col("dec"), i + 1) < 15),
+          i => i.cast("string")), ",").as("masked_positions"),
+        array_join(transform(col("toks"), (x, i) => {
+          val h = element_at(col("dec"), i + 1)
+          when(h < 12, lit("[MASK]"))
+            .when(h < 14, element_at(col("toks"), pmod(h * 7, col("n")).cast("int") + 1))
+            .otherwise(x)
+        }), " ").as("masked_text"))
+      .filter(col("n") > 0)
+      .orderBy("doc_id")
+  }
+
+  val mlmMaskPlanSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+       |  FROM documents),
+       |d AS (
+       |  SELECT doc_id, toks, len(toks) AS n,
+       |    list_transform(range(1, len(toks)+1), i ->
+       |      list_reduce(list_prepend(0::BIGINT, list_transform(
+       |          string_split(CAST(doc_id AS VARCHAR) || ':' || CAST(i-1 AS VARCHAR) || ':mlm', ''),
+       |          c -> ascii(c)::BIGINT)),
+       |        (a,b) -> (a*31+b) % ${PolyHash.Mod}) % 100) AS dec
+       |  FROM t)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(dec, x -> x < 15)) AS BIGINT) AS n_masked,
+       |  array_to_string(list_transform(
+       |    list_filter(range(1, n+1), i -> dec[i] < 15), i -> CAST(i-1 AS VARCHAR)), ',') AS masked_positions,
+       |  array_to_string(list_transform(range(1, n+1), i ->
+       |    CASE WHEN dec[i] < 12 THEN '[MASK]'
+       |         WHEN dec[i] < 14 THEN toks[CAST((dec[i]*7) % n AS INT) + 1]
+       |         ELSE toks[i] END), ' ') AS masked_text
+       |FROM d WHERE n > 0 ORDER BY doc_id""".stripMargin
+
   /** TF-IDF top-3 terms per document. Two partial-aggregating groupBys
     * (doc-term TF, then term DF) and one join keyed on the term — the
     * shape that scales: the shuffle carries (term, count) pairs, never
@@ -1549,6 +1611,7 @@ object TextQueries {
     "filter_funnel" -> (filterFunnel _),
     "gopher_quality" -> (gopherQuality _),
     "doc_fingerprint" -> (docFingerprint _),
+    "mlm_mask_plan" -> (mlmMaskPlan _),
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
@@ -1591,5 +1654,6 @@ object TextQueries {
     "filter_funnel" -> filterFunnelSql,
     "gopher_quality" -> gopherQualitySql,
     "doc_fingerprint" -> docFingerprintSql,
+    "mlm_mask_plan" -> mlmMaskPlanSql,
     "tfidf_top_terms" -> tfidfTopTermsSql)
 }
