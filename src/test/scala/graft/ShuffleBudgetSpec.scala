@@ -63,6 +63,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "decayed_engagement" -> 2, // 1-row max-date broadcast + user agg
     "tfidf_top_terms" -> 4,    // (doc,term) tf agg + term df agg + join + per-doc window
     "stream_type_stats" -> 1,  // transformWithState: ONE user-keyed exchange, no result sort
+    "stream_dedup" -> 1,       // transformWithState: ONE (user,type)-keyed exchange
+    "mlm_mask_plan" -> 1,      // pure array-HOF map: scan + result sort only
+    "jsonl_ingest" -> 0,       // line build + JSON source read + envelope: all scan-side
     "stream_user_running" -> 1,// mapGroupsWithState: same single-exchange shape
     "bm25_search" -> 5,        // term-filtered tf agg + df agg + 1-row (N,avgdl) fold
                                // + doc-keyed join re-exchange + per-term heap; per-doc
