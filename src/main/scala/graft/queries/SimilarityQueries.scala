@@ -154,6 +154,46 @@ object SimilarityQueries {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM s) t
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
+  /** Embedding-distribution drift monitor: assign every vector to the 16
+    * deterministic seed centroids, split the corpus into an "old" and a
+    * "new" cohort (vec_id parity — in production: yesterday's snapshot vs
+    * today's delta), and compare per-cell occupancy shares. A cell whose
+    * share moved is where the embedding distribution shifted — the
+    * monitoring query a training pipeline runs before trusting a new
+    * corpus drop. Scale shape: the assignment is the ivf_* 16-tiny-
+    * centroid broadcast against the scan; the share relation is k rows,
+    * and the cohort totals are ONE aggregated row cross-broadcast
+    * (source_mix_weights' deliberate scalar-broadcast shape). */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val a = Similarity.ivfAssignments(Tables.embeddings(spark, dir), "vec_id", "embedding")
+    val g = a.groupBy("centroid_id").agg(
+      sum(when(pmod(col("vec_id"), lit(2)) === 0, 1L).otherwise(0L)).as("n_old"),
+      sum(when(pmod(col("vec_id"), lit(2)) === 1, 1L).otherwise(0L)).as("n_new"))
+    val t = g.agg(sum("n_old").as("t_old"), sum("n_new").as("t_new"))
+    val so = col("n_old").cast("double") / col("t_old").cast("double")
+    val sn = col("n_new").cast("double") / col("t_new").cast("double")
+    g.join(broadcast(t))
+      .select(col("centroid_id"),
+        col("n_old").cast("bigint").as("n_old"), col("n_new").cast("bigint").as("n_new"),
+        so.as("share_old"), sn.as("share_new"), abs(sn - so).as("drift"))
+      .orderBy("centroid_id")
+  }
+
+  val embeddingDriftSql: String =
+    s"""WITH $eCte,
+       |$cCte,
+       |a AS (${assignCte("c")}),
+       |g AS (SELECT c_id AS centroid_id,
+       |        SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS n_old,
+       |        SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS n_new
+       |      FROM a GROUP BY c_id),
+       |t AS (SELECT SUM(n_old) AS t_old, SUM(n_new) AS t_new FROM g)
+       |SELECT centroid_id, CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+       |       CAST(n_old AS DOUBLE) / t_old AS share_old,
+       |       CAST(n_new AS DOUBLE) / t_new AS share_new,
+       |       abs(CAST(n_new AS DOUBLE) / t_new - CAST(n_old AS DOUBLE) / t_old) AS drift
+       |FROM g CROSS JOIN t ORDER BY centroid_id""".stripMargin
+
   /** IVF assignment against Lloyd-refined centroids: `TrainIters`
     * training iterations (assign → per-dimension decimal-exact mean →
     * reassign). The oracle UNROLLS the same loop into one CTE chain per
@@ -565,6 +605,7 @@ object SimilarityQueries {
     "ann_lsh_topk" -> (annLshTopK _),
     "embed_neardup_pairs" -> (nearDupPairs _),
     "ivf_assign" -> (ivfAssign _),
+    "embedding_drift" -> (embeddingDrift _),
     "ivf_topk" -> (ivfTopK _))
 
   val oracles: Map[String, String] = Map(
@@ -584,6 +625,7 @@ object SimilarityQueries {
     "ann_lsh_topk" -> annLshTopKSql,
     "embed_neardup_pairs" -> nearDupPairsSql,
     "ivf_assign" -> ivfAssignSql,
+    "embedding_drift" -> embeddingDriftSql,
     "ivf_train_assign" -> ivfTrainAssignSql,
     "ivf_topk" -> ivfTopKSql)
 }

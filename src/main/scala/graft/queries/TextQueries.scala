@@ -333,6 +333,62 @@ object TextQueries {
        |  n_chars
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Quality/cost Pareto frontier — the curation trade-off view: at each
+    * quantized quality level (floor(quality·1000), the same double
+    * composite as `quality_score`, so levels are bit-equal cross-engine)
+    * keep the CHEAPEST document (min tokens, tie → min doc_id), then
+    * flag the levels no higher level beats on cost — "the best corpus
+    * you can assemble at every quality budget". Scale shape: the
+    * per-level argmin is one q3-keyed shuffle with a window bounded by
+    * docs-per-level; the frontier scan runs on the LEVEL relation
+    * (≤ 1001 rows by construction — quality ∈ [0,1]), so its
+    * single-partition window is justified the same way bm25's is. */
+  def paretoFrontier(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(org.apache.spark.sql.functions.filter(split(col("text"), " "), w => w =!= ""))
+          .cast("bigint").as("n_tokens"),
+        regexp_count(col("text"), lit(enRx)).as("n_stop"))
+      .select(col("doc_id"), col("n_tokens"),
+        floor((least(col("n_tokens") / lit(50.0), lit(1.0)) * 0.5 +
+          (col("n_stop").cast("double") / col("n_tokens")) * 0.5) * 1000)
+          .cast("bigint").as("q3"))
+    val lvl = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q3").orderBy(col("n_tokens"), col("doc_id"))))
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy("q3")))
+      .filter(col("rn") === 1)
+      .select(col("q3"), col("doc_id"), col("n_tokens"), col("n_docs"))
+    val prior = Window.orderBy(col("q3").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    lvl.withColumn("on_frontier",
+        coalesce(col("n_tokens") < min("n_tokens").over(prior), lit(true)))
+    // No trailing sort: driver compare is order-insensitive and the
+    // level relation is tiny but window-produced (sampling would re-run it).
+  }
+
+  val paretoFrontierSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+      |    len(regexp_extract_all(text, '\b(the|a|an|of)\b')) AS n_stop
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |    CAST(floor((least(n_tokens / 50.0, 1.0) * 0.5
+      |                + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5) * 1000) AS BIGINT) AS q3
+      |  FROM s),
+      |lvl AS (
+      |  SELECT q3, doc_id, n_tokens,
+      |    row_number() OVER (PARTITION BY q3 ORDER BY n_tokens, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY q3) AS n_docs
+      |  FROM q),
+      |k AS (SELECT q3, doc_id, n_tokens, n_docs FROM lvl WHERE rn = 1)
+      |SELECT q3, doc_id, n_tokens, n_docs,
+      |  COALESCE(n_tokens < MIN(n_tokens) OVER (ORDER BY q3 DESC
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), TRUE) AS on_frontier
+      |FROM k ORDER BY q3 DESC""".stripMargin
+
   /** MLM masking plan (BERT-style, Devlin et al. 2019): a deterministic
     * 15% of token positions per document are selected for masking, and
     * each selected position gets the 80/10/10 [MASK]/random-token/keep
@@ -1612,6 +1668,7 @@ object TextQueries {
     "gopher_quality" -> (gopherQuality _),
     "doc_fingerprint" -> (docFingerprint _),
     "mlm_mask_plan" -> (mlmMaskPlan _),
+    "pareto_frontier" -> (paretoFrontier _),
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
@@ -1655,5 +1712,6 @@ object TextQueries {
     "gopher_quality" -> gopherQualitySql,
     "doc_fingerprint" -> docFingerprintSql,
     "mlm_mask_plan" -> mlmMaskPlanSql,
+    "pareto_frontier" -> paretoFrontierSql,
     "tfidf_top_terms" -> tfidfTopTermsSql)
 }

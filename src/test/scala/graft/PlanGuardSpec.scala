@@ -47,6 +47,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // 16-tiny-centroid broadcast nested loop as the ivf_* family; the
       // within-cell pair stage itself is an equi-join on centroid_id.
       "semdedup",
+      // embedding_drift: the ivf_* 16-tiny-centroid assignment broadcast
+      // plus the 1-row cohort-totals scalar cross-broadcast.
+      "embedding_drift",
       // filter_funnel: the 1-row stage-count aggregate cross-broadcast
       // onto the 1-row quota aggregate — scalar broadcast, 1x1 rows.
       "filter_funnel")
