@@ -490,6 +490,42 @@ object Similarity {
       .withColumn("noisy", col("agree_frac") < 0.5)
   }
 
+  /** Contrastive training-pair assembly: for every anchor vector, the
+    * top-`nPos` most-similar SAME-label neighbors (positives) and the
+    * top-`nNeg` most-similar DIFFERENT-label neighbors (hard negatives —
+    * the "closest wrong answers" a contrastive loss learns most from).
+    * Candidates come from the capped banded-LSH self-join (never
+    * all-pairs; the `maxBucket` skew cap bounds every bucket's fan-out),
+    * labels join in by id, and the per-anchor ranking windows partition
+    * by (anchor, same-label) — bounded by the candidate cap, so no
+    * reducer ever sees more than maxBucket-bounded rows per anchor. */
+  def contrastivePairs(corpus: DataFrame, id: String, vec: String, label: String,
+      nPos: Int = 1, nNeg: Int = 3, maxBucket: Int = 100): DataFrame = {
+    val e = indexed(corpus, id, vec)
+    val cand = Dedup.candidatePairsFromBands(bandRows(e, id), id, maxBucket)
+    val pairs = cand.select(col("doc_a").as("q_id"), col("doc_b").as("nbr"))
+      .unionAll(cand.select(col("doc_b").as("q_id"), col("doc_a").as("nbr")))
+    val ev = e.select(col(id), col("v"), col("nrm"))
+    val scored = pairs
+      .join(ev.select(col(id).as("q_id"), col("v").as("qv"), col("nrm").as("q_nrm")), "q_id")
+      .join(ev.select(col(id).as("nbr"), col("v").as("nv"), col("nrm").as("n_nrm")), "nbr")
+      .select(col("q_id"), col("nbr"),
+        (dot(col("qv"), col("nv")) / (col("q_nrm") * col("n_nrm"))).as("sim"))
+    val labels = corpus.select(col(id), col(label))
+    val lab = scored
+      .join(labels.select(col(id).as("q_id"), col(label).as("q_label")), "q_id")
+      .join(labels.select(col(id).as("nbr"), col(label).as("n_label")), "nbr")
+      .withColumn("same", col("n_label") === col("q_label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"), col("same")).orderBy(col("sim").desc, col("nbr").asc)
+    lab.withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter((col("same") && col("rk") <= nPos) || (!col("same") && col("rk") <= nNeg))
+      .select(col("q_id").as(id),
+        when(col("same"), lit("pos")).otherwise(lit("neg")).as("role"),
+        col("rk"), col("nbr"), col("sim"),
+        col("q_label").as(label), col("n_label"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster the corpus, compare vectors ONLY within their cluster, and
     * drop every vector whose cosine to a LOWER-id cell-mate clears

@@ -587,7 +587,36 @@ object SimilarityQueries {
        |       CAST(n_same AS DOUBLE) / CAST(n_nbrs AS DOUBLE) < 0.5 AS noisy
        |FROM g""".stripMargin
 
+  /** Contrastive pair mining over the labeled embeddings: per anchor the
+    * top-1 same-label positive + top-3 hard (different-label) negatives
+    * from the capped LSH candidate graph. */
+  def contrastivePairsQ(spark: SparkSession, dir: String): DataFrame =
+    Similarity.contrastivePairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      "label", nPos = 1, nNeg = 3, maxBucket = 100)
+
+  val contrastivePairsSql: String =
+    s"""WITH $eCte,
+       |$bandsCte,
+       |okb AS (SELECT band, key FROM bands GROUP BY band, key HAVING COUNT(*) <= 100),
+       |bnd AS (SELECT b.vec_id, b.band, b.key FROM bands b JOIN okb USING (band, key)),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM bnd a JOIN bnd b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+       |pairs AS (SELECT id_a AS q_id, id_b AS nbr FROM cand
+       |          UNION ALL SELECT id_b, id_a FROM cand),
+       |s AS (SELECT p.q_id, p.nbr, ${cosSql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} AS sim
+       |      FROM pairs p JOIN e0 a ON a.vec_id = p.q_id JOIN e0 b ON b.vec_id = p.nbr),
+       |l AS (SELECT s.q_id, s.nbr, s.sim, ql.label AS q_label, nl.label AS n_label,
+       |        ql.label = nl.label AS same
+       |      FROM s JOIN embeddings ql ON ql.vec_id = s.q_id
+       |             JOIN embeddings nl ON nl.vec_id = s.nbr),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id, same
+       |                                   ORDER BY sim DESC, nbr ASC) AS rk FROM l)
+       |SELECT q_id AS vec_id, CASE WHEN same THEN 'pos' ELSE 'neg' END AS role,
+       |       CAST(rk AS BIGINT) AS rk, nbr, sim, q_label AS label, n_label
+       |FROM r WHERE (same AND rk <= 1) OR (NOT same AND rk <= 3)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "contrastive_pairs" -> (contrastivePairsQ _),
     "knn_label_noise" -> (knnLabelNoiseQ _),
     "semdedup" -> (semDedupQ _),
     "retrieve_rerank" -> (retrieveRerank _),
@@ -609,6 +638,7 @@ object SimilarityQueries {
     "ivf_topk" -> (ivfTopK _))
 
   val oracles: Map[String, String] = Map(
+    "contrastive_pairs" -> contrastivePairsSql,
     "knn_label_noise" -> knnLabelNoiseSql,
     "semdedup" -> semDedupSql,
     "retrieve_rerank" -> retrieveRerankSql,

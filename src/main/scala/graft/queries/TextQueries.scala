@@ -451,6 +451,94 @@ object TextQueries {
        |         ELSE toks[i] END), ' ') AS masked_text
        |FROM d WHERE n > 0 ORDER BY doc_id""".stripMargin
 
+  /** T5-style span-corruption plan (Raffel et al. 2020) — the seq2seq
+    * denoising counterpart of `mlm_mask_plan`: ~5% of positions are
+    * deterministic span STARTS (poly_hash(doc_id, position) % 20 == 0),
+    * each start corrupts a 3-token window, overlapping windows merge into
+    * one span (union semantics — no sequential greedy state, so the plan
+    * is order-free and replayable in plain SQL). Encoder input = text
+    * with each span collapsed to its <extra_id_k> sentinel; decoder
+    * target = the corrupted tokens, each span prefixed by its sentinel.
+    * Scale shape: one (doc, pos) explode + per-doc windows (corrupt flag
+    * = 3-row sliding max, sentinel k = running sum of span starts) + one
+    * per-doc reassembly aggregation — token-level shuffles like
+    * dedup_spans, window partitions bounded by document length. */
+  def spanCorruptionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val toks = org.apache.spark.sql.functions.filter(split(col("text"), " "), w => w =!= "")
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      .withColumn("start",
+        (pmod(PolyHash.hash(concat(col("doc_id").cast("string"), lit(":"),
+          col("pos").cast("string"), lit(":t5"))), lit(20)) === 0).cast("int"))
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val slide = byPos.rowsBetween(-2, 0)
+    val flagged = tok
+      .withColumn("corrupt", max(col("start")).over(slide) === 1)
+      .withColumn("run_start",
+        (col("corrupt") && !coalesce(lag(col("corrupt"), 1).over(byPos), lit(false))).cast("int"))
+      .withColumn("k", sum(col("run_start")).over(byPos) - 1)
+    val inputPiece = when(!col("corrupt"), col("tok"))
+      .when(col("run_start") === 1, concat(lit("<extra_id_"), col("k"), lit(">")))
+    val targetPiece = when(col("corrupt") && col("run_start") === 1,
+        concat(lit("<extra_id_"), col("k"), lit("> "), col("tok")))
+      .when(col("corrupt"), col("tok"))
+    flagged.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("corrupt").cast("long")).as("n_corrupt"),
+        sum(col("run_start").cast("long")).as("n_spans"),
+        array_join(transform(
+          array_sort(collect_list(when(inputPiece.isNotNull,
+            struct(col("pos"), inputPiece.as("p"))))),
+          s => s.getField("p")), " ").as("input_text"),
+        array_join(transform(
+          array_sort(collect_list(when(targetPiece.isNotNull,
+            struct(col("pos"), targetPiece.as("p"))))),
+          s => s.getField("p")), " ").as("target_text"))
+      .orderBy("doc_id")
+  }
+
+  val spanCorruptionPlanSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS tok
+       |  FROM t),
+       |st AS (
+       |  SELECT doc_id, pos, tok,
+       |    CASE WHEN list_reduce(list_prepend(0::BIGINT, list_transform(
+       |        string_split(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR) || ':t5', ''),
+       |        c -> ascii(c)::BIGINT)),
+       |      (a,b) -> (a*31+b) % ${PolyHash.Mod}) % 20 = 0 THEN 1 ELSE 0 END AS start
+       |  FROM tok),
+       |f AS (
+       |  SELECT doc_id, pos, tok,
+       |    MAX(start) OVER (PARTITION BY doc_id ORDER BY pos
+       |                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1 AS corrupt
+       |  FROM st),
+       |r AS (
+       |  SELECT doc_id, pos, tok, corrupt,
+       |    CASE WHEN corrupt AND NOT COALESCE(
+       |      lag(corrupt) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+       |      THEN 1 ELSE 0 END AS run_start
+       |  FROM f),
+       |k AS (
+       |  SELECT doc_id, pos, tok, corrupt, run_start,
+       |    SUM(run_start) OVER (PARTITION BY doc_id ORDER BY pos
+       |                         ROWS UNBOUNDED PRECEDING) - 1 AS k
+       |  FROM r)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+       |  CAST(SUM(run_start) AS BIGINT) AS n_spans,
+       |  COALESCE(string_agg(CASE WHEN NOT corrupt THEN tok
+       |             WHEN run_start = 1 THEN '<extra_id_' || k || '>' END,
+       |           ' ' ORDER BY pos), '') AS input_text,
+       |  COALESCE(string_agg(CASE WHEN corrupt AND run_start = 1 THEN '<extra_id_' || k || '> ' || tok
+       |             WHEN corrupt THEN tok END,
+       |           ' ' ORDER BY pos), '') AS target_text
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** TF-IDF top-3 terms per document. Two partial-aggregating groupBys
     * (doc-term TF, then term DF) and one join keyed on the term — the
     * shape that scales: the shuffle carries (term, count) pairs, never
@@ -1669,6 +1757,7 @@ object TextQueries {
     "doc_fingerprint" -> (docFingerprint _),
     "mlm_mask_plan" -> (mlmMaskPlan _),
     "pareto_frontier" -> (paretoFrontier _),
+    "span_corruption_plan" -> (spanCorruptionPlan _),
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
@@ -1713,5 +1802,6 @@ object TextQueries {
     "doc_fingerprint" -> docFingerprintSql,
     "mlm_mask_plan" -> mlmMaskPlanSql,
     "pareto_frontier" -> paretoFrontierSql,
+    "span_corruption_plan" -> spanCorruptionPlanSql,
     "tfidf_top_terms" -> tfidfTopTermsSql)
 }
