@@ -78,4 +78,50 @@ object TextOps {
     * interpreted HOF fold the oracles rebuild (equivalence pinned in
     * FunctionsSpec). */
   def simhash32(hs: Column): Column = graft.functions.Simhash32.of(hs)
+
+  /** T5-style span-corruption plan (see TextQueries.spanCorruptionPlan
+    * for the oracle-backed query): deterministic hash-selected span
+    * starts (1-in-`everyN` positions), fixed `spanLen`-token windows,
+    * overlaps merged (union semantics — order-free). Emits per doc:
+    * n_tokens, n_corrupt, n_spans, encoder `input_text` (spans collapsed
+    * to <extra_id_k>), decoder `target_text` (sentinel-prefixed span
+    * tokens). One (doc,pos) explode + per-doc sliding-max / running-sum
+    * windows + one reassembly aggregation — token-level shuffles,
+    * window partitions bounded by document length. */
+  def spanCorruptionPlan(docs: org.apache.spark.sql.DataFrame, id: String,
+      text: String, everyN: Int = 20, spanLen: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val toks = filter(split(col(text), " "), w => w =!= "")
+    val tok = docs
+      .select(col(id), posexplode(toks).as(Seq("pos", "tok")))
+      .withColumn("start",
+        (pmod(graft.functions.PolyHash.hash(concat(col(id).cast("string"), lit(":"),
+          col("pos").cast("string"), lit(":t5"))), lit(everyN)) === 0).cast("int"))
+    val byPos = Window.partitionBy(id).orderBy("pos")
+    val slide = byPos.rowsBetween(-(spanLen - 1), 0)
+    val flagged = tok
+      .withColumn("corrupt", max(col("start")).over(slide) === 1)
+      .withColumn("run_start",
+        (col("corrupt") && !coalesce(lag(col("corrupt"), 1).over(byPos), lit(false))).cast("int"))
+      .withColumn("k", sum(col("run_start")).over(byPos) - 1)
+    val inputPiece = when(!col("corrupt"), col("tok"))
+      .when(col("run_start") === 1, concat(lit("<extra_id_"), col("k"), lit(">")))
+    val targetPiece = when(col("corrupt") && col("run_start") === 1,
+        concat(lit("<extra_id_"), col("k"), lit("> "), col("tok")))
+      .when(col("corrupt"), col("tok"))
+    flagged.groupBy(id)
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("corrupt").cast("long")).as("n_corrupt"),
+        sum(col("run_start").cast("long")).as("n_spans"),
+        array_join(transform(
+          array_sort(collect_list(when(inputPiece.isNotNull,
+            struct(col("pos"), inputPiece.as("p"))))),
+          s => s.getField("p")), " ").as("input_text"),
+        array_join(transform(
+          array_sort(collect_list(when(targetPiece.isNotNull,
+            struct(col("pos"), targetPiece.as("p"))))),
+          s => s.getField("p")), " ").as("target_text"))
+  }
 }

@@ -1527,6 +1527,103 @@ object Relational {
        |GROUP BY split ORDER BY split""".stripMargin
   }
 
+  /** A/B experiment readout with a Welch t-statistic: users assign to
+    * variants by the same seeded-affine-hash discipline as
+    * `leakage_audit` (entity-level, reproducible — a rand() assignment
+    * can't be re-audited), and the whole readout is ONE map-side-combined
+    * conditional aggregation over events (count/sum/sum-of-squares per
+    * variant as exact decimal sums — partition order can't perturb them),
+    * so at any event volume the readout is a scan plus a 1-row fold.
+    * The t statistic stays cross-engine bit-equal because every post-agg
+    * op (divide, subtract, sqrt) is a correctly-rounded IEEE double op
+    * applied in the same expression-tree order on both engines. */
+  def abTestMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = graft.operators.TextOps.MinhashSeeds(5)
+    val m = graft.functions.PolyHash.Mod
+    val isA = (col("user_id") * a + b) % m % 2 === 0
+    val v = col("value").cast(DecimalType(18, 2))
+    val agg = Tables.events(spark, dir)
+      .select(isA.as("is_a"), v.as("v"))
+      .agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("is_a"), col("v"))).as("sv_a"),
+        sum(when(!col("is_a"), col("v"))).as("sv_b"),
+        sum(when(col("is_a"), col("v") * col("v"))).as("sv2_a"),
+        sum(when(!col("is_a"), col("v") * col("v"))).as("sv2_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val meanA = col("sv_a").cast("double") / na
+    val meanB = col("sv_b").cast("double") / nb
+    val varA = (col("sv2_a").cast("double") - col("sv_a").cast("double") * col("sv_a").cast("double") / na) / na
+    val varB = (col("sv2_b").cast("double") - col("sv_b").cast("double") * col("sv_b").cast("double") / nb) / nb
+    agg.select(col("n_a"), col("n_b"),
+      meanA.as("mean_a"), meanB.as("mean_b"),
+      varA.as("var_a"), varB.as("var_b"),
+      ((meanA - meanB) / sqrt(varA / na + varB / nb)).as("t_welch"))
+  }
+
+  val abTestMetricsSql: String = {
+    val (a, b) = graft.operators.TextOps.MinhashSeeds(5)
+    val m = graft.functions.PolyHash.Mod
+    s"""WITH e AS (
+       |  SELECT (user_id * ${a} + ${b}) % ${m} % 2 = 0 AS is_a,
+       |         CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events),
+       |g AS (
+       |  SELECT
+       |    SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS n_a,
+       |    SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS n_b,
+       |    CAST(CAST(SUM(CASE WHEN is_a THEN v END) AS VARCHAR) AS DOUBLE) AS sv_a,
+       |    CAST(CAST(SUM(CASE WHEN NOT is_a THEN v END) AS VARCHAR) AS DOUBLE) AS sv_b,
+       |    CAST(CAST(SUM(CASE WHEN is_a THEN v * v END) AS VARCHAR) AS DOUBLE) AS sv2_a,
+       |    CAST(CAST(SUM(CASE WHEN NOT is_a THEN v * v END) AS VARCHAR) AS DOUBLE) AS sv2_b
+       |  FROM e)
+       |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |  sv_a / CAST(n_a AS DOUBLE) AS mean_a,
+       |  sv_b / CAST(n_b AS DOUBLE) AS mean_b,
+       |  (sv2_a - sv_a * sv_a / CAST(n_a AS DOUBLE)) / CAST(n_a AS DOUBLE) AS var_a,
+       |  (sv2_b - sv_b * sv_b / CAST(n_b AS DOUBLE)) / CAST(n_b AS DOUBLE) AS var_b,
+       |  (sv_a / CAST(n_a AS DOUBLE) - sv_b / CAST(n_b AS DOUBLE))
+       |    / sqrt((sv2_a - sv_a * sv_a / CAST(n_a AS DOUBLE)) / CAST(n_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+       |           + (sv2_b - sv_b * sv_b / CAST(n_b AS DOUBLE)) / CAST(n_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS t_welch
+       |FROM g""".stripMargin
+  }
+
+  /** Group-aware k-fold assignment (GroupKFold): every event of a user
+    * lands in exactly ONE of 5 folds (fold = seeded affine hash of
+    * user_id — cross-fold leakage is impossible by construction, the
+    * property `leakage_audit` checks for the 80/20 split), plus the
+    * balance audit: per-fold user/event counts, each fold's event share,
+    * and its deviation from the ideal 1/k. One groupBy(fold) aggregate;
+    * the share window runs over the 5-row fold relation. */
+  def groupKfold(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = graft.operators.TextOps.MinhashSeeds(3)
+    val m = graft.functions.PolyHash.Mod
+    val fold = (col("user_id") * a + b) % m % 5
+    val g = Tables.events(spark, dir)
+      .select(fold.cast("bigint").as("fold"), col("user_id"))
+      .groupBy("fold")
+      .agg(count_distinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+    val share = col("n_events").cast("double") /
+      sum("n_events").over(org.apache.spark.sql.expressions.Window.partitionBy()).cast("double")
+    g.select(col("fold"), col("n_users"), col("n_events"),
+        share.as("event_share"), abs(share - 0.2).as("dev_from_ideal"))
+      .orderBy("fold")
+  }
+
+  val groupKfoldSql: String = {
+    val (a, b) = graft.operators.TextOps.MinhashSeeds(3)
+    val m = graft.functions.PolyHash.Mod
+    s"""WITH g AS (
+       |  SELECT (user_id * ${a} + ${b}) % ${m} % 5 AS fold,
+       |         COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+       |  FROM events GROUP BY 1)
+       |SELECT fold, n_users, n_events,
+       |  CAST(n_events AS DOUBLE) / CAST(SUM(n_events) OVER () AS DOUBLE) AS event_share,
+       |  abs(CAST(n_events AS DOUBLE) / CAST(SUM(n_events) OVER () AS DOUBLE) - 0.2) AS dev_from_ideal
+       |FROM g ORDER BY fold""".stripMargin
+  }
+
   /** Per-group z-score feature normalization — the scaling pass every
     * feature pipeline applies before training. One map-side-combined
     * moment aggregation per event type (corrStats' exact-decimal
@@ -1864,6 +1961,8 @@ object Relational {
     "feature_normalize" -> (featureNormalize _),
     "winsorize_stats" -> (winsorizeStats _),
     "leakage_audit" -> (leakageAudit _),
+    "ab_test_metrics" -> (abTestMetrics _),
+    "group_kfold" -> (groupKfold _),
     "sql_exists_orders" -> (sqlExistsOrders _),
     "trend_slope" -> (trendSlope _),
     "table_checksum" -> (tableChecksum _),
@@ -1923,6 +2022,8 @@ object Relational {
     "feature_normalize" -> featureNormalizeSql,
     "winsorize_stats" -> winsorizeStatsSql,
     "leakage_audit" -> leakageAuditSql,
+    "ab_test_metrics" -> abTestMetricsSql,
+    "group_kfold" -> groupKfoldSql,
     "sql_exists_orders" -> sqlExistsOrdersSql,
     "trend_slope" -> trendSlopeSql,
     "table_checksum" -> tableChecksumSql,

@@ -463,40 +463,10 @@ object TextQueries {
     * = 3-row sliding max, sentinel k = running sum of span starts) + one
     * per-doc reassembly aggregation — token-level shuffles like
     * dedup_spans, window partitions bounded by document length. */
-  def spanCorruptionPlan(spark: SparkSession, dir: String): DataFrame = {
-    val toks = org.apache.spark.sql.functions.filter(split(col("text"), " "), w => w =!= "")
-    val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
-      .withColumn("start",
-        (pmod(PolyHash.hash(concat(col("doc_id").cast("string"), lit(":"),
-          col("pos").cast("string"), lit(":t5"))), lit(20)) === 0).cast("int"))
-    val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    val slide = byPos.rowsBetween(-2, 0)
-    val flagged = tok
-      .withColumn("corrupt", max(col("start")).over(slide) === 1)
-      .withColumn("run_start",
-        (col("corrupt") && !coalesce(lag(col("corrupt"), 1).over(byPos), lit(false))).cast("int"))
-      .withColumn("k", sum(col("run_start")).over(byPos) - 1)
-    val inputPiece = when(!col("corrupt"), col("tok"))
-      .when(col("run_start") === 1, concat(lit("<extra_id_"), col("k"), lit(">")))
-    val targetPiece = when(col("corrupt") && col("run_start") === 1,
-        concat(lit("<extra_id_"), col("k"), lit("> "), col("tok")))
-      .when(col("corrupt"), col("tok"))
-    flagged.groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(col("corrupt").cast("long")).as("n_corrupt"),
-        sum(col("run_start").cast("long")).as("n_spans"),
-        array_join(transform(
-          array_sort(collect_list(when(inputPiece.isNotNull,
-            struct(col("pos"), inputPiece.as("p"))))),
-          s => s.getField("p")), " ").as("input_text"),
-        array_join(transform(
-          array_sort(collect_list(when(targetPiece.isNotNull,
-            struct(col("pos"), targetPiece.as("p"))))),
-          s => s.getField("p")), " ").as("target_text"))
+  def spanCorruptionPlan(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.spanCorruptionPlan(
+        Tables.documents(spark, dir), "doc_id", "text", everyN = 20, spanLen = 3)
       .orderBy("doc_id")
-  }
 
   val spanCorruptionPlanSql: String =
     s"""WITH t AS (

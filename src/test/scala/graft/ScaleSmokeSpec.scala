@@ -92,6 +92,32 @@ class ScaleSmokeSpec extends AnyFunSuite {
     GraftCaches.releaseAll()
   }
 
+  test(s"span-corruption plan completes at $nDocs docs") {
+    // Token-level explode + per-doc windows + reassembly agg — the
+    // heaviest pure-text shuffle shape added in round 7; window
+    // partitions are bounded by document length, so no reducer hotspot.
+    val d = synthDocs(nDocs)
+    val plan = graft.operators.TextOps.spanCorruptionPlan(d, "doc_id", "text")
+    banned(plan)
+    val agg = timed(s"spanCorruptionPlan over $nDocs docs")(
+      plan.agg(count(lit(1)), sum(col("n_spans"))).collect()(0))
+    assert(agg.getLong(0) === nDocs)
+    assert(agg.getLong(1) > 0L, "hash-selected starts must produce spans")
+    GraftCaches.releaseAll()
+  }
+
+  test(s"contrastive pair mining completes at $nVecs vectors") {
+    // Same capped banded-LSH candidate graph as knn_label_noise; the
+    // per-anchor ranking windows partition by (anchor, same-label), so
+    // reducers stay bucket-bounded. Labels are hash-derived (id % 7).
+    val v = synthVecs(nVecs).withColumn("label", pmod(col("vec_id"), lit(7)).cast("int"))
+    val pairs = Similarity.contrastivePairs(v, "vec_id", "embedding", "label")
+    banned(pairs)
+    val n = timed(s"contrastivePairs over $nVecs vectors")(pairs.count())
+    assert(n >= 0L)
+    GraftCaches.releaseAll()
+  }
+
   test(s"SemDeDup within-cell dedup completes at $nVecs vectors") {
     // More cells at scale (k grows with the corpus so cell sizes stay
     // bounded — the paper's regime); the maxCell cap is the guard this
