@@ -66,6 +66,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "stream_dedup" -> 1,       // transformWithState: ONE (user,type)-keyed exchange
     "mlm_mask_plan" -> 1,      // pure array-HOF map: scan + result sort only
     "jsonl_ingest" -> 0,       // line build + JSON source read + envelope: all scan-side
+    "span_corruption_plan" -> 2, // ONE doc exchange shared by all 3 windows AND the
+                               // reassembly agg (partitioning preserved) + result sort
+    "ab_test_metrics" -> 1,    // one global conditional agg: SinglePartition fold only
+    "group_kfold" -> 3,        // fold agg + 5-row share window + result sort
     "stream_user_running" -> 1,// mapGroupsWithState: same single-exchange shape
     "bm25_search" -> 5,        // term-filtered tf agg + df agg + 1-row (N,avgdl) fold
                                // + doc-keyed join re-exchange + per-term heap; per-doc
