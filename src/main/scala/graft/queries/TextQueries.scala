@@ -105,6 +105,46 @@ object TextQueries {
        |  len(regexp_extract_all(text, '\\b(der|die|das|und)\\b')) AS s_de
        |FROM documents) t ORDER BY doc_id""".stripMargin
 
+  /** Classifier-eval confusion matrix for the language-ID heuristic:
+    * ground-truth `lang` × `pred_lang` cell counts, each cell's share of
+    * its true-language row (the per-class recall decomposition), and the
+    * correct-cell flag — the evaluation every heuristic filter needs
+    * before it gates a corpus. One (lang, pred) aggregate; the share
+    * window partitions by lang over ≤|langs| rows per partition. */
+  def langidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val sEn = regexp_count(col("text"), lit(enRx))
+    val sEs = regexp_count(col("text"), lit(esRx))
+    val sDe = regexp_count(col("text"), lit(deRx))
+    val pred = when(sEn >= sEs && sEn >= sDe, "en")
+      .when(sEs >= sDe, "es").otherwise("de")
+    val g = Tables.documents(spark, dir)
+      .select(col("lang"), pred.as("pred_lang"))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+    g.select(col("lang"), col("pred_lang"), col("n"),
+        (col("n").cast("double") /
+          sum("n").over(Window.partitionBy("lang")).cast("double")).as("share_of_lang"),
+        (col("lang") === col("pred_lang")).as("correct"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  val langidConfusionSql: String =
+    s"""WITH p AS (
+       |  SELECT lang,
+       |    CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+       |         WHEN s_es >= s_de THEN 'es'
+       |         ELSE 'de' END AS pred_lang
+       |  FROM (SELECT lang,
+       |    len(regexp_extract_all(text, '\\b(the|a|an|of)\\b')) AS s_en,
+       |    len(regexp_extract_all(text, '\\b(el|la|los|de)\\b')) AS s_es,
+       |    len(regexp_extract_all(text, '\\b(der|die|das|und)\\b')) AS s_de
+       |  FROM documents) t),
+       |g AS (SELECT lang, pred_lang, COUNT(*) AS n FROM p GROUP BY lang, pred_lang)
+       |SELECT lang, pred_lang, n,
+       |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE) AS share_of_lang,
+       |  lang = pred_lang AS correct
+       |FROM g ORDER BY lang, pred_lang""".stripMargin
+
   /** Quality scoring: length/stopword-ratio composite. The arithmetic is
     * written with the identical operation tree on both engines so the
     * doubles are bit-equal. */
@@ -1720,6 +1760,7 @@ object TextQueries {
     "bpe_token_count" -> (bpeTokenCount _),
     "ntile_quality_bins" -> (ntileQualityBins _),
     "lang_id_heuristic" -> (langIdHeuristic _),
+    "langid_confusion" -> (langidConfusion _),
     "quality_score" -> (qualityScore _),
     "source_quota_cap" -> (sourceQuotaCap _),
     "filter_funnel" -> (filterFunnel _),
@@ -1765,6 +1806,7 @@ object TextQueries {
     "bpe_token_count" -> bpeTokenCountSql,
     "ntile_quality_bins" -> ntileQualityBinsSql,
     "lang_id_heuristic" -> langIdHeuristicSql,
+    "langid_confusion" -> langidConfusionSql,
     "quality_score" -> qualityScoreSql,
     "source_quota_cap" -> sourceQuotaCapSql,
     "filter_funnel" -> filterFunnelSql,
