@@ -730,7 +730,97 @@ object DedupQueries {
        |         j -> l[j]), ' '), '') AS clean_text
        |FROM t2 t LEFT JOIN ds USING (doc_id)""".stripMargin
 
+  /** Duplicate-cluster size histogram — the dedup QA readout (how much of
+    * the corpus sits in clusters of what size, i.e. what a keep-one-per-
+    * cluster pass would delete). Built on the same 3-round min-label
+    * components as `dedup_components`; the histogram itself is two
+    * aggregates over the (already candidate-bounded) node relation plus a
+    * 1-row total broadcast — nothing here grows with corpus size beyond
+    * the components machinery, which is bucket-capped upstream. */
+  def dedupClusterStats(spark: SparkSession, dir: String): DataFrame = {
+    val comp = Dedup.duplicateComponents(
+      Dedup.lshCandidatePairs(Tables.documents(spark, dir), "doc_id", "text"),
+      iters = 3)
+    val sizes = comp.groupBy("comp_id").agg(count(lit(1)).as("cluster_size"))
+    val tot = sizes.agg(sum("cluster_size").as("total_docs"))
+    sizes.groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(broadcast(tot))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") * col("n_clusters")).cast("double") /
+          col("total_docs").cast("double")).as("doc_share"))
+      .orderBy("cluster_size")
+  }
+
+  val dedupClusterStatsSql: String =
+    s"""WITH $shingleCte,
+       |$bandsCte,
+       |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bb a JOIN bb b ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id),
+       |e2 AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM cand
+       |       UNION ALL SELECT doc_b, doc_a FROM cand),
+       |l0 AS (SELECT DISTINCT src AS doc_id, src AS comp_id FROM e2),
+       |${(1 to 3).map(labelStepCte).mkString(",\n")},
+       |sizes AS (SELECT comp_id, COUNT(*) AS cluster_size FROM l3 GROUP BY comp_id),
+       |tot AS (SELECT CAST(SUM(cluster_size) AS BIGINT) AS total_docs FROM sizes)
+       |SELECT cluster_size, COUNT(*) AS n_clusters,
+       |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(cluster_size * COUNT(*) AS DOUBLE) / CAST(total_docs AS DOUBLE) AS doc_share
+       |FROM sizes CROSS JOIN tot
+       |GROUP BY cluster_size, total_docs ORDER BY cluster_size""".stripMargin
+
+  /** Per-source decontamination audit: how much of each source's corpus
+    * slice the benchmark-overlap screen (`benchmark_overlap`'s exact
+    * 3-gram rule) flags — the report a data-governance pass publishes per
+    * upstream feed. The overlap relation is doc-keyed and already
+    * benchmark-bounded (the bench gram set is broadcast); this adds one
+    * doc-keyed equi-join to recover `source` and one source-keyed
+    * aggregate. Integer sums, two fixed-order IEEE divisions. */
+  def decontamStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ov = Dedup.contaminationOverlap(docs, "doc_id", "text",
+      benchPred = col("doc_id") < 10, threshold = 0.3)
+    ov.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
+        sum("n_matched").as("n_matched_grams"),
+        sum("n_grams").as("n_grams"))
+      .select(col("source"), col("n_docs"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") / col("n_docs").cast("double"))
+          .as("contaminated_share"),
+        col("n_matched_grams"), col("n_grams"),
+        (col("n_matched_grams").cast("double") / col("n_grams").cast("double"))
+          .as("gram_overlap"))
+      .orderBy("source")
+  }
+
+  val decontamStatsSql: String =
+    s"""WITH $shingleCte,
+       |bench AS (SELECT DISTINCT unnest(hs) AS h FROM w WHERE doc_id < 10),
+       |corp AS (SELECT doc_id, unnest(hs) AS h FROM w WHERE NOT (doc_id < 10)),
+       |m AS (SELECT c.doc_id, COUNT(*) AS n_matched
+       |      FROM corp c JOIN bench USING (h) GROUP BY c.doc_id),
+       |ov AS (SELECT w.doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+       |         CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
+       |         (CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / CAST(len(hs) AS DOUBLE)) >= 0.3::DOUBLE AS contaminated
+       |       FROM w LEFT JOIN m ON m.doc_id = w.doc_id
+       |       WHERE NOT (w.doc_id < 10))
+       |SELECT d.source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN ov.contaminated THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       |  CAST(CAST(SUM(CASE WHEN ov.contaminated THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) /
+       |    CAST(COUNT(*) AS DOUBLE) AS contaminated_share,
+       |  CAST(SUM(ov.n_matched) AS BIGINT) AS n_matched_grams,
+       |  CAST(SUM(ov.n_grams) AS BIGINT) AS n_grams,
+       |  CAST(CAST(SUM(ov.n_matched) AS BIGINT) AS DOUBLE) /
+       |    CAST(CAST(SUM(ov.n_grams) AS BIGINT) AS DOUBLE) AS gram_overlap
+       |FROM ov JOIN documents d ON d.doc_id = ov.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cluster_stats" -> (dedupClusterStats _),
+    "decontam_stats" -> (decontamStats _),
     "dedup_spans" -> (dedupSpans _),
     "threshold_sweep" -> (thresholdSweep _),
     "lsh_quality" -> (lshQuality _),
@@ -757,6 +847,8 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> (ngramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_cluster_stats" -> dedupClusterStatsSql,
+    "decontam_stats" -> decontamStatsSql,
     "dedup_spans" -> dedupSpansSql,
     "threshold_sweep" -> thresholdSweepSql,
     "lsh_quality" -> lshQualitySql,

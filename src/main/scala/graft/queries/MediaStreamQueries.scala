@@ -154,6 +154,48 @@ object MediaStreamQueries {
       |  CAST((height * 224) // GREATEST(width, height) AS INT) AS out_h
       |FROM d""".stripMargin
 
+  /** Content-hash dedup over the media corpus, per modality: group by the
+    * stub-decode checksum (the content fingerprint a real decoder would
+    * emit), keep the lowest-id copy, and account the bytes a
+    * keep-one-per-group pass saves — the storage-side dedup report every
+    * multimodal ingest runs before feature extraction. Two map-side-
+    * combined aggregates ((modality, checksum) → modality); the shuffle
+    * carries (modality, checksum, bytes) — never payloads. */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+        Multimodal.asMedia(Tables.documents(spark, dir), "doc_id", "text"),
+        partitions = 8)
+      .toDF()
+      .groupBy("modality", "checksum")
+      .agg(count(lit(1)).as("n_copies"),
+        sum(col("n_bytes").cast("bigint")).as("g_bytes"),
+        min(col("n_bytes").cast("bigint")).as("k_bytes"))
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n_unique"),
+        sum("n_copies").as("n_items"),
+        sum(when(col("n_copies") > 1, col("n_copies") - 1).otherwise(0L))
+          .as("n_dup_copies"),
+        sum(col("g_bytes") - col("k_bytes")).as("bytes_saved"))
+      .orderBy("modality")
+
+  val mediaDedupSql: String =
+    """WITH f AS (
+      |  SELECT doc_id AS id,
+      |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
+      |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |    list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text,''), c -> ascii(c)::BIGINT)),
+      |                (a,b) -> (a*31+b) % 1000000007) AS checksum
+      |  FROM documents),
+      |g AS (SELECT modality, checksum, COUNT(*) AS n_copies,
+      |        CAST(SUM(n_bytes) AS BIGINT) AS g_bytes,
+      |        CAST(MIN(n_bytes) AS BIGINT) AS k_bytes
+      |      FROM f GROUP BY modality, checksum)
+      |SELECT modality, COUNT(*) AS n_unique,
+      |  CAST(SUM(n_copies) AS BIGINT) AS n_items,
+      |  CAST(SUM(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS BIGINT) AS n_dup_copies,
+      |  CAST(SUM(g_bytes - k_bytes) AS BIGINT) AS bytes_saved
+      |FROM g GROUP BY modality ORDER BY modality""".stripMargin
+
   /** mapGroupsWithState stateful aggregation, exercised in batch mode.
     * "Last" is arg_max by event_id (deterministic), so the typed state
     * fold is hash-checked against DuckDB's arg_max. */
@@ -437,7 +479,8 @@ object MediaStreamQueries {
     "stream_topk" -> (streamTopK _),
     "sessionize_stateful" -> (sessionizeStateful _),
     "sessionize_closed" -> (sessionizeClosed _),
-    "stream_interval_join" -> (streamIntervalJoin _))
+    "stream_interval_join" -> (streamIntervalJoin _),
+    "media_dedup" -> (mediaDedup _))
 
   val oracles: Map[String, String] = Map(
     "event_rate_anomaly" -> eventRateAnomalySql,
@@ -457,5 +500,6 @@ object MediaStreamQueries {
     "stream_topk" -> streamTopKSql,
     "sessionize_stateful" -> Relational.sessionizeSql,
     "sessionize_closed" -> sessionizeClosedSql,
-    "stream_interval_join" -> streamIntervalJoinSql)
+    "stream_interval_join" -> streamIntervalJoinSql,
+    "media_dedup" -> mediaDedupSql)
 }

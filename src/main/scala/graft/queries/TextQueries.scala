@@ -1725,7 +1725,208 @@ object TextQueries {
        |       CAST(CAST(SUM(e.units) AS BIGINT) AS DOUBLE) / COUNT(*) AS units_per_word
        |FROM tok t JOIN enc e USING (w) GROUP BY t.doc_id""".stripMargin
 
+  /** SFT loss-masking plan: split each document's token stream into a
+    * prompt prefix (no loss) and a response suffix (loss) at a
+    * deterministic hash-derived boundary — the per-example bookkeeping
+    * every supervised-fine-tuning run needs (train only on the response
+    * tokens). The boundary is poly_hash(doc_id)-derived so the plan is
+    * reproducible across runs, engines, and partitionings, like
+    * `mlm_mask_plan` / `span_corruption_plan`. Entirely scan-local
+    * column math (size + one hash + string repeat) — ZERO data shuffles
+    * at any corpus size; the result sort is the only exchange. */
+  def sftLossMask(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.operators.TextOps.words(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(toks).cast("bigint").as("n_tokens"))
+      .filter(col("n_tokens") >= 2)
+      .withColumn("prompt_len",
+        lit(1L) + pmod(PolyHash.hash(concat(col("doc_id").cast("string"), lit(":sft"))),
+          col("n_tokens") - 1))
+      .select(
+        col("doc_id"), col("n_tokens"), col("prompt_len"),
+        (col("n_tokens") - col("prompt_len")).as("n_loss_tokens"),
+        ((col("n_tokens") - col("prompt_len")).cast("double") /
+          col("n_tokens").cast("double")).as("loss_ratio"),
+        concat(expr("repeat('0', CAST(prompt_len AS INT))"),
+          expr("repeat('1', CAST(n_tokens - prompt_len AS INT))")).as("loss_mask"))
+      .orderBy("doc_id")
+  }
+
+  val sftLossMaskSql: String = {
+    val m = PolyHash.Mod
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens,
+       |    list_reduce(list_prepend(0::BIGINT, list_transform(
+       |        string_split(CAST(doc_id AS VARCHAR) || ':sft', ''), c -> ascii(c)::BIGINT)),
+       |      (a,b) -> (a*31+b) % $m) AS h
+       |  FROM documents),
+       |p AS (SELECT doc_id, n_tokens, 1 + (h % (n_tokens - 1)) AS prompt_len
+       |      FROM d WHERE n_tokens >= 2)
+       |SELECT doc_id, n_tokens, prompt_len,
+       |  n_tokens - prompt_len AS n_loss_tokens,
+       |  CAST(n_tokens - prompt_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS loss_ratio,
+       |  repeat('0', CAST(prompt_len AS INT)) || repeat('1', CAST(n_tokens - prompt_len AS INT)) AS loss_mask
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
+  /** Tokenizer-fertility audit per language: characters per whitespace
+    * token and alpha-run (subword proxy) density — the cross-lingual
+    * tokenizer-efficiency readout (high chars/token for a language means
+    * its text fragments into more subwords per word, i.e. the tokenizer
+    * taxes that language). Exact integer sums per language, IEEE
+    * divisions applied once at the end in a fixed order — hash-exact
+    * across engines. ONE lang-keyed map-side-combined aggregate; the
+    * share divisions run on the ≤|langs|-row relation. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.operators.TextOps.words(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("n_chars"),
+        size(toks).cast("bigint").as("nt"),
+        regexp_count(col("text"), lit("[a-z]+")).cast("bigint").as("na"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nt").as("n_tokens"), sum("n_chars").as("n_chars"),
+        sum("na").as("n_alpha_runs"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_alpha_runs"),
+        (col("n_chars").cast("double") / col("n_tokens").cast("double")).as("chars_per_token"),
+        (col("n_alpha_runs").cast("double") / col("n_tokens").cast("double")).as("alpha_per_token"))
+      .orderBy("lang")
+  }
+
+  val tokenizerFertilitySql: String =
+    """SELECT lang, n_docs, n_tokens, n_chars, n_alpha_runs,
+      |  CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS chars_per_token,
+      |  CAST(n_alpha_runs AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS alpha_per_token
+      |FROM (
+      |  SELECT lang, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |    CAST(SUM(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS n_alpha_runs
+      |  FROM documents GROUP BY lang) t
+      |ORDER BY lang""".stripMargin
+
+  /** Temperature-scaled source mixing (τ = 0.5): sampling weight ∝
+    * p_s^(1/τ) = p_s² — the standard multilingual/multi-source rebalance
+    * (Conneau & Lample 2019 use τ ∈ [0.3, 1]; 0.5 upsamples heads less
+    * brutally than uniform). τ = 0.5 is chosen deliberately so the whole
+    * computation stays EXACT: p² ∝ n_docs², hence weight =
+    * n_docs² / Σ n_docs² — integer sums and ONE IEEE division, no
+    * libm pow (the repo-wide cross-engine exactness discipline).
+    * Shape: one source-keyed aggregate + a 1-row scalar broadcast
+    * (whitelisted BNLJ pattern, same as source_mix_weights). */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tot = per.agg(sum("n_docs").as("total"),
+      sum(col("n_docs") * col("n_docs")).as("sq_sum"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        (col("n_docs").cast("double") / col("total").cast("double")).as("p_raw"),
+        ((col("n_docs") * col("n_docs")).cast("double") /
+          col("sq_sum").cast("double")).as("weight"),
+        (((col("n_docs") * col("n_docs")).cast("double") /
+          col("sq_sum").cast("double")) * 10000.0).as("exp_docs_at_10k"))
+      .orderBy("source")
+  }
+
+  val temperatureMixSql: String =
+    """WITH per AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+      |               CAST(SUM(n_docs * n_docs) AS BIGINT) AS sq_sum FROM per)
+      |SELECT source, n_docs,
+      |  CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS p_raw,
+      |  CAST(n_docs * n_docs AS DOUBLE) / CAST(sq_sum AS DOUBLE) AS weight,
+      |  (CAST(n_docs * n_docs AS DOUBLE) / CAST(sq_sum AS DOUBLE)) * 10000.0 AS exp_docs_at_10k
+      |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
+
+  /** Token-budget shard planner: assign documents (in stable doc_id
+    * ingest order) to fixed-budget output shards (2000 tokens) by the
+    * RUNNING token total, then report per-shard packing stats — the
+    * "write N-token training shards" planning job every corpus export
+    * runs. The cumulative sum is [[graft.operators.PrefixScan]]'s
+    * distributed two-phase scan (range exchange + per-partition offsets
+    * — driver traffic = numPartitions rows), NOT a global window; a doc
+    * lands in the shard its FIRST token falls in (start-offset rule), so
+    * assignment is integer-exact and partitioning-independent. */
+  def shardPlan(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2000L
+    val nt = size(graft.operators.TextOps.words(col("text"))).cast("bigint")
+    val d = Tables.documents(spark, dir).select(col("doc_id"), nt.as("n_tokens"))
+    graft.operators.PrefixScan
+      .runningSumLong(d, "n_tokens", "cum_tokens", col("doc_id"))
+      .withColumn("shard_id", expr(s"(cum_tokens - n_tokens) div $budget"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .withColumn("fill_ratio", col("n_tokens").cast("double") / lit(budget.toDouble))
+      .orderBy("shard_id")
+  }
+
+  val shardPlanSql: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(len(list_filter(string_split(text, ' '), x -> x != ''))) OVER (
+      |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |  FROM documents)
+      |SELECT shard_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+      |  CAST(SUM(n_tokens) AS DOUBLE) / 2000.0 AS fill_ratio
+      |FROM (SELECT *, (cum_tokens - n_tokens) // 2000 AS shard_id FROM c) t
+      |GROUP BY shard_id ORDER BY shard_id""".stripMargin
+
+  /** Deterministic cross-source round-robin interleave — the streaming
+    * data-loader order (one example per source in rotation, each source
+    * internally hash-shuffled like `epoch_shuffle`): global position =
+    * within-source rank × n_sources + source index. The within-source
+    * rank is a source-partitioned window (reducer bounded by the largest
+    * source slice — the same bound any per-source shuffle already has);
+    * the source-index relation is ≤|sources| rows, so its global window
+    * and the broadcast join are constant-sized at any corpus scale. Emits
+    * the first 60 positions (the head of the interleaved stream). */
+  def interleaveSources(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = graft.operators.TextOps.MinhashSeeds(6)
+    val m = PolyHash.Mod
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), ((col("doc_id") * a + b) % m).as("skey"))
+    val ranked = d.withColumn("r",
+      row_number().over(Window.partitionBy("source")
+        .orderBy(col("skey"), col("doc_id"))).cast("bigint") - 1)
+    val idx = d.select("source").distinct()
+      .select(col("source"),
+        (row_number().over(Window.orderBy("source")) - 1).cast("bigint").as("si"),
+        count(lit(1)).over(Window.partitionBy()).cast("bigint").as("k"))
+    ranked.join(broadcast(idx), "source")
+      .select(col("doc_id"), col("source"), col("r"), col("si"),
+        (col("r") * col("k") + col("si")).as("position"))
+      .filter(col("position") < 60)
+      .orderBy("position")
+  }
+
+  val interleaveSourcesSql: String = {
+    val (a, b) = graft.operators.TextOps.MinhashSeeds(6)
+    s"""WITH d AS (SELECT doc_id, source, (doc_id * ${a} + ${b}) % ${PolyHash.Mod} AS skey
+       |           FROM documents),
+       |r AS (SELECT doc_id, source, skey,
+       |        CAST(row_number() OVER (PARTITION BY source ORDER BY skey, doc_id) AS BIGINT) - 1 AS r
+       |      FROM d),
+       |s AS (SELECT source,
+       |        CAST(row_number() OVER (ORDER BY source) AS BIGINT) - 1 AS si,
+       |        CAST(COUNT(*) OVER () AS BIGINT) AS k
+       |      FROM (SELECT DISTINCT source FROM documents) t)
+       |SELECT r.doc_id, r.source, r.r, s.si, r.r * s.k + s.si AS position
+       |FROM r JOIN s USING (source)
+       |WHERE r.r * s.k + s.si < 60 ORDER BY position""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "shard_plan" -> (shardPlan _),
+    "interleave_sources" -> (interleaveSources _),
+    "sft_loss_mask" -> (sftLossMask _),
+    "tokenizer_fertility" -> (tokenizerFertility _),
+    "temperature_mix" -> (temperatureMix _),
     "bpe_train" -> (bpeTrain _),
     "bpe_apply" -> (bpeApply _),
     "bm25_search" -> (bm25Search _),
@@ -1772,6 +1973,11 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "shard_plan" -> shardPlanSql,
+    "interleave_sources" -> interleaveSourcesSql,
+    "sft_loss_mask" -> sftLossMaskSql,
+    "tokenizer_fertility" -> tokenizerFertilitySql,
+    "temperature_mix" -> temperatureMixSql,
     "bpe_train" -> bpeTrainSql,
     "bpe_apply" -> bpeApplySql,
     "bm25_search" -> bm25SearchSql,

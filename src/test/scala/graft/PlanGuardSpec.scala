@@ -52,7 +52,10 @@ class PlanGuardSpec extends AnyFunSuite {
       "embedding_drift",
       // filter_funnel: the 1-row stage-count aggregate cross-broadcast
       // onto the 1-row quota aggregate — scalar broadcast, 1x1 rows.
-      "filter_funnel")
+      "filter_funnel",
+      // temperature_mix / dedup_cluster_stats: the same deliberate 1-row
+      // totals cross-broadcast as source_mix_weights (share denominators).
+      "temperature_mix", "dedup_cluster_stats")
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString

@@ -68,6 +68,16 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "jsonl_ingest" -> 0,       // line build + JSON source read + envelope: all scan-side
     "span_corruption_plan" -> 2, // ONE doc exchange shared by all 3 windows AND the
                                // reassembly agg (partitioning preserved) + result sort
+    "sft_loss_mask" -> 1,      // pure array-HOF map: scan + result sort only
+    "shard_plan" -> 3,         // PrefixScan range exchange + shard agg + result sort
+    "interleave_sources" -> 4, // per-source rank window + tiny idx window x2 (distinct
+                               // + global count on <=|sources| rows) + result sort
+    "media_dedup" -> 4,        // mapPartitions repartition + (modality,checksum) agg
+                               // + modality agg + result sort
+    "tokenizer_fertility" -> 2,// one lang-keyed agg + result sort
+    "temperature_mix" -> 4,    // source agg (inlined twice: per + totals ref) +
+                               // 1-row fold + result sort
+    "decontam_stats" -> 4,     // matched-gram agg + doc-keyed left join + source agg + sort
     "ab_test_metrics" -> 1,    // one global conditional agg: SinglePartition fold only
     "group_kfold" -> 3,        // fold agg + 5-row share window + result sort
     "stream_user_running" -> 1,// mapGroupsWithState: same single-exchange shape
@@ -83,7 +93,7 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "knn_label_noise" -> 7)    // capped band self-join + pair scoring rejoins +
                                // per-vector heap + label joins (tracked subtrees inlined)
   // Iterated operators (graph_pagerank, dedup_components*,
-  // graph_communities, bpe_train) are NOT pinned: their pre-execution
+  // dedup_cluster_stats, graph_communities, bpe_train) are NOT pinned: their pre-execution
   // plan string inlines every tracked-cache subtree per round (and
   // bpe_train is a driver loop of per-round jobs, not one plan), so the
   // static exchange count overstates what executes (cached rounds
