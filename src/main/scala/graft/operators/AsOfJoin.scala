@@ -57,6 +57,39 @@ object AsOfJoin {
       .select(leftCols.map(col) ++ rightPayload.map(p => col(s"asof_$p")): _*)
   }
 
+  /** Forward as-of join: for each left row, attach the payload of the
+    * EARLIEST right row with the same key and right-time >= left-time —
+    * the "next scheduled event" direction (pandas merge_asof
+    * direction='forward'). Exact mirror of [[asOf]]: same union + one
+    * key exchange + one sort, with the window flipped to
+    * [current, unbounded following] and a running FIRST-non-null; left
+    * rows sort before right rows at equal times so ">=" holds, and
+    * equal-time right ties resolve to the MIN tiebreak (earliest wins —
+    * the mirror of backward's latest-wins). */
+  def asOfForward(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column, leftTime: Column, rightTime: Column,
+      rightTie: String, rightPayload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val tieType = right.schema(rightTie).dataType
+    val lNorm = left.select(
+      (Seq(leftKey.as("_k"), leftTime.as("_t"), lit(0).as("_side"),
+        lit(null).cast(tieType).as("_tie")) ++
+        rightPayload.map(p => lit(null).cast(right.schema(p).dataType).as(s"_p_$p")) ++
+        leftCols.map(col)): _*)
+    val rNorm = right.select(
+      (Seq(rightKey.as("_k"), rightTime.as("_t"), lit(1).as("_side"),
+        col(rightTie).as("_tie")) ++
+        rightPayload.map(p => col(p).as(s"_p_$p")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"), col("_tie"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    lNorm.unionByName(rNorm)
+      .select((Seq(col("_side")) ++ leftCols.map(col) ++
+        rightPayload.map(p => first(col(s"_p_$p"), ignoreNulls = true).over(w).as(s"asof_$p"))): _*)
+      .filter(col("_side") === 0)
+      .select(leftCols.map(col) ++ rightPayload.map(p => col(s"asof_$p")): _*)
+  }
+
   /** Tolerance-bounded as-of join — the feature-store freshness rule
     * ("attach the latest feature value, but only if it is at most N
     * seconds stale"). Same single-exchange union+window plan as [[asOf]]

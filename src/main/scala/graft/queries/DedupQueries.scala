@@ -730,6 +730,69 @@ object DedupQueries {
        |         j -> l[j]), ' '), '') AS clean_text
        |FROM t2 t LEFT JOIN ds USING (doc_id)""".stripMargin
 
+  /** Near-dup detector agreement audit: MinHash-LSH candidate pairs vs
+    * SimHash Hamming≤3 pairs, full-outer joined on the pair key and
+    * classified both / minhash_only / simhash_only — the method-
+    * comparison report that decides which detector (or both) a curation
+    * pipeline should run. Both pair relations are bucket-capped upstream;
+    * the comparison is ONE pair-keyed full-outer join + a 3-row
+    * aggregate (the share window runs over those 3 rows). */
+  def dedupMethodAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val mh = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+      .select(col("doc_a"), col("doc_b")).withColumn("in_mh", lit(1))
+    val sh = Dedup.simhashNearDupPairs(docs, "doc_id", "text")
+      .select(col("doc_a"), col("doc_b")).withColumn("in_sh", lit(1))
+    mh.join(sh, Seq("doc_a", "doc_b"), "full_outer")
+      .select(when(col("in_mh").isNotNull && col("in_sh").isNotNull, "both")
+        .when(col("in_mh").isNotNull, "minhash_only")
+        .otherwise("simhash_only").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("share", col("n_pairs").cast("double") /
+        sum("n_pairs").over(org.apache.spark.sql.expressions.Window.partitionBy())
+          .cast("double"))
+      .orderBy("status")
+  }
+
+  val dedupMethodAgreementSql: String =
+    s"""WITH $shingleCte,
+       |$bandsCte,
+       |mhc AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |        FROM bb a JOIN bb b ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id),
+       |ws AS (
+       |  SELECT doc_id,
+       |    list_transform(list_distinct(list_filter(string_split(text,' '), x -> x != '')),
+       |      w -> list_reduce(list_prepend(0::BIGINT, list_transform(string_split(w,''), c -> ascii(c)::BIGINT)),
+       |                       (a,b) -> (a*31+b) % $M)) AS hs
+       |  FROM documents),
+       |shs AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(range(0,32), j -> CASE WHEN
+       |      list_sum(list_transform(hs, h -> CASE WHEN ((h // (1::BIGINT << j)) % 2) = 1 THEN 1 ELSE -1 END)) > 0
+       |      THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash
+       |  FROM ws),
+       |bs AS (
+       |  SELECT doc_id, simhash, bn, (simhash // (1::BIGINT << (8*bn))) % 256 AS byte
+       |  FROM (SELECT doc_id, simhash, unnest([0,1,2,3]) AS bn FROM shs)),
+       |okbs AS (SELECT bn, byte FROM bs GROUP BY bn, byte HAVING COUNT(*) <= 200),
+       |bbs AS (SELECT bs.* FROM bs JOIN okbs USING (bn, byte)),
+       |shc AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |           a.simhash AS sa, b.simhash AS sb
+       |    FROM bbs a JOIN bbs b ON a.bn = b.bn AND a.byte = b.byte AND a.doc_id < b.doc_id) t
+       |  WHERE bit_count(xor(sa, sb)) <= 3),
+       |cls AS (
+       |  SELECT CASE WHEN m.doc_a IS NOT NULL AND s.doc_a IS NOT NULL THEN 'both'
+       |              WHEN m.doc_a IS NOT NULL THEN 'minhash_only'
+       |              ELSE 'simhash_only' END AS status
+       |  FROM mhc m FULL OUTER JOIN shc s
+       |    ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b)
+       |SELECT status, n_pairs,
+       |  CAST(n_pairs AS DOUBLE) / CAST(SUM(n_pairs) OVER () AS DOUBLE) AS share
+       |FROM (SELECT status, COUNT(*) AS n_pairs FROM cls GROUP BY status) g
+       |ORDER BY status""".stripMargin
+
   /** Duplicate-cluster size histogram — the dedup QA readout (how much of
     * the corpus sits in clusters of what size, i.e. what a keep-one-per-
     * cluster pass would delete). Built on the same 3-round min-label
@@ -820,6 +883,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster_stats" -> (dedupClusterStats _),
+    "dedup_method_agreement" -> (dedupMethodAgreement _),
     "decontam_stats" -> (decontamStats _),
     "dedup_spans" -> (dedupSpans _),
     "threshold_sweep" -> (thresholdSweep _),
@@ -848,6 +912,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "dedup_cluster_stats" -> dedupClusterStatsSql,
+    "dedup_method_agreement" -> dedupMethodAgreementSql,
     "decontam_stats" -> decontamStatsSql,
     "dedup_spans" -> dedupSpansSql,
     "threshold_sweep" -> thresholdSweepSql,

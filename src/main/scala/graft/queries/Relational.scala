@@ -521,6 +521,44 @@ object Relational {
       |SELECT event_id, ukey, asof_o_orderkey, asof_o_totalprice
       |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin
 
+  /** Forward as-of join ([[graft.operators.AsOfJoin.asOfForward]]): each
+    * event picks up the EARLIEST order of its key bucket placed on or
+    * after the event time — the "next scheduled delivery" direction.
+    * Same union + single key exchange + running-first window plan as
+    * `asof_join`; equal-time ties resolve to the MIN o_orderkey, events
+    * with no later order keep null payload. */
+  def asofJoinForward(spark: SparkSession, dir: String): DataFrame = {
+    val leftWithT = Tables.events(spark, dir)
+      .select(col("event_id"), (col("user_id") % 25).as("ukey"), col("ts"))
+    graft.operators.AsOfJoin.asOfForward(
+        leftWithT, Tables.orders(spark, dir),
+        leftKey = col("ukey"), rightKey = col("o_custkey") % 25,
+        leftTime = col("ts"), rightTime = col("o_orderdate"),
+        rightTie = "o_orderkey", rightPayload = Seq("o_orderkey", "o_totalprice"))
+      .select("event_id", "ukey", "asof_o_orderkey", "asof_o_totalprice")
+      .orderBy("event_id")
+  }
+
+  val asofJoinForwardSql: String =
+    """WITH u AS (
+      |  SELECT user_id % 25 AS k, ts AS t, 0 AS side, NULL::BIGINT AS tie,
+      |         NULL::BIGINT AS p_ok, NULL::DOUBLE AS p_tp,
+      |         event_id, user_id % 25 AS ukey
+      |  FROM events
+      |  UNION ALL
+      |  SELECT o_custkey % 25, o_orderdate, 1, o_orderkey,
+      |         o_orderkey, o_totalprice, NULL, NULL
+      |  FROM orders),
+      |w AS (
+      |  SELECT side, event_id, ukey,
+      |    first_value(p_ok IGNORE NULLS) OVER win AS asof_o_orderkey,
+      |    first_value(p_tp IGNORE NULLS) OVER win AS asof_o_totalprice
+      |  FROM u
+      |  WINDOW win AS (PARTITION BY k ORDER BY t, side, tie
+      |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT event_id, ukey, asof_o_orderkey, asof_o_totalprice
+      |FROM w WHERE side = 0 ORDER BY event_id""".stripMargin
+
   /** Exact lower median per group by rank arithmetic — deterministic
     * (value ties break on event_id) and cross-engine exact, unlike
     * interpolating percentile functions whose float math differs between
@@ -1992,6 +2030,7 @@ object Relational {
     "quantiles_by_group" -> (quantilesByGroup _),
     "median_by_group" -> (medianByGroup _),
     "asof_join" -> (asofJoin _),
+    "asof_join_forward" -> (asofJoinForward _),
     "sessionize" -> (sessionize _),
     "rollup_revenue" -> (rollupRevenue _),
     "cube_revenue" -> (cubeRevenue _),
@@ -2053,6 +2092,7 @@ object Relational {
     "quantiles_by_group" -> quantilesByGroupSql,
     "median_by_group" -> medianByGroupSql,
     "asof_join" -> asofJoinSql,
+    "asof_join_forward" -> asofJoinForwardSql,
     "sessionize" -> sessionizeSql,
     "rollup_revenue" -> rollupRevenueSql,
     "cube_revenue" -> cubeRevenueSql,

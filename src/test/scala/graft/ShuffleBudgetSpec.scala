@@ -68,6 +68,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "jsonl_ingest" -> 0,       // line build + JSON source read + envelope: all scan-side
     "span_corruption_plan" -> 2, // ONE doc exchange shared by all 3 windows AND the
                                // reassembly agg (partitioning preserved) + result sort
+    "asof_join_forward" -> 2,  // ONE key exchange for the union+window + result sort
+    "dedup_method_agreement" -> 9, // two capped candidate builders (band/byte self-joins)
+                               // + pair-keyed full-outer + 3-row status agg
     "sft_loss_mask" -> 1,      // pure array-HOF map: scan + result sort only
     "shard_plan" -> 3,         // PrefixScan range exchange + shard agg + result sort
     "interleave_sources" -> 4, // per-source rank window + tiny idx window x2 (distinct
