@@ -416,6 +416,36 @@ object SimilarityQueries {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, vec_id ASC) AS rank FROM s) t
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
+  /** Recall@10 of the PQ-ADC index against brute force — completes the
+    * ANN-quality triptych (`ann_recall` = LSH, `ivf_recall` = IVF,
+    * `pq_recall` = PQ): with all three recall numbers hash-checked in
+    * the same harness, the quality/compression trade-off of every
+    * approximate path is directly comparable. Same composition: the
+    * truth side is the deliberate exact-scoring pass over 5 query
+    * vectors; the approximate side reads only the 4-int PQ codes through
+    * the broadcast lookup table. */
+  def pqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.GraftCaches.track(Tables.embeddings(spark, dir))
+    val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 5, k = 10)
+      .select(col("q_id"), col("vec_id"))
+    val approx = Similarity.pqAdcTopK(emb, "vec_id", "embedding", col("vec_id") < 5, topK = 10)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / col("k").cast("double"))
+      .orderBy("q_id")
+  }
+
+  val pqRecallSql: String =
+    s"""WITH truth AS (SELECT q_id, vec_id FROM ($cosineTopKSql)),
+       |approx AS (SELECT q_id, vec_id, 1::BIGINT AS hit FROM ($pqAdcTopKSql))
+       |SELECT t.q_id, COUNT(*) AS k,
+       |       CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS n_hits,
+       |       CAST(SUM(COALESCE(a.hit, 0)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+       |FROM truth t LEFT JOIN approx a USING (q_id, vec_id)
+       |GROUP BY t.q_id ORDER BY q_id""".stripMargin
+
   /** Recall@10 of the IVF index against brute force — the companion to
     * [[annRecall]] (which evaluates the LSH index): with both recall
     * numbers hash-checked, the two ANN paths' quality is directly
@@ -624,6 +654,7 @@ object SimilarityQueries {
     "ivf_recall" -> (ivfRecall _),
     "pq_codes" -> (pqCodesQ _),
     "pq_adc_topk" -> (pqAdcTopKQ _),
+    "pq_recall" -> (pqRecall _),
     "embed_dim_stats" -> (embedDimStats _),
     "ann_recall" -> (annRecall _),
     "embed_quantize_int8" -> (embedQuantize _),
@@ -646,6 +677,7 @@ object SimilarityQueries {
     "ivf_recall" -> ivfRecallSql,
     "pq_codes" -> pqCodesSql,
     "pq_adc_topk" -> pqAdcTopKSql,
+    "pq_recall" -> pqRecallSql,
     "embed_dim_stats" -> embedDimStatsSql,
     "ann_recall" -> annRecallSql,
     "embed_quantize_int8" -> embedQuantizeSql,

@@ -1921,7 +1921,90 @@ object TextQueries {
        |WHERE r.r * s.k + s.si < 60 ORDER BY position""".stripMargin
   }
 
+  /** Deterministic train/val/test split (80/10/10 by affine hash of
+    * doc_id — reproducible across runs, engines, partitionings; the same
+    * seeded-hash discipline as leakage_audit/group_kfold) with the
+    * per-language stratification audit: per (lang, split) doc/token
+    * counts and the split's share WITHIN its language — the check that
+    * a hash split didn't skew any language's evaluation slice. One
+    * (lang, split) aggregate; the share window runs over ≤3 rows per
+    * language. */
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = graft.operators.TextOps.MinhashSeeds(7)
+    val m = PolyHash.Mod
+    val bucket = pmod(col("doc_id") * a + b, lit(m)) % 100
+    val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    Tables.documents(spark, dir)
+      .select(col("lang"), split.as("split"),
+        size(graft.operators.TextOps.words(col("text"))).cast("bigint").as("nt"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+      .withColumn("lang_share", col("n_docs").cast("double") /
+        sum("n_docs").over(Window.partitionBy("lang")).cast("double"))
+      .orderBy("lang", "split")
+  }
+
+  val datasetSplitSql: String = {
+    val (a, b) = graft.operators.TextOps.MinhashSeeds(7)
+    s"""WITH d AS (
+       |  SELECT lang,
+       |    CASE WHEN (doc_id * ${a} + ${b}) % ${PolyHash.Mod} % 100 < 80 THEN 'train'
+       |         WHEN (doc_id * ${a} + ${b}) % ${PolyHash.Mod} % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS nt
+       |  FROM documents),
+       |g AS (SELECT lang, split, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+       |      FROM d GROUP BY lang, split)
+       |SELECT lang, split, n_docs, n_tokens,
+       |  CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE) AS lang_share
+       |FROM g ORDER BY lang, split""".stripMargin
+  }
+
+  /** Per-source HLL distinct-token estimate — `hll_distinct`'s 64-register
+    * sketch GROUPED by source, demonstrating the property that makes HLL
+    * the scale tool: registers are mergeable under MAX across any
+    * partitioning, so the per-group sketch is one map-side-combined
+    * (source, bucket) aggregate — 64 rows per source per task on the
+    * wire — followed by a ≤64-row-per-source harmonic fold. The 2^-rho
+    * terms are exact powers of two, so the estimate is IEEE-exact
+    * cross-engine like the global sketch. */
+  def hllBySource(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(spark, dir).select(col("source"),
+      explode(org.apache.spark.sql.functions.filter(split(col("text"), " "), w => w =!= "")).as("term"))
+    val h = PolyHash.hash(col("term"))
+    val withH = terms.select(col("source"), h.as("h"))
+      .select(col("source"), pmod(col("h"), lit(64)).as("bucket"),
+        expr("h div 64").as("w"))
+    val rho = when(col("w") === 0, lit(25))
+      .otherwise(bit_count(col("w").bitwiseAND(-col("w")) - 1) + 1)
+    withH.select(col("source"), col("bucket"), rho.as("rho"))
+      .groupBy("source", "bucket")
+      .agg(max(col("rho")).as("max_rho"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_used"),
+        sum(pow(lit(2.0), -col("max_rho"))).as("s_present"))
+      .select(col("source"), col("n_used"),
+        (lit(0.709) * 64 * 64 / (col("s_present") + (lit(64) - col("n_used")))).as("estimate"))
+      .orderBy("source")
+  }
+
+  val hllBySourceSql: String =
+    s"""WITH t AS (SELECT source, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term FROM documents),
+       |h AS (SELECT source, list_reduce(list_prepend(0::BIGINT, list_transform(string_split(term,''), c -> ascii(c)::BIGINT)),
+       |                         (a,b) -> (a*31+b) % ${PolyHash.Mod}) AS hv FROM t),
+       |r AS (SELECT source, hv % 64 AS bucket,
+       |        CASE WHEN hv // 64 = 0 THEN 25
+       |             ELSE bit_count(((hv // 64) & -(hv // 64)) - 1) + 1 END AS rho
+       |      FROM h),
+       |regs AS (SELECT source, bucket, MAX(rho) AS max_rho FROM r GROUP BY source, bucket)
+       |SELECT source, COUNT(*) AS n_used,
+       |  0.709::DOUBLE * 64 * 64 / (SUM(pow(2, -max_rho)) + (64 - COUNT(*))) AS estimate
+       |FROM regs GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dataset_split" -> (datasetSplit _),
+    "hll_by_source" -> (hllBySource _),
     "shard_plan" -> (shardPlan _),
     "interleave_sources" -> (interleaveSources _),
     "sft_loss_mask" -> (sftLossMask _),
@@ -1973,6 +2056,8 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "dataset_split" -> datasetSplitSql,
+    "hll_by_source" -> hllBySourceSql,
     "shard_plan" -> shardPlanSql,
     "interleave_sources" -> interleaveSourcesSql,
     "sft_loss_mask" -> sftLossMaskSql,

@@ -35,6 +35,9 @@ class PlanGuardSpec extends AnyFunSuite {
   private val bnljAllowed =
     Set("embed_cosine_topk", "ivf_assign", "ivf_topk", "ivf_train_assign",
       "ivf_kmeanspp_assign", "source_mix_weights", "ann_recall", "ivf_recall",
+      // pq_recall: the truth side is the same deliberate exact-scoring BNLJ
+      // as ann_recall/ivf_recall; the PQ side itself is equi-joined.
+      "pq_recall",
       "cms_heavy_hitters", "zorder_cluster", "hist_quantiles",
       "corpus_overlap", "corpus_card", "type_cooccurrence",
       "decayed_engagement", "key_skew_profile", "mix_apply",

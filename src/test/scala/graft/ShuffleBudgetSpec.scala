@@ -71,6 +71,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "asof_join_forward" -> 2,  // ONE key exchange for the union+window + result sort
     "dedup_method_agreement" -> 9, // two capped candidate builders (band/byte self-joins)
                                // + pair-keyed full-outer + 3-row status agg
+    "dataset_split" -> 3,      // (lang,split) agg + per-lang share window + result sort
+    "hll_by_source" -> 3,      // (source,bucket) register agg + source fold + result sort
+    "pq_recall" -> 8,          // exact-truth heap + PQ assign/LUT joins + recall agg
     "sft_loss_mask" -> 1,      // pure array-HOF map: scan + result sort only
     "shard_plan" -> 3,         // PrefixScan range exchange + shard agg + result sort
     "interleave_sources" -> 4, // per-source rank window + tiny idx window x2 (distinct
