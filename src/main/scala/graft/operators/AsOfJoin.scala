@@ -62,10 +62,15 @@ object AsOfJoin {
     * the "next scheduled event" direction (pandas merge_asof
     * direction='forward'). Exact mirror of [[asOf]]: same union + one
     * key exchange + one sort, with the window flipped to
-    * [current, unbounded following] and a running FIRST-non-null; left
-    * rows sort before right rows at equal times so ">=" holds, and
-    * equal-time right ties resolve to the MIN tiebreak (earliest wins —
-    * the mirror of backward's latest-wins). */
+    * a running frame over the REVERSED sort (t desc, right rows first at
+    * equal times so ">=" holds) with a running last-non-null; equal-time
+    * right ties resolve to the MIN tiebreak (earliest wins — the mirror
+    * of backward's latest-wins). The reversal matters for performance,
+    * not just symmetry: a [current row, unbounded following] frame is a
+    * shrinking frame that Spark's WindowExec re-aggregates per row —
+    * O(rows²) per partition (measured 32 s vs 0.7 s at sf0.1) — while
+    * the reversed [unbounded preceding, current row] frame is a linear
+    * running scan like the backward join's. */
   def asOfForward(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column, leftTime: Column, rightTime: Column,
       rightTie: String, rightPayload: Seq[String]): DataFrame = {
@@ -81,11 +86,16 @@ object AsOfJoin {
         col(rightTie).as("_tie")) ++
         rightPayload.map(p => col(p).as(s"_p_$p")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
-    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"), col("_tie"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // Reversed running frame: in (t desc, side desc, tie desc) order the
+    // right rows at-or-after a left row's time are exactly the preceding
+    // rows, and the LAST non-null payload among them is the earliest
+    // right row >= t (min tie at equal times). Linear, like [[asOf]].
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_t").desc, col("_side").desc, col("_tie").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lNorm.unionByName(rNorm)
       .select((Seq(col("_side")) ++ leftCols.map(col) ++
-        rightPayload.map(p => first(col(s"_p_$p"), ignoreNulls = true).over(w).as(s"asof_$p"))): _*)
+        rightPayload.map(p => last(col(s"_p_$p"), ignoreNulls = true).over(w).as(s"asof_$p"))): _*)
       .filter(col("_side") === 0)
       .select(leftCols.map(col) ++ rightPayload.map(p => col(s"asof_$p")): _*)
   }

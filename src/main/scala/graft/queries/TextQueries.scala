@@ -2002,7 +2002,127 @@ object TextQueries {
        |  0.709::DOUBLE * 64 * 64 / (SUM(pow(2, -max_rho)) + (64 - COUNT(*))) AS estimate
        |FROM regs GROUP BY source ORDER BY source""".stripMargin
 
+  /** Exact tie-aware ROC-AUC of the quality score against the
+    * lang='en' label — the language-bias audit of the (English-
+    * stopword-based) quality composite: AUC ≫ 0.5 quantifies exactly
+    * how anglocentric the heuristic filter is, the fairness check a
+    * multilingual curation pipeline publishes. AUC is the Mann-Whitney
+    * rank-sum with midranks for ties, kept ENTIRELY in integer
+    * arithmetic until one final division (2·ΣR⁺ = Σ nⁱ⁺·(2·cum_below +
+    * nⁱ + 1) over distinct quantized score levels) — bit-exact
+    * cross-engine, no libm. Scale shape: one score-level aggregate, a
+    * PrefixScan over the ≤1e6-level relation, and a 1-row fold — the
+    * corpus never passes through a global rank window. */
+  def qualityAuc(spark: SparkSession, dir: String): DataFrame = {
+    val nTokens = size(graft.operators.TextOps.words(col("text"))).cast("bigint")
+    val quality = least(col("n_tokens") / lit(50.0), lit(1.0)) * 0.5 +
+      (col("n_stop").cast("double") / col("n_tokens")) * 0.5
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), nTokens.as("n_tokens"),
+        regexp_count(col("text"), lit(enRx)).as("n_stop"))
+      .select(floor(quality * 1000000.0).cast("bigint").as("qkey"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    val per = d.groupBy("qkey")
+      .agg(count(lit(1)).as("n"), sum("pos").as("npos"))
+    graft.operators.PrefixScan
+      .runningSumLong(per, "n", "cum", col("qkey"))
+      .select(col("npos"), col("n"), (col("cum") - col("n")).as("cumb"))
+      .agg(sum("npos").as("n_pos"), sum(col("n") - col("npos")).as("n_neg"),
+        sum(col("npos") * (lit(2L) * col("cumb") + col("n") + 1L)).as("r2"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("r2") - col("n_pos") * (col("n_pos") + 1L)).as("u_stat2"),
+        ((col("r2") - col("n_pos") * (col("n_pos") + 1L)).cast("double") /
+          (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
+  }
+
+  val qualityAucSql: String =
+    """WITH q AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+      |    len(regexp_extract_all(text, '\b(the|a|an|of)\b')) AS n_stop
+      |  FROM documents),
+      |l AS (
+      |  SELECT CAST(floor((least(n_tokens / 50.0, 1.0) * 0.5 +
+      |           (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5) * 1000000.0) AS BIGINT) AS qkey,
+      |    CASE WHEN lang = 'en' THEN 1::BIGINT ELSE 0::BIGINT END AS pos
+      |  FROM q),
+      |per AS (SELECT qkey, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS npos
+      |        FROM l GROUP BY qkey),
+      |c AS (SELECT npos, n,
+      |        CAST(SUM(n) OVER (ORDER BY qkey ROWS UNBOUNDED PRECEDING) AS BIGINT) - n AS cumb
+      |      FROM per),
+      |f AS (SELECT CAST(SUM(npos) AS BIGINT) AS n_pos,
+      |             CAST(SUM(n - npos) AS BIGINT) AS n_neg,
+      |             CAST(SUM(npos * (2 * cumb + n + 1)) AS BIGINT) AS r2
+      |      FROM c)
+      |SELECT n_pos, n_neg, r2 - n_pos * (n_pos + 1) AS u_stat2,
+      |  CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE) /
+      |    CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+      |FROM f""".stripMargin
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic between the quality
+    * distributions of two corpus cohorts (even vs odd doc_id — the
+    * old/new snapshot split, like embedding_drift) — the distribution-
+    * shift gate a retraining pipeline checks before trusting a new
+    * crawl. D = max |F_a − F_b| over distinct quantized score levels:
+    * integer cumulative counts via PrefixScan (the level relation, not
+    * the corpus, carries the running sums), per-level CDFs as two fixed
+    * IEEE divisions against the 1-row cohort totals, and the argmax
+    * resolved by (D desc, level asc) limit 1 — deterministic,
+    * hash-exact. */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    val nTokens = size(graft.operators.TextOps.words(col("text"))).cast("bigint")
+    val quality = least(col("n_tokens") / lit(50.0), lit(1.0)) * 0.5 +
+      (col("n_stop").cast("double") / col("n_tokens")) * 0.5
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), nTokens.as("n_tokens"),
+        regexp_count(col("text"), lit(enRx)).as("n_stop"))
+      .select(floor(quality * 1000000.0).cast("bigint").as("qkey"),
+        when(pmod(col("doc_id"), lit(2)) === 0, 1L).otherwise(0L).as("a"),
+        when(pmod(col("doc_id"), lit(2)) === 1, 1L).otherwise(0L).as("b"))
+    val per = d.groupBy("qkey")
+      .agg(sum("a").as("na"), sum("b").as("nb"))
+    val c1 = graft.operators.PrefixScan.runningSumLong(per, "na", "cum_a", col("qkey"))
+    val c2 = graft.operators.PrefixScan.runningSumLong(c1, "nb", "cum_b", col("qkey"))
+    val tot = per.agg(sum("na").as("ta"), sum("nb").as("tb"))
+    c2.crossJoin(broadcast(tot))
+      .select(col("qkey"), col("ta").as("n_a"), col("tb").as("n_b"),
+        abs(col("cum_a").cast("double") / col("ta").cast("double") -
+          col("cum_b").cast("double") / col("tb").cast("double")).as("d"))
+      .orderBy(col("d").desc, col("qkey").asc)
+      .limit(1)
+      .select(col("qkey").as("ks_at"), col("n_a"), col("n_b"),
+        col("d").as("ks_stat"))
+  }
+
+  val ksDriftSql: String =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+      |    len(regexp_extract_all(text, '\b(the|a|an|of)\b')) AS n_stop
+      |  FROM documents),
+      |l AS (
+      |  SELECT CAST(floor((least(n_tokens / 50.0, 1.0) * 0.5 +
+      |           (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5) * 1000000.0) AS BIGINT) AS qkey,
+      |    CASE WHEN doc_id % 2 = 0 THEN 1::BIGINT ELSE 0::BIGINT END AS a,
+      |    CASE WHEN doc_id % 2 = 1 THEN 1::BIGINT ELSE 0::BIGINT END AS b
+      |  FROM q),
+      |per AS (SELECT qkey, CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb
+      |        FROM l GROUP BY qkey),
+      |c AS (SELECT qkey,
+      |        CAST(SUM(na) OVER w AS BIGINT) AS cum_a,
+      |        CAST(SUM(nb) OVER w AS BIGINT) AS cum_b
+      |      FROM per WINDOW w AS (ORDER BY qkey ROWS UNBOUNDED PRECEDING)),
+      |tot AS (SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb FROM per)
+      |SELECT qkey AS ks_at, ta AS n_a, tb AS n_b,
+      |  abs(CAST(cum_a AS DOUBLE) / CAST(ta AS DOUBLE) -
+      |      CAST(cum_b AS DOUBLE) / CAST(tb AS DOUBLE)) AS ks_stat
+      |FROM c CROSS JOIN tot
+      |ORDER BY ks_stat DESC, ks_at ASC LIMIT 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_auc" -> (qualityAuc _),
+    "ks_drift" -> (ksDrift _),
     "dataset_split" -> (datasetSplit _),
     "hll_by_source" -> (hllBySource _),
     "shard_plan" -> (shardPlan _),
@@ -2056,6 +2176,8 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "quality_auc" -> qualityAucSql,
+    "ks_drift" -> ksDriftSql,
     "dataset_split" -> datasetSplitSql,
     "hll_by_source" -> hllBySourceSql,
     "shard_plan" -> shardPlanSql,

@@ -58,7 +58,10 @@ class PlanGuardSpec extends AnyFunSuite {
       "filter_funnel",
       // temperature_mix / dedup_cluster_stats: the same deliberate 1-row
       // totals cross-broadcast as source_mix_weights (share denominators).
-      "temperature_mix", "dedup_cluster_stats")
+      "temperature_mix", "dedup_cluster_stats",
+      // ks_drift: the 1-row cohort-totals scalar cross-broadcast onto the
+      // distinct-score-level relation (same shape as source_mix_weights).
+      "ks_drift")
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString

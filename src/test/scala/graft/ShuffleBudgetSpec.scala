@@ -71,6 +71,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "asof_join_forward" -> 2,  // ONE key exchange for the union+window + result sort
     "dedup_method_agreement" -> 9, // two capped candidate builders (band/byte self-joins)
                                // + pair-keyed full-outer + 3-row status agg
+    "quality_auc" -> 3,        // score-level agg + PrefixScan range exchange + 1-row fold
+    "ks_drift" -> 5,           // score-level agg + two PrefixScan range exchanges
+                               // + 1-row totals fold + top-1 heap
     "dataset_split" -> 3,      // (lang,split) agg + per-lang share window + result sort
     "hll_by_source" -> 3,      // (source,bucket) register agg + source fold + result sort
     "pq_recall" -> 8,          // exact-truth heap + PQ assign/LUT joins + recall agg
