@@ -2120,7 +2120,127 @@ object TextQueries {
       |FROM c CROSS JOIN tot
       |ORDER BY ks_stat DESC, ks_at ASC LIMIT 1""".stripMargin
 
+  /** ROUGE-1/ROUGE-2 recall for a deterministic reference↔candidate
+    * pairing (doc d ≥ 250 scored against reference d−250) — the
+    * summarization/generation eval metric expressed as a dataflow:
+    * distinct unigram/bigram hash sets built scan-side with array HOFs
+    * (no token explode), ONE id equi-join to align each pair, and the
+    * overlap counts via array_intersect — exact integer counts, one
+    * IEEE division per metric. At eval scale the join carries two hash
+    * arrays per pair, never token rows. */
+  def rougePairs(spark: SparkSession, dir: String): DataFrame = {
+    val uni = array_distinct(transform(graft.operators.TextOps.words(col("text")),
+      w => PolyHash.hash(w)))
+    val ws = graft.operators.TextOps.words(col("text"))
+    val bi = array_distinct(transform(
+      zip_with(slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+        slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)),
+      g => PolyHash.hash(g)))
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), uni.as("uni"), bi.as("bi"))
+    val cand = d.filter(col("doc_id") >= 250)
+      .select(col("doc_id").as("cand_id"), (col("doc_id") - 250).as("ref_id"),
+        col("uni").as("c_uni"), col("bi").as("c_bi"))
+    cand.join(d.select(col("doc_id").as("ref_id"), col("uni").as("r_uni"),
+        col("bi").as("r_bi")), "ref_id")
+      .select(col("ref_id"), col("cand_id"),
+        size(array_intersect(col("c_uni"), col("r_uni"))).cast("bigint").as("n1_overlap"),
+        size(col("r_uni")).cast("bigint").as("n1_ref"),
+        (size(array_intersect(col("c_uni"), col("r_uni"))).cast("double") /
+          size(col("r_uni")).cast("double")).as("rouge1_recall"),
+        size(array_intersect(col("c_bi"), col("r_bi"))).cast("bigint").as("n2_overlap"),
+        size(col("r_bi")).cast("bigint").as("n2_ref"),
+        (size(array_intersect(col("c_bi"), col("r_bi"))).cast("double") /
+          greatest(size(col("r_bi")), lit(1)).cast("double")).as("rouge2_recall"))
+      .orderBy("cand_id")
+  }
+
+  val rougePairsSql: String = {
+    val m = PolyHash.Mod
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(ws, w ->
+       |      list_reduce(list_prepend(0::BIGINT, list_transform(string_split(w,''), c -> ascii(c)::BIGINT)),
+       |                  (a,b) -> (a*31+b) % $m))) AS uni,
+       |    list_distinct(list_transform(
+       |      list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]), gg ->
+       |      list_reduce(list_prepend(0::BIGINT, list_transform(string_split(gg,''), c -> ascii(c)::BIGINT)),
+       |                  (a,b) -> (a*31+b) % $m))) AS bi
+       |  FROM t)
+       |SELECT r.doc_id AS ref_id, c.doc_id AS cand_id,
+       |  CAST(len(list_intersect(c.uni, r.uni)) AS BIGINT) AS n1_overlap,
+       |  CAST(len(r.uni) AS BIGINT) AS n1_ref,
+       |  CAST(len(list_intersect(c.uni, r.uni)) AS DOUBLE) /
+       |    CAST(len(r.uni) AS DOUBLE) AS rouge1_recall,
+       |  CAST(len(list_intersect(c.bi, r.bi)) AS BIGINT) AS n2_overlap,
+       |  CAST(len(r.bi) AS BIGINT) AS n2_ref,
+       |  CAST(len(list_intersect(c.bi, r.bi)) AS DOUBLE) /
+       |    CAST(greatest(len(r.bi), 1) AS DOUBLE) AS rouge2_recall
+       |FROM g c JOIN g r ON r.doc_id = c.doc_id - 250
+       |WHERE c.doc_id >= 250 ORDER BY cand_id""".stripMargin
+  }
+
+  /** Cross-lingual gram-overlap matrix: for every language pair, the
+    * count and Jaccard of SHARED distinct 3-gram shingles — the
+    * cross-language contamination/code-switching audit (a high overlap
+    * between two languages' gram inventories means boilerplate or
+    * mislabeled text bleeding across lang buckets). The inverted-index
+    * shape: distinct (lang, gram) rows self-join ON THE GRAM (each
+    * gram's posting list is bounded by |langs|, so the join output is
+    * ≤ C(|langs|,2) per gram — never quadratic in docs), then one
+    * lang-pair aggregate; per-lang inventory sizes broadcast back onto
+    * the ≤ C(|langs|,2)-row matrix. */
+  def langGramOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val lg = graft.GraftCaches.track(
+      Tables.documents(spark, dir)
+        .filter(size(graft.operators.TextOps.words(col("text"))) >= 3)
+        .select(col("lang"),
+          explode(graft.operators.TextOps.shingleHashes(
+            graft.operators.TextOps.words(col("text")))).as("g"))
+        .distinct())
+    val per = lg.groupBy("lang").agg(count(lit(1)).as("n_grams"))
+    val shared = lg.as("a").join(lg.as("b"),
+        col("a.g") === col("b.g") && col("a.lang") < col("b.lang"))
+      .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(per.select(col("lang").as("lang_a"), col("n_grams").as("na"))), "lang_a")
+      .join(broadcast(per.select(col("lang").as("lang_b"), col("n_grams").as("nb"))), "lang_b")
+      .select(col("lang_a"), col("lang_b"), col("n_shared"), col("na"), col("nb"),
+        (col("n_shared").cast("double") /
+          (col("na") + col("nb") - col("n_shared")).cast("double")).as("jaccard"))
+      .orderBy("lang_a", "lang_b")
+  }
+
+  val langGramOverlapSql: String = {
+    val m = PolyHash.Mod
+    s"""WITH t AS (
+       |  SELECT lang, list_filter(string_split(text, ' '), x -> x != '') AS ws
+       |  FROM documents),
+       |lg AS MATERIALIZED (
+       |  SELECT DISTINCT lang,
+       |    unnest(list_transform(
+       |      list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+       |      g -> list_reduce(list_prepend(0::BIGINT, list_transform(string_split(g,''), c -> ascii(c)::BIGINT)),
+       |                       (a,b) -> (a*31+b) % $m))) AS g
+       |  FROM t WHERE len(ws) >= 3),
+       |per AS (SELECT lang, COUNT(*) AS n_grams FROM lg GROUP BY lang),
+       |sh AS (SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS n_shared
+       |       FROM lg a JOIN lg b ON a.g = b.g AND a.lang < b.lang
+       |       GROUP BY a.lang, b.lang)
+       |SELECT lang_a, lang_b, n_shared, pa.n_grams AS na, pb.n_grams AS nb,
+       |  CAST(n_shared AS DOUBLE) / CAST(pa.n_grams + pb.n_grams - n_shared AS DOUBLE) AS jaccard
+       |FROM sh JOIN per pa ON pa.lang = sh.lang_a JOIN per pb ON pb.lang = sh.lang_b
+       |ORDER BY lang_a, lang_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rouge_pairs" -> (rougePairs _),
+    "lang_gram_overlap" -> (langGramOverlap _),
     "quality_auc" -> (qualityAuc _),
     "ks_drift" -> (ksDrift _),
     "dataset_split" -> (datasetSplit _),
@@ -2176,6 +2296,8 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "rouge_pairs" -> rougePairsSql,
+    "lang_gram_overlap" -> langGramOverlapSql,
     "quality_auc" -> qualityAucSql,
     "ks_drift" -> ksDriftSql,
     "dataset_split" -> datasetSplitSql,

@@ -71,6 +71,11 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "asof_join_forward" -> 2,  // ONE key exchange for the union+window + result sort
     "dedup_method_agreement" -> 9, // two capped candidate builders (band/byte self-joins)
                                // + pair-keyed full-outer + 3-row status agg
+    "rouge_pairs" -> 3,        // id-aligned pair join (AQE-broadcastable) + result sort
+    "lang_gram_overlap" -> 8,  // static count inlines the tracked (lang,gram)
+                               // distinct 3x (per-lang + both self-join sides;
+                               // it materializes once) + gram self-join + pair
+                               // agg + inventory broadcasts + result sort
     "quality_auc" -> 3,        // score-level agg + PrefixScan range exchange + 1-row fold
     "ks_drift" -> 5,           // score-level agg + two PrefixScan range exchanges
                                // + 1-row totals fold + top-1 heap
