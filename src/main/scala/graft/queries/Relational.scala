@@ -348,6 +348,38 @@ object Relational {
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""".stripMargin
 
+  /** Event-type transition matrix (first-order Markov counts): for each
+    * user's event stream in (ts, event_id) order, count (from_type →
+    * to_type) transitions and each row's share within its from_type —
+    * the funnel/behavior-model input every product-analytics pipeline
+    * derives. ONE user-keyed exchange for the lead window (the same
+    * sessionize partitioning), then a map-side-combined pair aggregate;
+    * the share window runs over ≤|types|² rows. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("from_share", col("n").cast("double") /
+        sum("n").over(Window.partitionBy("from_type")).cast("double"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val eventTransitionsSql: String =
+    """WITH s AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |g AS (SELECT from_type, to_type, COUNT(*) AS n
+      |      FROM s WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+      |SELECT from_type, to_type, n,
+      |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS from_share
+      |FROM g ORDER BY from_type, to_type""".stripMargin
+
   /** RANGE-frame window: per-user trailing 24h sum of `value` — the
     * time-decayed feature window (RANGE frames bound by the ORDER-BY
     * VALUE distance, not row count, so ties and gaps behave correctly
@@ -2036,6 +2068,7 @@ object Relational {
     "cube_revenue" -> (cubeRevenue _),
     "grouping_sets_mix" -> (groupingSetsMix _),
     "lead_lag_delta" -> (leadLagDelta _),
+    "event_transitions" -> (eventTransitions _),
     "window_range_frame" -> (windowRangeFrame _),
     "rank_metrics" -> (rankMetrics _),
     "upsert_snapshot" -> (upsertSnapshot _),
@@ -2098,6 +2131,7 @@ object Relational {
     "cube_revenue" -> cubeRevenueSql,
     "grouping_sets_mix" -> groupingSetsMixSql,
     "lead_lag_delta" -> leadLagDeltaSql,
+    "event_transitions" -> eventTransitionsSql,
     "window_range_frame" -> windowRangeFrameSql,
     "rank_metrics" -> rankMetricsSql,
     "upsert_snapshot" -> upsertSnapshotSql,

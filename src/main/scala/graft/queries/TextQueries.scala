@@ -2238,7 +2238,86 @@ object TextQueries {
        |ORDER BY lang_a, lang_b""".stripMargin
   }
 
+  /** Collocation mining by LIFT — the log-free PMI ratio
+    * p(ab) / (p(a)·p(b)): bigrams occurring ≥5× ranked by how much more
+    * often they co-occur than independence predicts. Log-free keeps the
+    * score one fixed-order chain of IEEE divisions (the repo exactness
+    * discipline — same ranking as PMI, bit-equal cross-engine). Shape:
+    * the bigram and unigram aggregates are map-side-combined
+    * (heavy-hitter keys combine by definition), counts join back on the
+    * WORD (vocabulary-sized, AQE-broadcastable), scalars ride a 1-row
+    * cross-broadcast, and the top-20 is TakeOrdered — no global sort
+    * materialization. */
+  def bigramLift(spark: SparkSession, dir: String): DataFrame = {
+    val ws = graft.operators.TextOps.words(col("text"))
+    val pairs = Tables.documents(spark, dir)
+      .select(explode(zip_with(
+        slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+        slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+        (a, b) => struct(a.as("wa"), b.as("wb")))).as("p"))
+      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+    val uni = graft.GraftCaches.track(
+      Tables.documents(spark, dir)
+        .select(explode(ws).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("nw")))
+    val bi = pairs.groupBy("wa", "wb").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+    val tot = uni.agg(sum("nw").as("t_uni"))
+      .crossJoin(pairs.agg(count(lit(1)).as("t_bi")))
+    bi.join(uni.select(col("w").as("wa"), col("nw").as("n_a")), "wa")
+      .join(uni.select(col("w").as("wb"), col("nw").as("n_b")), "wb")
+      .crossJoin(broadcast(tot))
+      .select(col("wa"), col("wb"), col("n_ab"), col("n_a"), col("n_b"),
+        ((col("n_ab").cast("double") / col("t_bi").cast("double")) /
+          ((col("n_a").cast("double") / col("t_uni").cast("double")) *
+            (col("n_b").cast("double") / col("t_uni").cast("double")))).as("lift"))
+      .orderBy(col("lift").desc, col("wa").asc, col("wb").asc)
+      .limit(20)
+  }
+
+  val bigramLiftSql: String =
+    """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents),
+      |pr AS (SELECT ws[i] AS wa, ws[i+1] AS wb
+      |       FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM t) x),
+      |uni AS (SELECT w, COUNT(*) AS nw FROM (SELECT unnest(ws) AS w FROM t) u GROUP BY w),
+      |bi AS (SELECT wa, wb, COUNT(*) AS n_ab FROM pr GROUP BY wa, wb HAVING COUNT(*) >= 5),
+      |tot AS (SELECT (SELECT CAST(SUM(nw) AS BIGINT) FROM uni) AS t_uni,
+      |               (SELECT COUNT(*) FROM pr) AS t_bi)
+      |SELECT wa, wb, n_ab, a.nw AS n_a, b.nw AS n_b,
+      |  (CAST(n_ab AS DOUBLE) / CAST(t_bi AS DOUBLE)) /
+      |    ((CAST(a.nw AS DOUBLE) / CAST(t_uni AS DOUBLE)) *
+      |     (CAST(b.nw AS DOUBLE) / CAST(t_uni AS DOUBLE))) AS lift
+      |FROM bi JOIN uni a ON a.w = bi.wa JOIN uni b ON b.w = bi.wb CROSS JOIN tot
+      |ORDER BY lift DESC, wa ASC, wb ASC LIMIT 20""".stripMargin
+
+  /** KV-cache prefix-sharing audit: documents sharing an identical
+    * 8-token prefix form a cache-hit group — (n−1)·8 prefix tokens per
+    * group are served from cache instead of recomputed, the
+    * serving-side planning stat behind prefix caching / radix-attention
+    * batching. One prefix-keyed map-side-combined aggregate; the
+    * shuffle carries (prefix, count), never documents. */
+  def prefixShare(spark: SparkSession, dir: String): DataFrame = {
+    val ws = graft.operators.TextOps.words(col("text"))
+    Tables.documents(spark, dir)
+      .filter(size(ws) >= 8)
+      .select(array_join(slice(ws, lit(1), lit(8)), " ").as("prefix"))
+      .groupBy("prefix").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("prefix"), col("n_docs"),
+        ((col("n_docs") - 1L) * 8L).as("tokens_saved"))
+      .orderBy(col("n_docs").desc, col("prefix").asc)
+  }
+
+  val prefixShareSql: String =
+    """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents),
+      |p AS (SELECT array_to_string(list_slice(ws, 1, 8), ' ') AS prefix FROM t WHERE len(ws) >= 8),
+      |g AS (SELECT prefix, COUNT(*) AS n_docs FROM p GROUP BY prefix HAVING COUNT(*) >= 2)
+      |SELECT prefix, n_docs, CAST((n_docs - 1) * 8 AS BIGINT) AS tokens_saved
+      |FROM g ORDER BY n_docs DESC, prefix ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bigram_lift" -> (bigramLift _),
+    "prefix_share" -> (prefixShare _),
     "rouge_pairs" -> (rougePairs _),
     "lang_gram_overlap" -> (langGramOverlap _),
     "quality_auc" -> (qualityAuc _),
@@ -2296,6 +2375,8 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "bigram_lift" -> bigramLiftSql,
+    "prefix_share" -> prefixShareSql,
     "rouge_pairs" -> rougePairsSql,
     "lang_gram_overlap" -> langGramOverlapSql,
     "quality_auc" -> qualityAucSql,

@@ -61,7 +61,10 @@ class PlanGuardSpec extends AnyFunSuite {
       "temperature_mix", "dedup_cluster_stats",
       // ks_drift: the 1-row cohort-totals scalar cross-broadcast onto the
       // distinct-score-level relation (same shape as source_mix_weights).
-      "ks_drift")
+      "ks_drift",
+      // bigram_lift: the 1-row (t_uni x t_bi) scalar cross-broadcast onto
+      // the >=5-count bigram relation (same shape as source_mix_weights).
+      "bigram_lift")
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString

@@ -71,6 +71,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "asof_join_forward" -> 2,  // ONE key exchange for the union+window + result sort
     "dedup_method_agreement" -> 9, // two capped candidate builders (band/byte self-joins)
                                // + pair-keyed full-outer + 3-row status agg
+    "event_transitions" -> 4,  // user-keyed lead window + pair agg + tiny share window + sort
+    "bigram_lift" -> 6,        // bigram agg + unigram agg (tracked, inlined per ref)
+                               // + word joins + 1-row totals + top-20 heap
+    "prefix_share" -> 2,       // ONE prefix-keyed agg + result sort
     "rouge_pairs" -> 3,        // id-aligned pair join (AQE-broadcastable) + result sort
     "lang_gram_overlap" -> 8,  // static count inlines the tracked (lang,gram)
                                // distinct 3x (per-lang + both self-join sides;
