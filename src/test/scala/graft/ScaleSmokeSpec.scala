@@ -118,6 +118,27 @@ class ScaleSmokeSpec extends AnyFunSuite {
     GraftCaches.releaseAll()
   }
 
+  test(s"forward as-of join stays linear at $nVecs left rows") {
+    // The first asOfForward used a [current, unbounded following] frame —
+    // re-aggregated per row by WindowExec, O(rows²) per key partition
+    // (32 s at sf0.1's 400 rows/key; minutes here). The reversed running
+    // frame must complete these 2k-row key partitions in seconds.
+    val n = nVecs
+    val left = spark.range(n).select(col("id").as("event_id"),
+      pmod(col("id"), lit(50)).as("k"), pmod(hash(col("id")), lit(1000000)).as("t"))
+    val right = spark.range(n / 2).select(col("id").as("r_id"),
+      pmod(col("id") * 7 + 3, lit(50)).as("rk"),
+      pmod(hash(col("id"), lit(1)), lit(1000000)).as("rt"),
+      (col("id") % 997).as("payload"))
+    val joined = graft.operators.AsOfJoin.asOfForward(left, right,
+      leftKey = col("k"), rightKey = col("rk"),
+      leftTime = col("t"), rightTime = col("rt"),
+      rightTie = "r_id", rightPayload = Seq("payload"))
+    banned(joined)
+    val c = timed(s"asOfForward over $n left / ${n / 2} right rows")(joined.count())
+    assert(c === n, "forward as-of is left-outer: every left row survives")
+  }
+
   test(s"SemDeDup within-cell dedup completes at $nVecs vectors") {
     // More cells at scale (k grows with the corpus so cell sizes stay
     // bounded — the paper's regime); the maxCell cap is the guard this
