@@ -100,6 +100,73 @@ object AsOfJoin {
       .select(leftCols.map(col) ++ rightPayload.map(p => col(s"asof_$p")): _*)
   }
 
+  /** Nearest-direction as-of join (pandas merge_asof direction='nearest'):
+    * each left row attaches the right row whose time is CLOSEST in
+    * absolute distance — at-or-before or at-or-after — with ties between
+    * the two directions resolving to the backward match (the pandas
+    * rule). Completes the as-of family (backward / forward / tolerance /
+    * nearest).
+    *
+    * Plan shape: the SAME single union as [[asOf]], ONE hash exchange on
+    * the key, then TWO window passes over it — the backward running
+    * last-non-null in (t asc, right-first, tie asc) order and the forward
+    * one in (t desc, right-first, tie desc) order. The second window
+    * re-sorts within the exchanged partitions but adds NO new shuffle, so
+    * the operator costs one exchange + two sorts — never a per-row range
+    * probe, never a row blow-up. The matched right time for each
+    * direction is recovered from the union's own `_t` column (a
+    * side-gated running last), so no extra payload column rides the
+    * shuffle. Per-direction tie rules match the standalone operators:
+    * backward = max tiebreak, forward = min tiebreak.
+    *
+    * Emits `asof_<p>` per payload plus `asof_dir` ('b' backward /
+    * 'f' forward / null when the key bucket has no right rows at all). */
+  def asOfNearest(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column, leftTime: Column, rightTime: Column,
+      rightTie: String, rightPayload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val tieType = right.schema(rightTie).dataType
+    val lNorm = left.select(
+      (Seq(leftKey.as("_k"), leftTime.as("_t"), lit(1).as("_side"),
+        lit(null).cast(tieType).as("_tie")) ++
+        rightPayload.map(p => lit(null).cast(right.schema(p).dataType).as(s"_p_$p")) ++
+        leftCols.map(col)): _*)
+    val rNorm = right.select(
+      (Seq(rightKey.as("_k"), rightTime.as("_t"), lit(0).as("_side"),
+        col(rightTie).as("_tie")) ++
+        rightPayload.map(p => col(p).as(s"_p_$p")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    // Backward scan: right rows (side 0) sort before left rows at equal
+    // times, so "<=" holds; last non-null = latest right <= t, max tie.
+    val wb = Window.partitionBy("_k").orderBy(col("_t"), col("_side"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Forward scan over the REVERSED order (same linear running frame —
+    // the shrinking-frame O(rows^2) trap documented on [[asOfForward]]):
+    // right rows still first at equal times, tie desc so min tie is the
+    // last value seen and ">=" earliest-wins holds.
+    val wf = Window.partitionBy("_k")
+      .orderBy(col("_t").desc, col("_side"), col("_tie").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rightT = when(col("_side") === 0, col("_t"))
+    val bT = last(rightT, ignoreNulls = true).over(wb)
+    val fT = last(rightT, ignoreNulls = true).over(wf)
+    val windowed = lNorm.unionByName(rNorm)
+      .select((Seq(col("_side"), col("_t"), bT.as("_bt"), fT.as("_ft")) ++
+        leftCols.map(col) ++
+        rightPayload.flatMap(p => Seq(
+          last(col(s"_p_$p"), ignoreNulls = true).over(wb).as(s"_b_$p"),
+          last(col(s"_p_$p"), ignoreNulls = true).over(wf).as(s"_f_$p")))): _*)
+      .filter(col("_side") === 1)
+    // Tie between directions (equal absolute distance) -> backward, the
+    // pandas 'nearest' rule. Timestamp differences compare as intervals;
+    // numeric times compare numerically — both engine-exact.
+    val chooseB = col("_bt").isNotNull &&
+      (col("_ft").isNull || (col("_t") - col("_bt")) <= (col("_ft") - col("_t")))
+    windowed.select(leftCols.map(col) ++
+      rightPayload.map(p => when(chooseB, col(s"_b_$p")).otherwise(col(s"_f_$p")).as(s"asof_$p")) ++
+      Seq(when(chooseB, lit("b")).when(col("_ft").isNotNull, lit("f")).as("asof_dir")): _*)
+  }
+
   /** Tolerance-bounded as-of join — the feature-store freshness rule
     * ("attach the latest feature value, but only if it is at most N
     * seconds stale"). Same single-exchange union+window plan as [[asOf]]

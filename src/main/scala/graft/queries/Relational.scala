@@ -380,6 +380,44 @@ object Relational {
       |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS from_share
       |FROM g ORDER BY from_type, to_type""".stripMargin
 
+  /** Out-of-orderness audit — the watermark-sizing input for every
+    * streaming job: per user, in ARRIVAL order (event_id), an event is
+    * "late" when its event time sits more than 10 minutes behind the
+    * maximum event time already seen for that user (the
+    * withWatermark("10 minutes") drop rule applied relationally). Emits
+    * per-user late counts and the worst lateness in microseconds — read
+    * it to decide whether the configured watermark would lose data. ONE
+    * user-keyed exchange: the running-max window and the follow-up
+    * aggregate share the same partitioning. */
+  def lateEventAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tol = 600000000L // 10 min in microseconds
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"))
+      .withColumn("hwm", max(col("t")).over(w))
+      .withColumn("late_us",
+        when(col("hwm") - col("t") > tol, col("hwm") - col("t")))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("late_us")).as("n_late"),
+        max(col("late_us")).as("max_late_us"))
+  }
+
+  val lateEventAuditSql: String =
+    """WITH s AS (
+      |  SELECT user_id, epoch_us(ts) AS t,
+      |    max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+      |  FROM events),
+      |l AS (SELECT user_id,
+      |        CASE WHEN hwm - t > 600000000 THEN hwm - t END AS late_us
+      |      FROM s)
+      |SELECT user_id, COUNT(*) AS n_events, COUNT(late_us) AS n_late,
+      |       MAX(late_us) AS max_late_us
+      |FROM l GROUP BY user_id""".stripMargin
+
   /** RANGE-frame window: per-user trailing 24h sum of `value` — the
     * time-decayed feature window (RANGE frames bound by the ORDER-BY
     * VALUE distance, not row count, so ties and gaps behave correctly
@@ -590,6 +628,58 @@ object Relational {
       |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
       |SELECT event_id, ukey, asof_o_orderkey, asof_o_totalprice
       |FROM w WHERE side = 0 ORDER BY event_id""".stripMargin
+
+  /** Nearest as-of join ([[graft.operators.AsOfJoin.asOfNearest]]): each
+    * event picks up the order of its key bucket whose placement time is
+    * closest in absolute distance (before OR after), ties between the
+    * directions resolving backward — pandas merge_asof
+    * direction='nearest'. One key exchange, two linear window scans over
+    * the same union; per-direction ties keep the standalone operators'
+    * rules (backward max / forward min o_orderkey). */
+  def asofJoinNearest(spark: SparkSession, dir: String): DataFrame = {
+    val leftWithT = Tables.events(spark, dir)
+      .select(col("event_id"), (col("user_id") % 25).as("ukey"), col("ts"))
+    graft.operators.AsOfJoin.asOfNearest(
+        leftWithT, Tables.orders(spark, dir),
+        leftKey = col("ukey"), rightKey = col("o_custkey") % 25,
+        leftTime = col("ts"), rightTime = col("o_orderdate"),
+        rightTie = "o_orderkey", rightPayload = Seq("o_orderkey", "o_totalprice"))
+      .select("event_id", "ukey", "asof_o_orderkey", "asof_o_totalprice", "asof_dir")
+  }
+
+  val asofJoinNearestSql: String =
+    """WITH u AS (
+      |  SELECT user_id % 25 AS k, ts AS t, 1 AS side, NULL::BIGINT AS tie,
+      |         NULL::BIGINT AS p_ok, NULL::DOUBLE AS p_tp,
+      |         event_id, user_id % 25 AS ukey
+      |  FROM events
+      |  UNION ALL
+      |  SELECT o_custkey % 25, o_orderdate, 0, o_orderkey,
+      |         o_orderkey, o_totalprice, NULL, NULL
+      |  FROM orders),
+      |w AS (
+      |  SELECT side, t, event_id, ukey,
+      |    last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER wb AS bt,
+      |    last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER wf AS ft,
+      |    last_value(p_ok IGNORE NULLS) OVER wb AS b_ok,
+      |    last_value(p_tp IGNORE NULLS) OVER wb AS b_tp,
+      |    last_value(p_ok IGNORE NULLS) OVER wf AS f_ok,
+      |    last_value(p_tp IGNORE NULLS) OVER wf AS f_tp
+      |  FROM u
+      |  WINDOW wb AS (PARTITION BY k ORDER BY t, side, tie
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wf AS (PARTITION BY k ORDER BY t DESC, side, tie DESC
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |c AS (
+      |  SELECT event_id, ukey, b_ok, b_tp, f_ok, f_tp, ft,
+      |    (bt IS NOT NULL AND (ft IS NULL OR (t - bt) <= (ft - t))) AS choose_b
+      |  FROM w WHERE side = 1)
+      |SELECT event_id, ukey,
+      |  CASE WHEN choose_b THEN b_ok ELSE f_ok END AS asof_o_orderkey,
+      |  CASE WHEN choose_b THEN b_tp ELSE f_tp END AS asof_o_totalprice,
+      |  CASE WHEN choose_b THEN 'b'
+      |       WHEN ft IS NOT NULL THEN 'f' END AS asof_dir
+      |FROM c""".stripMargin
 
   /** Exact lower median per group by rank arithmetic — deterministic
     * (value ties break on event_id) and cross-engine exact, unlike
@@ -2063,6 +2153,8 @@ object Relational {
     "median_by_group" -> (medianByGroup _),
     "asof_join" -> (asofJoin _),
     "asof_join_forward" -> (asofJoinForward _),
+    "asof_join_nearest" -> (asofJoinNearest _),
+    "late_event_audit" -> (lateEventAudit _),
     "sessionize" -> (sessionize _),
     "rollup_revenue" -> (rollupRevenue _),
     "cube_revenue" -> (cubeRevenue _),
@@ -2126,6 +2218,8 @@ object Relational {
     "median_by_group" -> medianByGroupSql,
     "asof_join" -> asofJoinSql,
     "asof_join_forward" -> asofJoinForwardSql,
+    "asof_join_nearest" -> asofJoinNearestSql,
+    "late_event_audit" -> lateEventAuditSql,
     "sessionize" -> sessionizeSql,
     "rollup_revenue" -> rollupRevenueSql,
     "cube_revenue" -> cubeRevenueSql,

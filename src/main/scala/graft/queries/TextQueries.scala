@@ -2315,7 +2315,247 @@ object TextQueries {
       |SELECT prefix, n_docs, CAST((n_docs - 1) * 8 AS BIGINT) AS tokens_saved
       |FROM g ORDER BY n_docs DESC, prefix ASC""".stripMargin
 
+  /** Calibration-bin readout (the per-bin view behind expected
+    * calibration error): treat the shared quality composite as the
+    * "confidence" that a document is English (the label `quality_auc`
+    * audits), bucket into 11 deciles of the micro-quantized score, and
+    * compare per-bin mean confidence against observed accuracy — the
+    * reliability-diagram relation of a heuristic classifier. All bin
+    * content is integer (counts + summed micro-scores); the three
+    * divisions happen once per bin in a fixed order, and the share
+    * window runs over the ≤11-row bin relation. ONE bin-keyed
+    * map-side-combined aggregate over the corpus. */
+  def calibrationBins(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTokens = size(graft.operators.TextOps.words(col("text"))).cast("bigint")
+    val quality = least(col("n_tokens") / lit(50.0), lit(1.0)) * 0.5 +
+      (col("n_stop").cast("double") / col("n_tokens")) * 0.5
+    Tables.documents(spark, dir)
+      .select(col("lang"), nTokens.as("n_tokens"),
+        regexp_count(col("text"), lit(enRx)).as("n_stop"))
+      .select(floor(quality * 1000000.0).cast("bigint").as("qmicro"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy(expr("qmicro div 100000").as("bin"))
+      .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"),
+        sum("qmicro").as("sum_qmicro"))
+      .withColumn("share", col("n").cast("double") /
+        sum("n").over(Window.partitionBy()).cast("double"))
+      .withColumn("mean_conf",
+        col("sum_qmicro").cast("double") / col("n").cast("double") / 1000000.0)
+      .withColumn("accuracy", col("n_pos").cast("double") / col("n").cast("double"))
+      .withColumn("gap", abs(col("accuracy") - col("mean_conf")))
+      .orderBy("bin")
+  }
+
+  val calibrationBinsSql: String =
+    """WITH q AS (
+      |  SELECT lang,
+      |    len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+      |    len(regexp_extract_all(text, '\b(the|a|an|of)\b')) AS n_stop
+      |  FROM documents),
+      |l AS (
+      |  SELECT CAST(floor((least(n_tokens / 50.0, 1.0) * 0.5 +
+      |           (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5) * 1000000.0) AS BIGINT) AS qmicro,
+      |    CASE WHEN lang = 'en' THEN 1::BIGINT ELSE 0::BIGINT END AS pos
+      |  FROM q),
+      |b AS (
+      |  SELECT CAST(qmicro // 100000 AS BIGINT) AS bin, COUNT(*) AS n,
+      |         CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |         CAST(SUM(qmicro) AS BIGINT) AS sum_qmicro
+      |  FROM l GROUP BY 1)
+      |SELECT bin, n, n_pos, sum_qmicro,
+      |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share,
+      |  CAST(sum_qmicro AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS mean_conf,
+      |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy,
+      |  abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) -
+      |      CAST(sum_qmicro AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0) AS gap
+      |FROM b ORDER BY bin""".stripMargin
+
+  /** Cohen's kappa between two independent curation screens — the
+    * inter-rater-agreement statistic that tells a pipeline owner whether
+    * a cheap filter (length >= 25 tokens) and an expensive one (quality
+    * composite >= 0.5) are measuring the same thing or should both run.
+    * The 2×2 confusion cells come from ONE map-side-combined conditional
+    * aggregate (a scan plus a 1-row fold at any corpus size); po / pe /
+    * kappa are built from integer cells with correctly-rounded IEEE
+    * divisions in the same expression-tree order on both engines. */
+  def cohenKappa(spark: SparkSession, dir: String): DataFrame = {
+    val nTokens = size(graft.operators.TextOps.words(col("text"))).cast("bigint")
+    val quality = least(col("n_tokens") / lit(50.0), lit(1.0)) * 0.5 +
+      (col("n_stop").cast("double") / col("n_tokens")) * 0.5
+    val cells = Tables.documents(spark, dir)
+      .select(nTokens.as("n_tokens"),
+        regexp_count(col("text"), lit(enRx)).as("n_stop"))
+      .select((col("n_tokens") >= 25L).as("a"),
+        (floor(quality * 1000000.0).cast("bigint") >= 500000L).as("b"))
+      .agg(
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+    val n = col("n11") + col("n10") + col("n01") + col("n00")
+    val po = (col("n11") + col("n00")).cast("double") / n.cast("double")
+    val pe = ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+      (col("n01") + col("n00")) * (col("n10") + col("n00"))).cast("double") /
+      (n * n).cast("double")
+    cells.select(col("n11"), col("n10"), col("n01"), col("n00"),
+      po.as("po"), pe.as("pe"), ((po - pe) / (lit(1.0) - pe)).as("kappa"))
+  }
+
+  val cohenKappaSql: String =
+    """WITH q AS (
+      |  SELECT len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+      |         len(regexp_extract_all(text, '\b(the|a|an|of)\b')) AS n_stop
+      |  FROM documents),
+      |r AS (
+      |  SELECT n_tokens >= 25 AS a,
+      |    CAST(floor((least(n_tokens / 50.0, 1.0) * 0.5 +
+      |      (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5) * 1000000.0) AS BIGINT) >= 500000 AS b
+      |  FROM q),
+      |c AS (
+      |  SELECT CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+      |         CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+      |         CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+      |         CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      |  FROM r)
+      |SELECT n11, n10, n01, n00,
+      |  CAST(n11 + n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE) AS po,
+      |  CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE) /
+      |    CAST((n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00) AS DOUBLE) AS pe,
+      |  (CAST(n11 + n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE) -
+      |   CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE) /
+      |     CAST((n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00) AS DOUBLE)) /
+      |  (1.0 -
+      |   CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE) /
+      |     CAST((n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00) AS DOUBLE)) AS kappa
+      |FROM c""".stripMargin
+
+  /** Vocabulary-growth (Heaps-law) curve over 3-gram types: bucket
+    * documents into 50-doc-id cohorts and count the distinct 3-grams
+    * whose FIRST occurrence falls in each cohort, plus the running
+    * vocabulary size — the diminishing-returns view that answers "does
+    * more data still add new phrases?" (unigrams saturate instantly on
+    * any corpus; 3-gram types keep growing, which is also why n-gram LMs
+    * and dedup shingles use them). Per-gram first-doc is one gram-keyed
+    * aggregate (the vocab_build shuffle shape); the running total over
+    * the ≤|corpus|/50-row bucket relation goes through PrefixScan's
+    * distributed two-phase sum, never a single global partition. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val ws = graft.operators.TextOps.words(col("text"))
+    val grams = transform(sequence(lit(1), size(col("ws")) - 2),
+      i => concat_ws(" ", element_at(col("ws"), i),
+        element_at(col("ws"), i + 1), element_at(col("ws"), i + 2)))
+    val perBucket = Tables.documents(spark, dir)
+      .select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .groupBy("gram").agg(min("doc_id").as("first_doc"))
+      .groupBy(expr("first_doc div 50").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    graft.operators.PrefixScan
+      .runningSumLong(perBucket, "new_types", "cum_types", col("bucket"))
+      .orderBy("bucket")
+  }
+
+  val vocabGrowthSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+      |  FROM d WHERE len(ws) >= 3),
+      |f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram),
+      |b AS (SELECT CAST(first_doc // 50 AS BIGINT) AS bucket,
+      |             COUNT(*) AS new_types
+      |      FROM f GROUP BY 1)
+      |SELECT bucket, new_types,
+      |  CAST(SUM(new_types) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |    AS cum_types
+      |FROM b ORDER BY bucket""".stripMargin
+
+  /** Type-token ratio per source — the lexical-diversity screen that
+    * flags template/boilerplate-heavy sources (low TTR) before they
+    * dilute a training mix. Distinct types per source collapse in a
+    * (source, token)-keyed aggregate BEFORE the per-source fold, so the
+    * second shuffle carries one row per distinct pair, not one per
+    * occurrence; the division happens once per source row. */
+  def ttrBySource(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(graft.operators.TextOps.words(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"), sum("n").as("n_tokens"))
+      .withColumn("ttr", col("n_types").cast("double") / col("n_tokens").cast("double"))
+      .orderBy("source")
+  }
+
+  val ttrBySourceSql: String =
+    """WITH t AS (
+      |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+      |  FROM documents),
+      |p AS (SELECT source, w, COUNT(*) AS n FROM t GROUP BY source, w)
+      |SELECT source, COUNT(*) AS n_types, CAST(SUM(n) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS ttr
+      |FROM p GROUP BY source ORDER BY source""".stripMargin
+
+  /** Chi-squared independence audit of the lang × source contingency —
+    * "is language balance uniform across sources, or does some source
+    * skew the mix?" (the stratification check behind dataset_split /
+    * temperature_mix). Observed cells come from ONE map-side-combined
+    * aggregate; row/column/grand totals and the χ² contribution
+    * ((O·N − R·C)² / (N·R·C), the O/E form cleared of early divisions so
+    * everything but the last step stays integer) are windows over the
+    * ≤|langs|·|sources|-row cell relation. */
+  def chi2Independence(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.documents(spark, dir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      .withColumn("r", sum("o").over(Window.partitionBy("lang")))
+      .withColumn("c", sum("o").over(Window.partitionBy("source")))
+      .withColumn("n", sum("o").over(Window.partitionBy()))
+    val dev = col("o") * col("n") - col("r") * col("c")
+    cells
+      .withColumn("expected",
+        (col("r") * col("c")).cast("double") / col("n").cast("double"))
+      .withColumn("contrib", (dev * dev).cast("double") /
+        (col("n") * col("r") * col("c")).cast("double"))
+      // The χ² total sums per-cell doubles; IEEE addition order differs
+      // between engines, so sum picofloored integers (exact, order-free)
+      // and divide once — the repo-wide exactness discipline.
+      .withColumn("chi2_pico",
+        sum(floor(col("contrib") * 1e12).cast("bigint")).over(Window.partitionBy()))
+      .withColumn("chi2", col("chi2_pico").cast("double") / 1e12)
+      .orderBy("lang", "source")
+  }
+
+  val chi2IndependenceSql: String =
+    """WITH g AS (SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source),
+      |w AS (
+      |  SELECT lang, source, o,
+      |    CAST(SUM(o) OVER (PARTITION BY lang) AS BIGINT) AS r,
+      |    CAST(SUM(o) OVER (PARTITION BY source) AS BIGINT) AS c,
+      |    CAST(SUM(o) OVER () AS BIGINT) AS n
+      |  FROM g),
+      |e AS (
+      |  SELECT lang, source, o, r, c, n,
+      |    CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+      |    CAST((o * n - r * c) * (o * n - r * c) AS DOUBLE) /
+      |      CAST(n * r * c AS DOUBLE) AS contrib
+      |  FROM w)
+      |SELECT lang, source, o, r, c, n, expected, contrib,
+      |  CAST(SUM(CAST(floor(contrib * 1000000000000.0) AS BIGINT)) OVER () AS BIGINT)
+      |    AS chi2_pico,
+      |  CAST(SUM(CAST(floor(contrib * 1000000000000.0) AS BIGINT)) OVER () AS DOUBLE)
+      |    / 1000000000000.0 AS chi2
+      |FROM e ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "calibration_bins" -> (calibrationBins _),
+    "cohen_kappa" -> (cohenKappa _),
+    "vocab_growth" -> (vocabGrowth _),
+    "ttr_by_source" -> (ttrBySource _),
+    "chi2_independence" -> (chi2Independence _),
     "bigram_lift" -> (bigramLift _),
     "prefix_share" -> (prefixShare _),
     "rouge_pairs" -> (rougePairs _),
@@ -2375,6 +2615,11 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "calibration_bins" -> calibrationBinsSql,
+    "cohen_kappa" -> cohenKappaSql,
+    "vocab_growth" -> vocabGrowthSql,
+    "ttr_by_source" -> ttrBySourceSql,
+    "chi2_independence" -> chi2IndependenceSql,
     "bigram_lift" -> bigramLiftSql,
     "prefix_share" -> prefixShareSql,
     "rouge_pairs" -> rougePairsSql,

@@ -108,8 +108,16 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "filter_funnel" -> 5,      // content-hash window + two 1-row folds + quota agg
     "semdedup" -> 11,          // static count inlines the tracked assign/vector caches
                                // per reference (cell pair join + verify + left join)
-    "knn_label_noise" -> 7)    // capped band self-join + pair scoring rejoins +
+    "knn_label_noise" -> 7,    // capped band self-join + pair scoring rejoins +
                                // per-vector heap + label joins (tracked subtrees inlined)
+    "asof_join_nearest" -> 1,  // ONE key exchange; both direction windows re-sort in place
+    "late_event_audit" -> 1,   // ONE user exchange shared by running-max window + agg
+    "calibration_bins" -> 3,   // bin agg + tiny single-partition share window + result sort
+    "cohen_kappa" -> 1,        // one global conditional agg: SinglePartition fold only
+    "vocab_growth" -> 4,       // gram first-doc agg + bucket agg + PrefixScan range
+                               // exchange + result sort
+    "ttr_by_source" -> 3,      // (source,token) distinct agg + source fold + result sort
+    "chi2_independence" -> 3)  // cell agg + tiny single-partition windows + result sort
   // Iterated operators (graph_pagerank, dedup_components*,
   // dedup_cluster_stats, graph_communities, bpe_train) are NOT pinned: their pre-execution
   // plan string inlines every tracked-cache subtree per round (and
