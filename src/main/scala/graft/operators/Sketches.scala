@@ -63,4 +63,49 @@ object Sketches {
       .join(broadcast(sketch), Seq("row_j", "bucket"))
       .groupBy(col(term))
       .agg(min(col("cnt")).as("est"))
+
+  /** Bloom filter (Bloom 1970) completing the sketch triple next to CMS
+    * (frequency) and the HLL registers (cardinality): set MEMBERSHIP with
+    * no false negatives and a tunable false-positive rate. m bits live as
+    * `m/32` 32-bit registers packed in BIGINTs ((register, bits) rows, so
+    * shards merge by plain bitwise-OR across any partitioning — the same
+    * mergeability contract as the CMS cells); k seeded affine
+    * permutations of the element hash pick the bit positions, so every
+    * bit index is rebuildable in plain SQL and the sketch is
+    * DuckDB-checkable bit for bit. 32 bits per register keep every mask
+    * below 2^31 — no signed-shift edge cases in either engine. */
+  val BloomBits: Int = 65536
+  val BloomK: Int = 3
+
+  /** Bit index of hash-element h under permutation j. */
+  def bloomBit(h: Column, j: Int): Column = {
+    val (a, b) = TextOps.MinhashSeeds(j)
+    (h * a + b) % PolyHash.Mod % BloomBits
+  }
+
+  /** Build the (reg, bits) register relation from a relation of element
+    * hashes: one explode to k bits per element, one groupBy over ≤ m/32
+    * groups (fully map-side combined via bit_or). The relation IS the
+    * filter; merge shards with cell-wise bit_or. */
+  def bloomSketch(elems: DataFrame, hashCol: String): DataFrame =
+    elems.select(explode(array((0 until BloomK).map(j =>
+        bloomBit(col(hashCol), j)): _*)).as("bit"))
+      .select(expr("bit div 32").as("reg"),
+        expr("shiftleft(cast(1 as bigint), cast(bit % 32 as int))").as("mask"))
+      .groupBy("reg").agg(expr("bit_or(mask)").as("bits"))
+
+  /** Probe a relation of element hashes against the register relation:
+    * an element is bloom-positive iff ALL k of its bits are set. The
+    * ≤ m/32-row sketch is broadcast; absent registers count as all-zero
+    * (left join + coalesce), so probing never shuffles the elements. */
+  def bloomProbe(sketch: DataFrame, elems: DataFrame, hashCol: String): DataFrame =
+    elems.select(col(hashCol), explode(array((0 until BloomK).map(j =>
+        bloomBit(col(hashCol), j)): _*)).as("bit"))
+      .select(col(hashCol), expr("bit div 32").as("reg"),
+        expr("cast(bit % 32 as int)").as("pos"))
+      .join(broadcast(sketch), Seq("reg"), "left")
+      .select(col(hashCol),
+        expr("(shiftright(coalesce(bits, cast(0 as bigint)), pos) & 1) = 1").as("hit"))
+      .groupBy(col(hashCol))
+      .agg(min(col("hit")).as("bloom_pos"))
 }

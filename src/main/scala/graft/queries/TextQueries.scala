@@ -2550,7 +2550,77 @@ object TextQueries {
       |    / 1000000000000.0 AS chi2
       |FROM e ORDER BY lang, source""".stripMargin
 
+  /** Bloom-filter membership screen with its measured quality
+    * ([[graft.operators.Sketches.bloomSketch]]): build the 65536-bit /
+    * 3-hash filter over the distinct 3-gram shingles of the EVEN-doc_id
+    * corpus half, probe it with the odd half's shingles, and report the
+    * observed false-positive rate against exact membership — the audit
+    * that sizes the filter before it fronts an expensive exact-dedup or
+    * decontamination join (the query-side twin of the scan-side runtime
+    * bloom machinery). No false negatives by construction
+    * (n_false_neg is pinned at 0). The register relation is ≤2048 rows
+    * broadcast at the probe; exact membership is one hash-keyed join of
+    * the two distinct-shingle relations; the trailing 1-row member-count
+    * cross-broadcast is the whitelisted scalar shape. */
+  def bloomFpr(spark: SparkSession, dir: String): DataFrame = {
+    val ws = graft.operators.TextOps.words(col("text"))
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"),
+        explode(graft.operators.TextOps.shingleHashes(col("ws"))).as("h"))
+    val member = grams.filter(col("doc_id") % 2 === 0).select("h").distinct()
+    val probe = grams.filter(col("doc_id") % 2 === 1).select("h").distinct()
+    val sketch = graft.operators.Sketches.bloomSketch(member, "h")
+    val flagged = graft.operators.Sketches.bloomProbe(sketch, probe, "h")
+      .join(member.withColumn("is_member", lit(true)), Seq("h"), "left")
+      .agg(count(lit(1)).as("n_probe"),
+        sum(when(col("is_member").isNull, 1L).otherwise(0L)).as("n_nonmember"),
+        sum(when(col("is_member").isNull && col("bloom_pos"), 1L).otherwise(0L)).as("n_fp"),
+        sum(when(col("is_member").isNotNull && !col("bloom_pos"), 1L).otherwise(0L)).as("n_false_neg"))
+    flagged.crossJoin(member.agg(count(lit(1)).as("n_member")))
+      .select(col("n_member"), col("n_probe"), col("n_nonmember"), col("n_fp"),
+        col("n_false_neg"),
+        (col("n_fp").cast("double") / col("n_nonmember").cast("double")).as("fpr"))
+  }
+
+  val bloomFprSql: String =
+    s"""WITH ${DedupQueries.shingleCte},
+      |m AS (SELECT DISTINCT unnest(hs) AS h FROM w WHERE doc_id % 2 = 0),
+      |p AS (SELECT DISTINCT unnest(hs) AS h FROM w WHERE doc_id % 2 = 1),
+      |mb AS (SELECT unnest([
+      |         (h * 961748941 + 68718952) % 1000000007 % 65536,
+      |         (h * 824633761 + 90000049) % 1000000007 % 65536,
+      |         (h * 715827883 + 13466917) % 1000000007 % 65536]) AS bit
+      |       FROM m),
+      |regs AS (SELECT bit // 32 AS reg,
+      |           bit_or(1::BIGINT << CAST(bit % 32 AS INTEGER)) AS bits
+      |         FROM mb GROUP BY 1),
+      |pb AS (SELECT h, unnest([
+      |         (h * 961748941 + 68718952) % 1000000007 % 65536,
+      |         (h * 824633761 + 90000049) % 1000000007 % 65536,
+      |         (h * 715827883 + 13466917) % 1000000007 % 65536]) AS bit
+      |       FROM p),
+      |hits AS (
+      |  SELECT pb.h,
+      |    ((COALESCE(regs.bits, 0::BIGINT) >> CAST(pb.bit % 32 AS INTEGER)) & 1) = 1 AS hit
+      |  FROM pb LEFT JOIN regs ON pb.bit // 32 = regs.reg),
+      |byh AS (SELECT h, bool_and(hit) AS bloom_pos FROM hits GROUP BY h),
+      |fl AS (SELECT byh.h, bloom_pos, m.h IS NOT NULL AS is_member
+      |       FROM byh LEFT JOIN m ON byh.h = m.h),
+      |a AS (
+      |  SELECT COUNT(*) AS n_probe,
+      |    CAST(SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_nonmember,
+      |    CAST(SUM(CASE WHEN NOT is_member AND bloom_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+      |    CAST(SUM(CASE WHEN is_member AND NOT bloom_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+      |  FROM fl),
+      |mc AS (SELECT COUNT(*) AS n_member FROM m)
+      |SELECT n_member, n_probe, n_nonmember, n_fp, n_false_neg,
+      |  CAST(n_fp AS DOUBLE) / CAST(n_nonmember AS DOUBLE) AS fpr
+      |FROM a, mc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bloom_fpr" -> (bloomFpr _),
     "calibration_bins" -> (calibrationBins _),
     "cohen_kappa" -> (cohenKappa _),
     "vocab_growth" -> (vocabGrowth _),
@@ -2615,6 +2685,7 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "bloom_fpr" -> bloomFprSql,
     "calibration_bins" -> calibrationBinsSql,
     "cohen_kappa" -> cohenKappaSql,
     "vocab_growth" -> vocabGrowthSql,

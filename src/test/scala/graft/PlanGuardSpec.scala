@@ -46,6 +46,10 @@ class PlanGuardSpec extends AnyFunSuite {
       // cross-broadcast onto the bounded candidate set. Both the same
       // deliberate scalar-broadcast shape as source_mix_weights.
       "bm25_search", "retrieve_rerank",
+      // bloom_fpr: the trailing 1-row member-count aggregate
+      // cross-broadcast onto the 1-row probe stats — the same deliberate
+      // scalar shape; the register probe itself is an equi-join on reg.
+      "bloom_fpr",
       // semdedup: the cell assignment is the same deliberate
       // 16-tiny-centroid broadcast nested loop as the ivf_* family; the
       // within-cell pair stage itself is an equi-join on centroid_id.

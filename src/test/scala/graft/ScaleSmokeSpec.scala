@@ -139,6 +139,27 @@ class ScaleSmokeSpec extends AnyFunSuite {
     assert(c === n, "forward as-of is left-outer: every left row survives")
   }
 
+  test(s"nearest as-of join stays linear at $nVecs left rows") {
+    // Both direction scans must use running [unbounded preceding, current]
+    // frames (the forward one over the reversed sort) — a shrinking frame
+    // in either direction re-aggregates per row, O(rows²) per key
+    // partition (the asOfForward regression this file pinned).
+    val n = nVecs
+    val left = spark.range(n).select(col("id").as("event_id"),
+      pmod(col("id"), lit(50)).as("k"), pmod(hash(col("id")), lit(1000000)).as("t"))
+    val right = spark.range(n / 2).select(col("id").as("r_id"),
+      pmod(col("id") * 7 + 3, lit(50)).as("rk"),
+      pmod(hash(col("id"), lit(1)), lit(1000000)).as("rt"),
+      (col("id") % 997).as("payload"))
+    val joined = graft.operators.AsOfJoin.asOfNearest(left, right,
+      leftKey = col("k"), rightKey = col("rk"),
+      leftTime = col("t"), rightTime = col("rt"),
+      rightTie = "r_id", rightPayload = Seq("payload"))
+    banned(joined)
+    val c = timed(s"asOfNearest over $n left / ${n / 2} right rows")(joined.count())
+    assert(c === n, "nearest as-of is left-outer: every left row survives")
+  }
+
   test(s"SemDeDup within-cell dedup completes at $nVecs vectors") {
     // More cells at scale (k grows with the corpus so cell sizes stay
     // bounded — the paper's regime); the maxCell cap is the guard this

@@ -117,7 +117,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "vocab_growth" -> 4,       // gram first-doc agg + bucket agg + PrefixScan range
                                // exchange + result sort
     "ttr_by_source" -> 3,      // (source,token) distinct agg + source fold + result sort
-    "chi2_independence" -> 3)  // cell agg + tiny single-partition windows + result sort
+    "chi2_independence" -> 3,  // cell agg + tiny single-partition windows + result sort
+    "bloom_fpr" -> 7)          // member/probe distinct aggs + register agg + per-hash
+                               // probe agg + membership join + two 1-row folds
   // Iterated operators (graph_pagerank, dedup_components*,
   // dedup_cluster_stats, graph_communities, bpe_train) are NOT pinned: their pre-execution
   // plan string inlines every tracked-cache subtree per round (and

@@ -51,4 +51,37 @@ class SketchesSpec extends AnyFunSuite {
     }
     GraftCaches.releaseAll()
   }
+
+  test("Bloom filter has NO false negatives and merges by bitwise OR") {
+    val hs = GraftCaches.track(
+      spark.range(2000).select((col("id") * 7919L % 1000000007L).as("h")))
+    val sketch = Sketches.bloomSketch(hs, "h")
+    // Every inserted element must probe positive.
+    val misses = Sketches.bloomProbe(sketch, hs, "h")
+      .filter(!col("bloom_pos")).count()
+    assert(misses === 0L, "Bloom filters never have false negatives")
+    // Shard filters OR together into exactly the whole filter.
+    val whole = sketch.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shardA = Sketches.bloomSketch(hs.filter(col("h") % 2 === 0), "h")
+    val shardB = Sketches.bloomSketch(hs.filter(col("h") % 2 === 1), "h")
+    val merged = shardA.unionByName(shardB)
+      .groupBy("reg").agg(expr("bit_or(bits)").as("bits"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === whole)
+    GraftCaches.releaseAll()
+  }
+
+  test("Bloom false-positive rate stays near the analytic bound") {
+    // n=2000 inserted into m=65536 bits with k=3:
+    // p = (1 - exp(-kn/m))^3 ~ 0.00066. Disjoint probes should land
+    // within a loose factor of it (exactness is the oracle's job;
+    // this pins the sketch isn't degenerate).
+    val ins = spark.range(2000).select((col("id") * 7919L % 1000000007L).as("h"))
+    val sketch = Sketches.bloomSketch(ins, "h")
+    val probes = spark.range(2000, 42000)
+      .select((col("id") * 7919L % 1000000007L).as("h"))
+    val fp = Sketches.bloomProbe(sketch, probes, "h")
+      .filter(col("bloom_pos")).count()
+    assert(fp < 400, s"FPR wildly above the analytic bound: $fp/40000")
+  }
 }
