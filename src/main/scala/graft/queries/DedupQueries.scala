@@ -324,6 +324,36 @@ object DedupQueries {
        |JOIN cand e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
        |ORDER BY a, b, c""".stripMargin
 
+  /** Degree histogram of the near-duplicate candidate graph — the
+    * one-glance health check of an LSH screen: a long low-degree tail is
+    * a healthy corpus, heavy high-degree mass means boilerplate/template
+    * hubs (and predicts how the capped bucket self-join behaves). Each
+    * undirected edge contributes to both endpoints; two tiny aggregates
+    * on top of the capped candidate machinery — the first shuffle
+    * carries (id) per edge endpoint, the second one row per distinct
+    * degree. */
+  def graphDegreeHist(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.GraftCaches.track(
+      Dedup.lshCandidatePairs(Tables.documents(spark, dir), "doc_id", "text"))
+    e.select(col("doc_a").as("id"))
+      .unionByName(e.select(col("doc_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+  }
+
+  val graphDegreeHistSql: String =
+    s"""WITH $shingleCte,
+       |$bandsCte,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bb a JOIN bb b ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id),
+       |d AS (SELECT id, COUNT(*) AS degree FROM (
+       |        SELECT doc_a AS id FROM cand
+       |        UNION ALL
+       |        SELECT doc_b FROM cand) u GROUP BY id)
+       |SELECT degree, COUNT(*) AS n_nodes
+       |FROM d GROUP BY degree ORDER BY degree""".stripMargin
+
   /** Benchmark decontamination: 3-gram overlap of each corpus doc
     * (doc_id >= 10) against the doc_id < 10 benchmark set. */
   def benchmarkOverlap(spark: SparkSession, dir: String): DataFrame =
@@ -898,6 +928,7 @@ object DedupQueries {
     "boilerplate_lines" -> (boilerplateLines _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "graph_triangles" -> (graphTriangles _),
+    "graph_degree_hist" -> (graphDegreeHist _),
     "dedup_components" -> (dedupComponents _),
     "dedup_components_converged" -> (dedupComponentsConverged _),
     "dedup_minhash_estimate" -> (minhashEstimate _),
@@ -927,6 +958,7 @@ object DedupQueries {
     "boilerplate_lines" -> boilerplateLinesSql,
     "dedup_keep_best" -> dedupKeepBestSql,
     "graph_triangles" -> graphTrianglesSql,
+    "graph_degree_hist" -> graphDegreeHistSql,
     "dedup_components" -> dedupComponentsSql,
     "dedup_components_converged" -> dedupComponentsConvergedSql,
     "dedup_minhash_estimate" -> minhashEstimateSql,

@@ -204,6 +204,106 @@ object Relational {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
 
+  /** TPC-H Q8-shaped market-share query: for orders placed by ASIA-region
+    * customers, each supplier nation's share of yearly revenue — the
+    * deepest join tree in the relational surface (lineitem ⋈ orders ⋈
+    * customer ⋈ nation ⋈ region + a second, aliased nation dimension on
+    * the supplier side). The plan the engine wants and gets: ONE
+    * fact-fact shuffle (lineitem ⋈ orders), every dimension a broadcast
+    * hash join, revenue summed as exact DECIMAL, and the per-year share
+    * window running over the ≤|years|·|nations| aggregated relation with
+    * a single end-stage double division. */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val revenue = (col("l_extendedprice").cast(DecimalType(12, 2)) *
+      (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+    val suppNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custRegion = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select(col("c_custkey"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custRegion), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"), col("supp_nation"))
+      .agg(sum(revenue).as("rev_dec"))
+      .withColumn("year_total", sum("rev_dec").over(Window.partitionBy("o_year")))
+      .select(col("o_year"), col("supp_nation"),
+        col("rev_dec").cast("double").as("revenue"),
+        (col("rev_dec").cast("double") / col("year_total").cast("double")).as("share"))
+      .orderBy("o_year", "supp_nation")
+  }
+
+  val marketShareSql: String =
+    """WITH g AS (
+      |  SELECT year(o_orderdate) AS o_year, sn.n_name AS supp_nation,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |        (1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev_dec
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |  JOIN region ON cn.n_regionkey = r_regionkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |  WHERE r_name = 'ASIA'
+      |  GROUP BY 1, 2)
+      |SELECT o_year, supp_nation, CAST(rev_dec AS DOUBLE) AS revenue,
+      |  CAST(rev_dec AS DOUBLE) /
+      |    CAST(SUM(rev_dec) OVER (PARTITION BY o_year) AS DOUBLE) AS share
+      |FROM g ORDER BY o_year, supp_nation""".stripMargin
+
+  /** Last-touch attribution: each purchase event attaches the LATEST
+    * preceding click of the same user plus the click→purchase lag — the
+    * marketing-attribution join every product-analytics warehouse runs
+    * nightly, expressed as the backward as-of operator
+    * ([[graft.operators.AsOfJoin.asOf]]) keyed on the user: one union,
+    * ONE user exchange, a running last-non-null — never a per-purchase
+    * range probe. Purchases with no prior click keep null click_id
+    * (unattributed). */
+  def attributionLastTouch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.operators.AsOfJoin.asOf(
+        purchases, clicks,
+        leftKey = col("user_id"), rightKey = col("user_id"),
+        leftTime = col("ts"), rightTime = col("ts"),
+        rightTie = "event_id", rightPayload = Seq("event_id", "ts"))
+      .select(col("purchase_id"), col("user_id"),
+        col("asof_event_id").as("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("lag_us"))
+  }
+
+  val attributionLastTouchSql: String =
+    """WITH u AS (
+      |  SELECT user_id AS k, ts AS t, 1 AS side, NULL::BIGINT AS tie,
+      |         NULL::BIGINT AS p_id, NULL::TIMESTAMP AS p_ts,
+      |         event_id AS purchase_id, user_id, ts
+      |  FROM events WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, ts, 0, event_id, event_id, ts, NULL, NULL, NULL
+      |  FROM events WHERE event_type = 'click'),
+      |w AS (
+      |  SELECT side, purchase_id, user_id, ts,
+      |    last_value(p_id IGNORE NULLS) OVER win AS click_id,
+      |    last_value(p_ts IGNORE NULLS) OVER win AS click_ts
+      |  FROM u
+      |  WINDOW win AS (PARTITION BY k ORDER BY t, side, tie
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT purchase_id, user_id, click_id,
+      |       epoch_us(ts) - epoch_us(click_ts) AS lag_us
+      |FROM w WHERE side = 1""".stripMargin
+
   /** Gap-based sessionization over the event stream: a new session starts
     * when a user's inter-event gap exceeds 7 days. lag + running sum over
     * one (user, time) window, then a same-key aggregation — a single hash
@@ -2155,6 +2255,8 @@ object Relational {
     "asof_join_forward" -> (asofJoinForward _),
     "asof_join_nearest" -> (asofJoinNearest _),
     "late_event_audit" -> (lateEventAudit _),
+    "market_share" -> (marketShare _),
+    "attribution_last_touch" -> (attributionLastTouch _),
     "sessionize" -> (sessionize _),
     "rollup_revenue" -> (rollupRevenue _),
     "cube_revenue" -> (cubeRevenue _),
@@ -2220,6 +2322,8 @@ object Relational {
     "asof_join_forward" -> asofJoinForwardSql,
     "asof_join_nearest" -> asofJoinNearestSql,
     "late_event_audit" -> lateEventAuditSql,
+    "market_share" -> marketShareSql,
+    "attribution_last_touch" -> attributionLastTouchSql,
     "sessionize" -> sessionizeSql,
     "rollup_revenue" -> rollupRevenueSql,
     "cube_revenue" -> cubeRevenueSql,

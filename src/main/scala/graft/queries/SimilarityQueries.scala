@@ -553,6 +553,63 @@ object SimilarityQueries {
        |        ${dotSql("q.qv", "e.embedding")} / (q.q_nrm * e.nrm) AS sim
        |      FROM cand c JOIN e0 e ON e.vec_id = c.doc_id CROSS JOIN q) s""".stripMargin
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of the lexical and
+    * semantic retrievers — the standard hybrid-search combiner: each
+    * BM25 candidate gets a lexical rank (best per-term score) and a
+    * semantic rank (cosine against query vector 0, the retrieve_rerank
+    * scorer), fused as 1/(60+r_lex) + 1/(60+r_sem). RRF needs only
+    * RANKS, never comparable scores — which is why it is the fusion rule
+    * hybrid RAG stacks actually ship. All ranking windows run over the
+    * bounded candidate set (≤ |terms|·10 rows); the corpus-side work is
+    * bm25_search's scan-side-pruned plan plus one broadcast-candidate
+    * embedding join. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = TextQueries.bm25Search(spark, dir)
+      .groupBy("doc_id").agg(max("score").as("lex_score"))
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("lex_score").desc, col("doc_id").asc)).cast("bigint"))
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("q_nrm"))
+    val rrf = lit(1.0) / (lit(60.0) + col("lex_rank")) +
+      lit(1.0) / (lit(60.0) + col("sem_rank"))
+    e.join(broadcast(lex), col("vec_id") === col("doc_id"))
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"), col("lex_rank"),
+        (Similarity.dot(col("qv"), col("v")) / (col("q_nrm") * col("nrm"))).as("sim"))
+      .withColumn("sem_rank", row_number().over(
+        Window.orderBy(col("sim").desc, col("doc_id").asc)).cast("bigint"))
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"), rrf.as("rrf"))
+      .withColumn("fused_rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id").asc)).cast("bigint"))
+  }
+
+  val rrfFusionSql: String =
+    s"""WITH cand AS (SELECT doc_id, MAX(score) AS lex_score
+       |              FROM (${TextQueries.bm25SearchSql}) b GROUP BY doc_id),
+       |lr AS (SELECT doc_id, lex_score,
+       |         CAST(row_number() OVER (ORDER BY lex_score DESC, doc_id ASC) AS BIGINT)
+       |           AS lex_rank
+       |       FROM cand),
+       |$eCte,
+       |q AS (SELECT embedding AS qv, nrm AS q_nrm FROM e0 WHERE vec_id = 0),
+       |s AS (SELECT lr.doc_id, lr.lex_rank,
+       |        ${dotSql("q.qv", "e.embedding")} / (q.q_nrm * e.nrm) AS sim
+       |      FROM lr JOIN e0 e ON e.vec_id = lr.doc_id CROSS JOIN q),
+       |r AS (SELECT doc_id, lex_rank,
+       |        CAST(row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS BIGINT)
+       |          AS sem_rank
+       |      FROM s)
+       |SELECT doc_id, lex_rank, sem_rank,
+       |  1.0 / (60.0 + lex_rank) + 1.0 / (60.0 + sem_rank) AS rrf,
+       |  CAST(row_number() OVER (
+       |    ORDER BY 1.0 / (60.0 + lex_rank) + 1.0 / (60.0 + sem_rank) DESC,
+       |             doc_id ASC) AS BIGINT) AS fused_rank
+       |FROM r""".stripMargin
+
   /** SemDeDup semantic dedup over the embedding corpus: deterministic
     * 16-seed cell assignment, within-cell cosine >= 0.3 against any
     * lower-id cell-mate drops the vector (lowest id survives per
@@ -650,6 +707,7 @@ object SimilarityQueries {
     "knn_label_noise" -> (knnLabelNoiseQ _),
     "semdedup" -> (semDedupQ _),
     "retrieve_rerank" -> (retrieveRerank _),
+    "rrf_fusion" -> (rrfFusion _),
     "embed_outliers" -> (embedOutliers _),
     "ivf_recall" -> (ivfRecall _),
     "pq_codes" -> (pqCodesQ _),
@@ -673,6 +731,7 @@ object SimilarityQueries {
     "knn_label_noise" -> knnLabelNoiseSql,
     "semdedup" -> semDedupSql,
     "retrieve_rerank" -> retrieveRerankSql,
+    "rrf_fusion" -> rrfFusionSql,
     "embed_outliers" -> embedOutliersSql,
     "ivf_recall" -> ivfRecallSql,
     "pq_codes" -> pqCodesSql,

@@ -118,8 +118,16 @@ class ShuffleBudgetSpec extends AnyFunSuite {
                                // exchange + result sort
     "ttr_by_source" -> 3,      // (source,token) distinct agg + source fold + result sort
     "chi2_independence" -> 3,  // cell agg + tiny single-partition windows + result sort
-    "bloom_fpr" -> 7)          // member/probe distinct aggs + register agg + per-hash
+    "bloom_fpr" -> 7,          // member/probe distinct aggs + register agg + per-hash
                                // probe agg + membership join + two 1-row folds
+    "market_share" -> 4,       // ONE fact-fact shuffle (both sides) + (year,nation) agg;
+                               // dims broadcast; share window over the tiny agg relation
+    "attribution_last_touch" -> 1, // ONE user exchange for the union+window
+    "graph_degree_hist" -> 9,  // static count inlines the tracked candidate-pair
+                               // subtree (band self-join) once per endpoint ref;
+                               // own work is per-id agg + degree agg + result sort
+    "rrf_fusion" -> 8)         // bm25's 5 + candidate-set lex/sem/fused rank windows
+                               // (all over <=30 rows)
   // Iterated operators (graph_pagerank, dedup_components*,
   // dedup_cluster_stats, graph_communities, bpe_train) are NOT pinned: their pre-execution
   // plan string inlines every tracked-cache subtree per round (and
