@@ -364,6 +364,19 @@ object MediaStreamQueries {
       |SELECT user_id, event_type, event_id, ts
       |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
 
+  /** Streaming last-touch attribution
+    * ([[graft.streaming.AttributionStream]]): purchases attach the
+    * latest preceding click via per-user ValueState join-with-state,
+    * hash-checked against the SAME oracle as the batch as-of query
+    * (`attribution_last_touch`) — the online/offline parity a
+    * feature-serving stack must demonstrate. ONE keyed exchange; the
+    * state carries one (ts, id) pair per user. */
+  def streamAttribution(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.AttributionStream.lastTouch(Tables.events(spark, dir))
+      .toDF()
+
+  val streamAttributionSql: String = Relational.attributionLastTouchSql
+
   /** transformWithState LIST-state differential: the per-user last-5
     * recency buffer ([[graft.streaming.RecentEvents]]) against the
     * relational top-5 window — ListState next to TypeStats' ValueState+
@@ -466,6 +479,7 @@ object MediaStreamQueries {
     "rolling_distinct_users" -> (rollingDistinctUsers _),
     "stream_type_stats" -> (streamTypeStats _),
     "stream_dedup" -> (streamDedup _),
+    "stream_attribution" -> (streamAttribution _),
     "stream_recent_events" -> (streamRecentEvents _),
     "stream_outer_interval_join" -> (streamOuterIntervalJoin _),
     "frame_sample" -> (frameSample _),
@@ -487,6 +501,7 @@ object MediaStreamQueries {
     "rolling_distinct_users" -> rollingDistinctUsersSql,
     "stream_type_stats" -> streamTypeStatsSql,
     "stream_dedup" -> streamDedupSql,
+    "stream_attribution" -> streamAttributionSql,
     "stream_recent_events" -> streamRecentEventsSql,
     "stream_outer_interval_join" -> streamOuterIntervalJoinSql,
     "frame_sample" -> frameSampleSql,

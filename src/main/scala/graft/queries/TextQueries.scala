@@ -2619,7 +2619,111 @@ object TextQueries {
       |  CAST(n_fp AS DOUBLE) / CAST(n_nonmember AS DOUBLE) AS fpr
       |FROM a, mc""".stripMargin
 
+  /** Rank-based quantile normalization of the quality composite WITHIN
+    * each source — the cross-source fairness transform: raw quality
+    * scores are not comparable across sources (different length/stopword
+    * regimes), but each doc's within-source quantile is. Emits
+    * q_uniform = (2·rank − 1) / (2·n) ∈ (0,1) (the midpoint convention),
+    * deterministic via the (score, doc_id) total order. ONE source-keyed
+    * exchange shared by the rank window and the count; a single
+    * end-stage division. Feeds source-balanced threshold filters where
+    * a global cut would silently drop whole sources. */
+  def quantileTransform(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTokens = size(graft.operators.TextOps.words(col("text"))).cast("bigint")
+    val quality = least(col("n_tokens") / lit(50.0), lit(1.0)) * 0.5 +
+      (col("n_stop").cast("double") / col("n_tokens")) * 0.5
+    val w = Window.partitionBy("source").orderBy(col("qmicro"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), nTokens.as("n_tokens"),
+        regexp_count(col("text"), lit(enRx)).as("n_stop"))
+      .select(col("doc_id"), col("source"),
+        floor(quality * 1000000.0).cast("bigint").as("qmicro"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("q_uniform",
+        (lit(2L) * col("rank") - 1L).cast("double") / (lit(2L) * col("n")).cast("double"))
+  }
+
+  val quantileTransformSql: String =
+    """WITH q AS (
+      |  SELECT doc_id, source,
+      |    len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+      |    len(regexp_extract_all(text, '\b(the|a|an|of)\b')) AS n_stop
+      |  FROM documents),
+      |l AS (
+      |  SELECT doc_id, source,
+      |    CAST(floor((least(n_tokens / 50.0, 1.0) * 0.5 +
+      |      (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5) * 1000000.0) AS BIGINT) AS qmicro
+      |  FROM q)
+      |SELECT doc_id, source, qmicro,
+      |  CAST(row_number() OVER (PARTITION BY source ORDER BY qmicro, doc_id) AS BIGINT)
+      |    AS rank,
+      |  COUNT(*) OVER (PARTITION BY source) AS n,
+      |  CAST(2 * row_number() OVER (PARTITION BY source ORDER BY qmicro, doc_id) - 1
+      |       AS DOUBLE) / CAST(2 * COUNT(*) OVER (PARTITION BY source) AS DOUBLE)
+      |    AS q_uniform
+      |FROM l""".stripMargin
+
+  /** Curriculum mixing schedule: per-epoch source weights annealing
+    * linearly from the uniform mix (epoch 0 — maximum diversity early)
+    * to the quality-mass mix (epoch 2 — concentrate on high-quality
+    * sources late), the data-side curriculum knob next to
+    * temperature_mix's static reweighting. One source aggregate; the
+    * quality-mass share rides the tiny single-partition totals window;
+    * the 3-epoch explode multiplies only the ≤|sources|-row relation.
+    * Fixed-order IEEE arithmetic: (1 − e/2)·(1/k) + (e/2)·share. */
+  def curriculumSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTokens = size(graft.operators.TextOps.words(col("text"))).cast("bigint")
+    val quality = least(col("n_tokens") / lit(50.0), lit(1.0)) * 0.5 +
+      (col("n_stop").cast("double") / col("n_tokens")) * 0.5
+    val src = Tables.documents(spark, dir)
+      .select(col("source"), nTokens.as("n_tokens"),
+        regexp_count(col("text"), lit(enRx)).as("n_stop"))
+      .select(col("source"), floor(quality * 1000000.0).cast("bigint").as("qmicro"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("qmicro").as("q_mass"))
+      .withColumn("k", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("share",
+        col("q_mass").cast("double") / sum("q_mass").over(Window.partitionBy()).cast("double"))
+    val anneal = col("epoch").cast("double") / 2.0
+    src.select(col("source"), col("n_docs"), col("k"), col("share"),
+        explode(array(lit(0L), lit(1L), lit(2L))).as("epoch"))
+      .select(col("epoch"), col("source"), col("n_docs"), col("share"),
+        ((lit(1.0) - anneal) * (lit(1.0) / col("k").cast("double")) +
+          anneal * col("share")).as("weight"))
+      .orderBy("epoch", "source")
+  }
+
+  val curriculumScheduleSql: String =
+    """WITH q AS (
+      |  SELECT source,
+      |    len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+      |    len(regexp_extract_all(text, '\b(the|a|an|of)\b')) AS n_stop
+      |  FROM documents),
+      |l AS (
+      |  SELECT source,
+      |    CAST(floor((least(n_tokens / 50.0, 1.0) * 0.5 +
+      |      (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5) * 1000000.0) AS BIGINT) AS qmicro
+      |  FROM q),
+      |s AS (
+      |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(qmicro) AS BIGINT) AS q_mass
+      |  FROM l GROUP BY source),
+      |t AS (
+      |  SELECT source, n_docs,
+      |    COUNT(*) OVER () AS k,
+      |    CAST(q_mass AS DOUBLE) / CAST(SUM(q_mass) OVER () AS DOUBLE) AS share
+      |  FROM s)
+      |SELECT e.epoch, source, n_docs, share,
+      |  (1.0 - CAST(e.epoch AS DOUBLE) / 2.0) * (1.0 / CAST(k AS DOUBLE)) +
+      |    (CAST(e.epoch AS DOUBLE) / 2.0) * share AS weight
+      |FROM t CROSS JOIN (SELECT unnest([0::BIGINT, 1::BIGINT, 2::BIGINT]) AS epoch) e
+      |ORDER BY e.epoch, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quantile_transform" -> (quantileTransform _),
+    "curriculum_schedule" -> (curriculumSchedule _),
     "bloom_fpr" -> (bloomFpr _),
     "calibration_bins" -> (calibrationBins _),
     "cohen_kappa" -> (cohenKappa _),
@@ -2685,6 +2789,8 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "quantile_transform" -> quantileTransformSql,
+    "curriculum_schedule" -> curriculumScheduleSql,
     "bloom_fpr" -> bloomFprSql,
     "calibration_bins" -> calibrationBinsSql,
     "cohen_kappa" -> cohenKappaSql,

@@ -126,8 +126,11 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "graph_degree_hist" -> 9,  // static count inlines the tracked candidate-pair
                                // subtree (band self-join) once per endpoint ref;
                                // own work is per-id agg + degree agg + result sort
-    "rrf_fusion" -> 8)         // bm25's 5 + candidate-set lex/sem/fused rank windows
+    "rrf_fusion" -> 8,         // bm25's 5 + candidate-set lex/sem/fused rank windows
                                // (all over <=30 rows)
+    "quantile_transform" -> 1, // ONE source exchange shared by rank window + count
+    "curriculum_schedule" -> 3,// source agg + tiny totals window + result sort
+    "stream_attribution" -> 1) // transformWithState: ONE user-keyed exchange
   // Iterated operators (graph_pagerank, dedup_components*,
   // dedup_cluster_stats, graph_communities, bpe_train) are NOT pinned: their pre-execution
   // plan string inlines every tracked-cache subtree per round (and
