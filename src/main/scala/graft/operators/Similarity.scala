@@ -429,6 +429,59 @@ object Similarity {
       .select(col("q_id"), col(id), (-col("sim")).as("adc"), col("rank"))
   }
 
+  /** IVF-PQ: the production ANN index shape (FAISS IndexIVFPQ — Jégou
+    * et al. 2011) composed from the two halves this file already ships:
+    * the IVF coarse quantizer restricts each query to its `nProbe`
+    * closest cells, and within those cells scoring is PQ ADC — the
+    * corpus side touches ONLY (id, centroid_id) and the m small-int
+    * codes, never the float vectors. At 100 TB this is the index that
+    * makes billion-vector search feasible: candidates shrink by
+    * ~nProbe/nCentroids from the cell filter, and each surviving
+    * candidate costs m LUT lookups instead of a d-dim dot product.
+    * Centroids, probe lists, and the per-query LUT are all broadcast;
+    * the only corpus-sized shuffles are the cell-assignment argmin and
+    * the candidate code join. Same tie discipline as both parents
+    * (cells: sim desc / c_id asc; ranking: adc asc / id asc). */
+  def ivfPqTopK(corpus: DataFrame, id: String, vec: String,
+      queryPred: Column, topK: Int, nCentroids: Int = 16, nProbe: Int = 2,
+      m: Int = PqM, k: Int = PqK): DataFrame = {
+    val e = indexed(corpus, id, vec)
+    val assign = ivfAssignments(corpus, id, vec, nCentroids)
+      .select(col(id), col("centroid_id"))
+    val c = e.filter(col(id) < nCentroids)
+      .select(col(id).as("c_id"), col("v").as("cv"), col("nrm").as("c_nrm"))
+    val q = e.filter(queryPred)
+      .select(col(id).as("q_id"), col("v").as("qv"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("c_sim").desc, col("c_id").asc)
+    val probes = q.crossJoin(broadcast(c))
+      .select(col("q_id"),
+        (dot(col("qv"), col("cv")) / (col("q_nrm") * col("c_nrm"))).as("c_sim"),
+        col("c_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("c_id").as("centroid_id"))
+    val cand = assign.join(broadcast(probes), "centroid_id")
+      .filter(col(id) =!= col("q_id"))
+      .select(col("q_id"), col(id))
+    val codes = pqEncode(corpus, id, vec, m, k)
+      .select(col(id), col("mi"), col("code"))
+    val lut = pqSubvectors(corpus.filter(queryPred), id, vec, m)
+      .select(col(id).as("l_qid"), col("mi").as("l_mi"), col("sv").as("qsv"))
+      .join(pqCodebooks(corpus, id, vec, m, k).select(
+        col("mi").as("l_mi"), col("c_id"), col("cv")), "l_mi")
+      .select(col("l_qid"), col("l_mi"), col("c_id"),
+        sqDist(col("qsv"), col("cv")).as("d"))
+    val scored = cand.join(codes, id)
+      .join(broadcast(lut), col("q_id") === col("l_qid") &&
+        col("mi") === col("l_mi") && col("code") === col("c_id"))
+      .groupBy(col("q_id"), col(id))
+      .agg((sum(round(col("d") * lit(1e6)).cast(DecimalType(38, 0))).cast("double")
+        / lit(1e6)).as("adc"))
+    rankTopK(scored.select(col("q_id"), col(id), (-col("adc")).as("sim")), id, topK)
+      .select(col("q_id"), col(id), (-col("sim")).as("adc"), col("rank"))
+  }
+
   /** Near-duplicate pairs by embedding cosine: banded LSH candidates
     * (any-band match, a < b), exact cosine verify on the candidate set.
     * Candidate generation routes through the same degenerate-bucket-capped

@@ -416,6 +416,44 @@ object SimilarityQueries {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, vec_id ASC) AS rank FROM s) t
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
+  /** IVF-PQ top-10 ([[graft.operators.Similarity.ivfPqTopK]]): the
+    * production FAISS-shaped index — IVF coarse cells (top-2 probed)
+    * restrict the candidate set, PQ ADC scores the survivors from their
+    * 4-int codes through the broadcast LUT. The oracle composes the
+    * ivf_topk probe CTEs with the pq_adc_topk code/LUT CTEs — both
+    * halves are already hash-checked standalone, so this pins their
+    * COMPOSITION. */
+  def ivfPqTopKQ(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        col("vec_id") < 5, topK = 10)
+      .orderBy("q_id", "rank")
+
+  val ivfPqTopKSql: String =
+    s"""WITH $eCte,
+       |$cCte,
+       |a AS (SELECT vec_id, c_id AS centroid_id FROM (
+       |  SELECT s.*, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) AS rn
+       |  FROM (SELECT e.vec_id, c.c_id, ${cosSql("e.embedding", "c.cv", "e.nrm", "c.c_nrm")} AS sim
+       |        FROM e0 e CROSS JOIN c) s) t WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qnrm FROM e0 WHERE vec_id < 5),
+       |p AS (SELECT q_id, c_id AS centroid_id FROM (
+       |  SELECT x.*, row_number() OVER (PARTITION BY q_id ORDER BY c_sim DESC, c_id ASC) AS rn
+       |  FROM (SELECT q.q_id, c.c_id, ${cosSql("q.qv", "c.cv", "q.qnrm", "c.c_nrm")} AS c_sim
+       |        FROM q CROSS JOIN c) x) y WHERE rn <= 2),
+       |cand AS (SELECT p.q_id, a.vec_id
+       |         FROM a JOIN p USING (centroid_id) WHERE a.vec_id != p.q_id),
+       |$pqCtes,
+       |lut AS (SELECT s.vec_id AS q_id, s.mi, c.c_id, ${sqDistSql("s.sv", "c.cv")} AS d
+       |        FROM sub s JOIN cb c ON s.mi = c.mi WHERE s.vec_id < 5),
+       |sc AS (SELECT cand.q_id, b.vec_id,
+       |         CAST(SUM(CAST(round(l.d * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS adc
+       |       FROM cand JOIN best b ON b.vec_id = cand.vec_id
+       |       JOIN lut l ON l.q_id = cand.q_id AND l.mi = b.mi AND l.c_id = b.code
+       |       GROUP BY cand.q_id, b.vec_id)
+       |SELECT q_id, vec_id, adc, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, vec_id ASC) AS rank FROM sc) t
+       |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
   /** Recall@10 of the PQ-ADC index against brute force — completes the
     * ANN-quality triptych (`ann_recall` = LSH, `ivf_recall` = IVF,
     * `pq_recall` = PQ): with all three recall numbers hash-checked in
@@ -440,6 +478,33 @@ object SimilarityQueries {
   val pqRecallSql: String =
     s"""WITH truth AS (SELECT q_id, vec_id FROM ($cosineTopKSql)),
        |approx AS (SELECT q_id, vec_id, 1::BIGINT AS hit FROM ($pqAdcTopKSql))
+       |SELECT t.q_id, COUNT(*) AS k,
+       |       CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS n_hits,
+       |       CAST(SUM(COALESCE(a.hit, 0)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+       |FROM truth t LEFT JOIN approx a USING (q_id, vec_id)
+       |GROUP BY t.q_id ORDER BY q_id""".stripMargin
+
+  /** Recall@10 of the composed IVF-PQ index against brute force —
+    * extends the ANN-quality triptych to all four paths (LSH / IVF /
+    * PQ / IVF-PQ) in the same hash-checked harness, so the recall cost
+    * of adding the coarse cell filter ON TOP of PQ compression is
+    * directly readable next to its parents. */
+  def ivfPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.GraftCaches.track(Tables.embeddings(spark, dir))
+    val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 5, k = 10)
+      .select(col("q_id"), col("vec_id"))
+    val approx = Similarity.ivfPqTopK(emb, "vec_id", "embedding", col("vec_id") < 5, topK = 10)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / col("k").cast("double"))
+      .orderBy("q_id")
+  }
+
+  val ivfPqRecallSql: String =
+    s"""WITH truth AS (SELECT q_id, vec_id FROM ($cosineTopKSql)),
+       |approx AS (SELECT q_id, vec_id, 1::BIGINT AS hit FROM ($ivfPqTopKSql))
        |SELECT t.q_id, COUNT(*) AS k,
        |       CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS n_hits,
        |       CAST(SUM(COALESCE(a.hit, 0)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
@@ -712,6 +777,8 @@ object SimilarityQueries {
     "ivf_recall" -> (ivfRecall _),
     "pq_codes" -> (pqCodesQ _),
     "pq_adc_topk" -> (pqAdcTopKQ _),
+    "ivfpq_topk" -> (ivfPqTopKQ _),
+    "ivfpq_recall" -> (ivfPqRecall _),
     "pq_recall" -> (pqRecall _),
     "embed_dim_stats" -> (embedDimStats _),
     "ann_recall" -> (annRecall _),
@@ -736,6 +803,8 @@ object SimilarityQueries {
     "ivf_recall" -> ivfRecallSql,
     "pq_codes" -> pqCodesSql,
     "pq_adc_topk" -> pqAdcTopKSql,
+    "ivfpq_topk" -> ivfPqTopKSql,
+    "ivfpq_recall" -> ivfPqRecallSql,
     "pq_recall" -> pqRecallSql,
     "embed_dim_stats" -> embedDimStatsSql,
     "ann_recall" -> annRecallSql,

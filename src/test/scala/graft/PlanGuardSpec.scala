@@ -38,6 +38,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // pq_recall: the truth side is the same deliberate exact-scoring BNLJ
       // as ann_recall/ivf_recall; the PQ side itself is equi-joined.
       "pq_recall",
+      // ivfpq_*: the same deliberate 16-tiny-centroid probe broadcast
+      // as ivf_topk (+ the exact-truth scoring side in the recall query).
+      "ivfpq_topk", "ivfpq_recall",
       "cms_heavy_hitters", "zorder_cluster", "hist_quantiles",
       "corpus_overlap", "corpus_card", "type_cooccurrence",
       "decayed_engagement", "key_skew_profile", "mix_apply",

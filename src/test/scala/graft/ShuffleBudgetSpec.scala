@@ -130,7 +130,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
                                // (all over <=30 rows)
     "quantile_transform" -> 1, // ONE source exchange shared by rank window + count
     "curriculum_schedule" -> 3,// source agg + tiny totals window + result sort
-    "stream_attribution" -> 1) // transformWithState: ONE user-keyed exchange
+    "stream_attribution" -> 1, // transformWithState: ONE user-keyed exchange
+    "ivfpq_topk" -> 7)         // cell-assign argmin + probe windows + candidate code
+                               // join + ADC agg + per-query heap (LUT/probes broadcast)
   // Iterated operators (graph_pagerank, dedup_components*,
   // dedup_cluster_stats, graph_communities, bpe_train) are NOT pinned: their pre-execution
   // plan string inlines every tracked-cache subtree per round (and
