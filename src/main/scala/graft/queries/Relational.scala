@@ -304,6 +304,53 @@ object Relational {
       |       epoch_us(ts) - epoch_us(click_ts) AS lag_us
       |FROM w WHERE side = 1""".stripMargin
 
+  /** Join-cardinality estimation audit — the planner's-eye view of a
+    * join before running it: compare the uniform-key estimate every
+    * cost-based optimizer starts from (|L|·|R| / max(ndv_l, ndv_r)) with
+    * the EXACT output size Σ_k n_l(k)·n_r(k) from the per-key histograms.
+    * skew_ratio ≫ 1 means the uniform assumption underestimates (skewed
+    * keys → a salting/AQE-skew candidate); ≈1 means broadcast/shuffle
+    * sizing can trust the estimate. Two per-key count aggregates + a
+    * tiny key-relation full-outer join + a 1-row fold — the audit costs
+    * two scans, never the join itself. */
+  def joinCardAudit(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.events(spark, dir)
+      .groupBy((col("user_id") % 25).as("k")).agg(count(lit(1)).as("nl"))
+    val r = Tables.orders(spark, dir)
+      .groupBy((col("o_custkey") % 25).as("k")).agg(count(lit(1)).as("nr"))
+    l.join(r, Seq("k"), "full_outer")
+      .agg(
+        sum(coalesce(col("nl"), lit(0L))).as("n_left"),
+        sum(coalesce(col("nr"), lit(0L))).as("n_right"),
+        count(col("nl")).as("ndv_left"),
+        count(col("nr")).as("ndv_right"),
+        sum(coalesce(col("nl"), lit(0L)) * coalesce(col("nr"), lit(0L))).as("actual"))
+      .select(col("n_left"), col("n_right"), col("ndv_left"), col("ndv_right"),
+        expr("(n_left * n_right) div greatest(ndv_left, ndv_right)").as("est_uniform"),
+        col("actual"),
+        (col("actual").cast("double") /
+          expr("(n_left * n_right) div greatest(ndv_left, ndv_right)").cast("double"))
+          .as("skew_ratio"))
+  }
+
+  val joinCardAuditSql: String =
+    """WITH l AS (SELECT user_id % 25 AS k, COUNT(*) AS nl FROM events GROUP BY 1),
+      |r AS (SELECT o_custkey % 25 AS k, COUNT(*) AS nr FROM orders GROUP BY 1),
+      |j AS (SELECT l.nl, r.nr FROM l FULL OUTER JOIN r USING (k)),
+      |a AS (
+      |  SELECT CAST(SUM(COALESCE(nl, 0)) AS BIGINT) AS n_left,
+      |         CAST(SUM(COALESCE(nr, 0)) AS BIGINT) AS n_right,
+      |         COUNT(nl) AS ndv_left, COUNT(nr) AS ndv_right,
+      |         CAST(SUM(COALESCE(nl, 0) * COALESCE(nr, 0)) AS BIGINT) AS actual
+      |  FROM j)
+      |SELECT n_left, n_right, ndv_left, ndv_right,
+      |  (n_left * n_right) // greatest(ndv_left, ndv_right) AS est_uniform,
+      |  actual,
+      |  CAST(actual AS DOUBLE) /
+      |    CAST((n_left * n_right) // greatest(ndv_left, ndv_right) AS DOUBLE)
+      |    AS skew_ratio
+      |FROM a""".stripMargin
+
   /** Gap-based sessionization over the event stream: a new session starts
     * when a user's inter-event gap exceeds 7 days. lag + running sum over
     * one (user, time) window, then a same-key aggregation — a single hash
@@ -2257,6 +2304,7 @@ object Relational {
     "late_event_audit" -> (lateEventAudit _),
     "market_share" -> (marketShare _),
     "attribution_last_touch" -> (attributionLastTouch _),
+    "join_card_audit" -> (joinCardAudit _),
     "sessionize" -> (sessionize _),
     "rollup_revenue" -> (rollupRevenue _),
     "cube_revenue" -> (cubeRevenue _),
@@ -2324,6 +2372,7 @@ object Relational {
     "late_event_audit" -> lateEventAuditSql,
     "market_share" -> marketShareSql,
     "attribution_last_touch" -> attributionLastTouchSql,
+    "join_card_audit" -> joinCardAuditSql,
     "sessionize" -> sessionizeSql,
     "rollup_revenue" -> rollupRevenueSql,
     "cube_revenue" -> cubeRevenueSql,

@@ -2721,7 +2721,34 @@ object TextQueries {
       |FROM t CROSS JOIN (SELECT unnest([0::BIGINT, 1::BIGINT, 2::BIGINT]) AS epoch) e
       |ORDER BY e.epoch, source""".stripMargin
 
+  /** Feature hashing (the "hashing trick", Weinberger et al. 2009): each
+    * document's tokens fold into a FIXED 16-bucket count vector via the
+    * engine's poly-hash — the unbounded-vocabulary-to-bounded-width map
+    * that feeds linear models and collision-tolerant featurizers without
+    * ever materializing a vocabulary (no dictionary state to ship at
+    * 100 TB — the hash IS the dictionary). Emitted as the sparse
+    * (doc_id, bucket, cnt) relation; ONE map-side-combined aggregate,
+    * codegen'd end to end. */
+  def featureHashing(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(graft.operators.TextOps.words(col("text"))).as("w"))
+      .groupBy(col("doc_id"),
+        (graft.functions.PolyHash.hash(col("w")) % 16).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  val featureHashingSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+       |  FROM documents)
+       |SELECT doc_id,
+       |  list_reduce(list_prepend(0::BIGINT, list_transform(string_split(w, ''),
+       |      c -> ascii(c)::BIGINT)),
+       |    (a,b) -> (a*31+b) % ${graft.functions.PolyHash.Mod}) % 16 AS bucket,
+       |  COUNT(*) AS cnt
+       |FROM t GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "feature_hashing" -> (featureHashing _),
     "quantile_transform" -> (quantileTransform _),
     "curriculum_schedule" -> (curriculumSchedule _),
     "bloom_fpr" -> (bloomFpr _),
@@ -2789,6 +2816,7 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "feature_hashing" -> featureHashingSql,
     "quantile_transform" -> quantileTransformSql,
     "curriculum_schedule" -> curriculumScheduleSql,
     "bloom_fpr" -> bloomFprSql,

@@ -70,4 +70,48 @@ class AsOfJoinPropertySpec extends AnyFunSuite {
         s"asOfWithin mismatch (tol=${tol}s, |L|=${ls.size}, |R|=${rs.size})")
     }
   }
+
+  test("asOfNearest equals the brute-force reference on generated cases") {
+    import spark.implicits._
+    samples(caseGen, 12).foreach { case (ls, rs, _) =>
+      val got = AsOfJoin.asOfNearest(
+          ls.toDF(), rs.toDF(),
+          leftKey = col("key"), rightKey = col("rkey"),
+          leftTime = col("ts"), rightTime = col("rts"),
+          rightTie = "rid", rightPayload = Seq("rid", "value"))
+        .select("lid", "asof_rid", "asof_value", "asof_dir")
+        .collect()
+        .map(r => r.getLong(0) -> (
+          if (r.isNullAt(1)) None
+          else Some((r.getLong(1), r.getDouble(2), r.getString(3)))))
+        .toMap
+
+      // Brute force: backward = latest right <= t (max (rts, rid));
+      // forward = earliest right >= t (min (rts, rid)); choose the
+      // smaller absolute distance, direction ties -> backward.
+      val want = ls.map { l =>
+        val mine = rs.filter(_.rkey == l.key)
+        val back = mine.filter(r => !r.rts.after(l.ts)) match {
+          case Nil => None; case cs => Some(cs.maxBy(r => (r.rts.getTime, r.rid)))
+        }
+        val fwd = mine.filter(r => !r.rts.before(l.ts)) match {
+          case Nil => None
+          case cs => Some(cs.minBy(r => (r.rts.getTime, r.rid)))
+        }
+        val chosen = (back, fwd) match {
+          case (Some(b), Some(f)) =>
+            if (l.ts.getTime - b.rts.getTime <= f.rts.getTime - l.ts.getTime)
+              Some((b, "b"))
+            else Some((f, "f"))
+          case (Some(b), None) => Some((b, "b"))
+          case (None, Some(f)) => Some((f, "f"))
+          case _ => None
+        }
+        l.lid -> chosen.map { case (r, d) => (r.rid, r.value, d) }
+      }.toMap
+
+      assert(got === want,
+        s"asOfNearest mismatch (|L|=${ls.size}, |R|=${rs.size})")
+    }
+  }
 }

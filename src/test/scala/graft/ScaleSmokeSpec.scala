@@ -160,6 +160,20 @@ class ScaleSmokeSpec extends AnyFunSuite {
     assert(c === n, "nearest as-of is left-outer: every left row survives")
   }
 
+  test(s"IVF-PQ top-k completes at $nVecs vectors") {
+    // The composed index must stay candidate-bounded: the cell filter
+    // prunes to ~nProbe/nCentroids of the corpus, and ADC touches only
+    // the m-int code relation for the survivors. The centroid probe is
+    // the deliberate tiny-broadcast nested loop (whitelisted in
+    // PlanGuardSpec), so banned() is relaxed to Cartesian only.
+    val v = synthVecs(nVecs)
+    val topk = Similarity.ivfPqTopK(v, "vec_id", "embedding",
+      queryPred = col("vec_id") < 3, topK = 10)
+    assert(!topk.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    val n = timed(s"ivfPqTopK over $nVecs vectors")(topk.count())
+    assert(n === 30L, "10 ranked rows per query vector")
+  }
+
   test(s"SemDeDup within-cell dedup completes at $nVecs vectors") {
     // More cells at scale (k grows with the corpus so cell sizes stay
     // bounded — the paper's regime); the maxCell cap is the guard this

@@ -131,8 +131,11 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "quantile_transform" -> 1, // ONE source exchange shared by rank window + count
     "curriculum_schedule" -> 3,// source agg + tiny totals window + result sort
     "stream_attribution" -> 1, // transformWithState: ONE user-keyed exchange
-    "ivfpq_topk" -> 7)         // cell-assign argmin + probe windows + candidate code
+    "ivfpq_topk" -> 7,         // cell-assign argmin + probe windows + candidate code
                                // join + ADC agg + per-query heap (LUT/probes broadcast)
+    "join_card_audit" -> 5,    // two per-key count aggs + tiny key full-outer join
+                               // + 1-row fold — never the audited join itself
+    "feature_hashing" -> 1)    // ONE (doc,bucket)-keyed map-side-combined agg
   // Iterated operators (graph_pagerank, dedup_components*,
   // dedup_cluster_stats, graph_communities, bpe_train) are NOT pinned: their pre-execution
   // plan string inlines every tracked-cache subtree per round (and
