@@ -2721,6 +2721,40 @@ object TextQueries {
       |FROM t CROSS JOIN (SELECT unnest([0::BIGINT, 1::BIGINT, 2::BIGINT]) AS epoch) e
       |ORDER BY e.epoch, source""".stripMargin
 
+  /** Sentence-level shape statistics — the quality axis gopher_quality's
+    * word-level screens miss: sentence count (terminal-punctuation runs)
+    * and words-per-sentence, flagging both fragment walls (huge w/s — no
+    * sentence structure, e.g. log dumps / tag soup) and staccato spam
+    * (tiny w/s). Scan-local regexp counts + one end-stage division —
+    * zero data shuffles, codegen'd. */
+  def sentenceStats(spark: SparkSession, dir: String): DataFrame = {
+    val nTokens = size(graft.operators.TextOps.words(col("text"))).cast("bigint")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), nTokens.as("n_tokens"),
+        regexp_count(col("text"), lit("[.!?]+")).cast("bigint").as("n_sentences"))
+      .withColumn("words_per_sentence",
+        when(col("n_sentences") > 0L,
+          col("n_tokens").cast("double") / col("n_sentences").cast("double")))
+      .withColumn("fragment_flag",
+        col("n_sentences") === 0L || col("words_per_sentence") > 80.0)
+  }
+
+  val sentenceStatsSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens,
+      |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences
+      |  FROM documents)
+      |SELECT doc_id, n_tokens, n_sentences,
+      |  CASE WHEN n_sentences > 0
+      |       THEN CAST(n_tokens AS DOUBLE) / CAST(n_sentences AS DOUBLE) END
+      |    AS words_per_sentence,
+      |  (n_sentences = 0 OR
+      |   CASE WHEN n_sentences > 0
+      |        THEN CAST(n_tokens AS DOUBLE) / CAST(n_sentences AS DOUBLE) END > 80.0)
+      |    AS fragment_flag
+      |FROM s""".stripMargin
+
   /** Feature hashing (the "hashing trick", Weinberger et al. 2009): each
     * document's tokens fold into a FIXED 16-bucket count vector via the
     * engine's poly-hash — the unbounded-vocabulary-to-bounded-width map
@@ -2749,6 +2783,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "feature_hashing" -> (featureHashing _),
+    "sentence_stats" -> (sentenceStats _),
     "quantile_transform" -> (quantileTransform _),
     "curriculum_schedule" -> (curriculumSchedule _),
     "bloom_fpr" -> (bloomFpr _),
@@ -2817,6 +2852,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "feature_hashing" -> featureHashingSql,
+    "sentence_stats" -> sentenceStatsSql,
     "quantile_transform" -> quantileTransformSql,
     "curriculum_schedule" -> curriculumScheduleSql,
     "bloom_fpr" -> bloomFprSql,

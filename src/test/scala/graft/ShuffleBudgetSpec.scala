@@ -135,7 +135,8 @@ class ShuffleBudgetSpec extends AnyFunSuite {
                                // join + ADC agg + per-query heap (LUT/probes broadcast)
     "join_card_audit" -> 5,    // two per-key count aggs + tiny key full-outer join
                                // + 1-row fold — never the audited join itself
-    "feature_hashing" -> 1)    // ONE (doc,bucket)-keyed map-side-combined agg
+    "feature_hashing" -> 1,    // ONE (doc,bucket)-keyed map-side-combined agg
+    "sentence_stats" -> 0)     // scan-local regexp counts: zero shuffles
   // Iterated operators (graph_pagerank, dedup_components*,
   // dedup_cluster_stats, graph_communities, bpe_train) are NOT pinned: their pre-execution
   // plan string inlines every tracked-cache subtree per round (and
