@@ -395,6 +395,108 @@ object Relational {
       |       MIN(ts) AS session_start, MAX(ts) AS session_end, MIN(event_id) AS first_event
       |FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin
 
+  /** Session path mining — the top navigation sequences: within each
+    * 7-day-gap session (the `sessionize` construction), the first 8
+    * event types in (ts, event_id) order join into a path string, and
+    * the 20 most common paths surface — the "how do users actually move"
+    * readout behind funnel design (funnel_stages asserts ONE path;
+    * this discovers which paths exist). The path cap bounds both the
+    * string and the path-key domain; the per-session order is fixed via
+    * sort_array over (ts, event_id, type) structs (collect_list alone
+    * has no order contract). Session window + rank reuse ONE user
+    * exchange; path counting is a map-side-combined aggregate; top-20
+    * is a TakeOrdered heap, never a global sort. */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapMicros = 7L * 24 * 3600 * 1000000L
+    val prev = lag(col("ts"), 1).over(w)
+    val newSession = when(
+      prev.isNull || unix_micros(col("ts")) - unix_micros(prev) > gapMicros, 1)
+      .otherwise(0)
+    val sw = Window.partitionBy("user_id", "session_no")
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("session_no", sum(newSession).over(run))
+      .withColumn("rn", row_number().over(sw))
+      .filter(col("rn") <= 8)
+      .groupBy("user_id", "session_no")
+      .agg(sort_array(collect_list(struct(
+        unix_micros(col("ts")).as("t"), col("event_id"), col("event_type")))).as("evs"))
+      .select(array_join(transform(col("evs"), e => e("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(20)
+  }
+
+  val sessionPathsSql: String =
+    """WITH x AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 604800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+      |  FROM x),
+      |r AS (
+      |  SELECT user_id, session_no, event_id, ts, event_type,
+      |    row_number() OVER (PARTITION BY user_id, session_no
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM s),
+      |p AS (
+      |  SELECT user_id, session_no,
+      |    STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path
+      |  FROM r WHERE rn <= 8 GROUP BY user_id, session_no)
+      |SELECT path, COUNT(*) AS n_sessions
+      |FROM p GROUP BY path
+      |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin
+
+  /** Inter-event gap histogram — the empirical input behind every
+    * timeout knob in this surface (the sessionize 7-day gap, the
+    * watermark tolerance, state TTLs): per-user consecutive gaps in
+    * (ts, event_id) order, bucketed by integer-exact magnitude bands
+    * (comparison ladder, no float log — boundary values land
+    * deterministically on both engines). ONE user-keyed exchange for
+    * the lag window, then a ≤7-group aggregate. */
+  def gapHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gap = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+    val bucket = when(col("gap_us") < 1000000L, "a_under_1s")
+      .when(col("gap_us") < 60000000L, "b_under_1min")
+      .when(col("gap_us") < 3600000000L, "c_under_1h")
+      .when(col("gap_us") < 86400000000L, "d_under_1d")
+      .when(col("gap_us") < 604800000000L, "e_under_7d")
+      .otherwise("f_over_7d")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("gap_us", gap)
+      .filter(col("gap_us").isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_gaps"), min("gap_us").as("min_us"),
+        max("gap_us").as("max_us"))
+      .orderBy("bucket")
+  }
+
+  val gapHistogramSql: String =
+    """WITH g AS (
+      |  SELECT epoch_us(ts) - epoch_us(lag(ts) OVER (
+      |           PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      |  FROM events)
+      |SELECT CASE WHEN gap_us < 1000000 THEN 'a_under_1s'
+      |            WHEN gap_us < 60000000 THEN 'b_under_1min'
+      |            WHEN gap_us < 3600000000 THEN 'c_under_1h'
+      |            WHEN gap_us < 86400000000 THEN 'd_under_1d'
+      |            WHEN gap_us < 604800000000 THEN 'e_under_7d'
+      |            ELSE 'f_over_7d' END AS bucket,
+      |       COUNT(*) AS n_gaps, MIN(gap_us) AS min_us, MAX(gap_us) AS max_us
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Rollup aggregate (engine-surface staple the reference lacks):
     * status × priority revenue with subtotal and grand-total rows in one
     * pass — Catalyst expands the grouping sets before the (partial) hash
@@ -2305,6 +2407,8 @@ object Relational {
     "market_share" -> (marketShare _),
     "attribution_last_touch" -> (attributionLastTouch _),
     "join_card_audit" -> (joinCardAudit _),
+    "session_paths" -> (sessionPaths _),
+    "gap_histogram" -> (gapHistogram _),
     "sessionize" -> (sessionize _),
     "rollup_revenue" -> (rollupRevenue _),
     "cube_revenue" -> (cubeRevenue _),
@@ -2373,6 +2477,8 @@ object Relational {
     "market_share" -> marketShareSql,
     "attribution_last_touch" -> attributionLastTouchSql,
     "join_card_audit" -> joinCardAuditSql,
+    "session_paths" -> sessionPathsSql,
+    "gap_histogram" -> gapHistogramSql,
     "sessionize" -> sessionizeSql,
     "rollup_revenue" -> rollupRevenueSql,
     "cube_revenue" -> cubeRevenueSql,

@@ -136,7 +136,11 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "join_card_audit" -> 5,    // two per-key count aggs + tiny key full-outer join
                                // + 1-row fold — never the audited join itself
     "feature_hashing" -> 1,    // ONE (doc,bucket)-keyed map-side-combined agg
-    "sentence_stats" -> 0)     // scan-local regexp counts: zero shuffles
+    "sentence_stats" -> 0,     // scan-local regexp counts: zero shuffles
+    "session_paths" -> 3,      // ONE user exchange (session windows + per-session agg
+                               // co-partitioned) + path agg + top-20 heap
+    "gap_histogram" -> 3)      // ONE user exchange for the lag window + <=7-group agg
+                               // + result sort
   // Iterated operators (graph_pagerank, dedup_components*,
   // dedup_cluster_stats, graph_communities, bpe_train) are NOT pinned: their pre-execution
   // plan string inlines every tracked-cache subtree per round (and
