@@ -675,6 +675,117 @@ object SimilarityQueries {
        |             doc_id ASC) AS BIGINT) AS fused_rank
        |FROM r""".stripMargin
 
+  /** Matryoshka truncation audit (Kusupati et al. 2022): how much of
+    * each pair's cosine survives when the 64-dim embedding is truncated
+    * to its FIRST 16 dims — the similarity-preservation check run before
+    * shipping truncated vectors to a cheaper index tier (MRL-trained
+    * models promise prefix dims carry most of the signal; this measures
+    * whether THIS corpus's embeddings do). Deterministic pairing
+    * (vec d vs d−250, the rouge_pairs convention), one id equi-join,
+    * both cosines from the same fixed-order fold; agree16 flags pairs
+    * whose truncated cosine stays within 0.1. */
+  def matryoshkaAudit(spark: SparkSession, dir: String): DataFrame = {
+    val full = Similarity.toDoubleVec(col("embedding"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), full.as("v"), slice(full, 1, 16).as("v16"))
+      .select(col("vec_id"), col("v"), col("v16"),
+        sqrt(Similarity.dot(col("v"), col("v"))).as("nrm"),
+        sqrt(Similarity.dot(col("v16"), col("v16"))).as("nrm16"))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("v16").as("va16"), col("nrm").as("na"), col("nrm16").as("na16"))
+    val b = e.select((col("vec_id") + 250L).as("id_a"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("v16").as("vb16"), col("nrm").as("nb"),
+      col("nrm16").as("nb16"))
+    a.join(b, "id_a")
+      .select(col("id_a"), col("id_b"),
+        (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos64"),
+        (Similarity.dot(col("va16"), col("vb16")) / (col("na16") * col("nb16"))).as("cos16"))
+      .withColumn("cos_gap", abs(col("cos64") - col("cos16")))
+      .withColumn("agree16", col("cos_gap") <= 0.1)
+  }
+
+  val matryoshkaAuditSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+       |         list_slice(list_transform(embedding, x -> x::DOUBLE), 1, 16) AS v16
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v, v16,
+       |    sqrt(${dotSql("v", "v")}) AS nrm,
+       |    sqrt(${dotSql("v16", "v16")}) AS nrm16
+       |  FROM e),
+       |p AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos64,
+       |    ${dotSql("a.v16", "b.v16")} / (a.nrm16 * b.nrm16) AS cos16
+       |  FROM n a JOIN n b ON a.vec_id = b.vec_id + 250)
+       |SELECT id_a, id_b, cos64, cos16,
+       |  abs(cos64 - cos16) AS cos_gap,
+       |  abs(cos64 - cos16) <= 0.1 AS agree16
+       |FROM p""".stripMargin
+
+  /** Dominant principal direction by matrix-free power iteration — the
+    * PCA-lite every embedding pipeline wants (whitening check, "is one
+    * direction eating the variance?", compression axis) without ever
+    * materializing the 64×64 covariance: three rounds of v ← A·v/‖A·v‖
+    * where A·v = Σ_i x_i (x_i·v) is ONE corpus aggregate per round.
+    * Cross-engine exactness: each per-dimension reduction over rows sums
+    * micro-rounded DECIMAL(38,0) terms (order-free), while all
+    * vector-local math (dots, norm, normalization) is fixed-order array
+    * folds — so three chained float iterations stay bit-equal in DuckDB.
+    * The iterate is a 1-row broadcast per round (whitelisted scalar
+    * shape); un-centered by design (second-moment direction), noted in
+    * the name of keeping the plan one aggregate per round. Emits the
+    * eigenvalue estimate ‖A·v‖ and the micro-quantized direction. */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+    var vk = spark.range(1)
+      .select(transform(sequence(lit(1), lit(64)), _ => lit(1.0)).as("vec"))
+    for (_ <- 1 to 3) {
+      val d = e.crossJoin(broadcast(vk.select(col("vec"))))
+        .select(col("v"), Similarity.dot(col("v"), col("vec")).as("d"))
+      val w = d.select(col("d"), posexplode(col("v")).as(Seq("p", "x")))
+        .groupBy("p")
+        .agg((sum(round(col("x") * col("d") * lit(1e6)).cast("decimal(38,0)"))
+          .cast("double") / lit(1e6)).as("w"))
+      vk = w.agg(sort_array(collect_list(struct(col("p"), col("w")))).as("s"))
+        .select(transform(col("s"), x => x("w")).as("wv"))
+        .select(col("wv"),
+          sqrt(aggregate(col("wv"), lit(0.0), (a, x) => a + x * x)).as("lambda"))
+        .select(transform(col("wv"), x => x / col("lambda")).as("vec"), col("lambda"))
+    }
+    vk.select(col("lambda").as("eigenvalue"),
+      array_join(transform(col("vec"),
+        x => round(x * lit(1e6)).cast("bigint").cast("string")), ",").as("vec_micro"))
+  }
+
+  private def pcaIterCtes(k: Int, prev: String): String =
+    s"""d$k AS (SELECT e.vec_id, e.v,
+       |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
+       |    i -> e.v[i] * $prev.vec[i])), (a,b) -> a+b) AS d
+       |  FROM ev e CROSS JOIN $prev),
+       |w$k AS (SELECT jj AS p,
+       |  CAST(SUM(CAST(round(d$k.v[jj] * d$k.d * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+       |    / 1000000.0 AS w
+       |  FROM d$k, range(1, 65) r(jj) GROUP BY jj),
+       |v$k AS (SELECT list_transform(wv, x -> x / lam) AS vec, lam AS lambda FROM (
+       |  SELECT wv, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(wv, x -> x * x)), (a,b) -> a+b)) AS lam
+       |  FROM (SELECT list(w ORDER BY p) AS wv FROM w$k) t) t2)""".stripMargin
+
+  val pcaPowerSql: String =
+    s"""WITH ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |            FROM embeddings),
+       |v0 AS (SELECT list_transform(range(1, 65), i -> 1.0::DOUBLE) AS vec),
+       |${pcaIterCtes(1, "v0")},
+       |${pcaIterCtes(2, "v1")},
+       |${pcaIterCtes(3, "v2")}
+       |SELECT lambda AS eigenvalue,
+       |  array_to_string(list_transform(vec,
+       |    x -> CAST(CAST(round(x * 1000000.0) AS BIGINT) AS VARCHAR)), ',') AS vec_micro
+       |FROM v3""".stripMargin
+
   /** SemDeDup semantic dedup over the embedding corpus: deterministic
     * 16-seed cell assignment, within-cell cosine >= 0.3 against any
     * lower-id cell-mate drops the vector (lowest id survives per
@@ -779,6 +890,8 @@ object SimilarityQueries {
     "pq_adc_topk" -> (pqAdcTopKQ _),
     "ivfpq_topk" -> (ivfPqTopKQ _),
     "ivfpq_recall" -> (ivfPqRecall _),
+    "matryoshka_audit" -> (matryoshkaAudit _),
+    "pca_power" -> (pcaPower _),
     "pq_recall" -> (pqRecall _),
     "embed_dim_stats" -> (embedDimStats _),
     "ann_recall" -> (annRecall _),
@@ -805,6 +918,8 @@ object SimilarityQueries {
     "pq_adc_topk" -> pqAdcTopKSql,
     "ivfpq_topk" -> ivfPqTopKSql,
     "ivfpq_recall" -> ivfPqRecallSql,
+    "matryoshka_audit" -> matryoshkaAuditSql,
+    "pca_power" -> pcaPowerSql,
     "pq_recall" -> pqRecallSql,
     "embed_dim_stats" -> embedDimStatsSql,
     "ann_recall" -> annRecallSql,

@@ -41,6 +41,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // ivfpq_*: the same deliberate 16-tiny-centroid probe broadcast
       // as ivf_topk (+ the exact-truth scoring side in the recall query).
       "ivfpq_topk", "ivfpq_recall",
+      // pca_power: the 1-row iterate vector cross-broadcast onto the
+      // corpus, once per power iteration — the scalar-broadcast shape.
+      "pca_power",
       "cms_heavy_hitters", "zorder_cluster", "hist_quantiles",
       "corpus_overlap", "corpus_card", "type_cooccurrence",
       "decayed_engagement", "key_skew_profile", "mix_apply",

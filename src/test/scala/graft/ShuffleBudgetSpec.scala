@@ -139,8 +139,11 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "sentence_stats" -> 0,     // scan-local regexp counts: zero shuffles
     "session_paths" -> 3,      // ONE user exchange (session windows + per-session agg
                                // co-partitioned) + path agg + top-20 heap
-    "gap_histogram" -> 3)      // ONE user exchange for the lag window + <=7-group agg
+    "gap_histogram" -> 3,      // ONE user exchange for the lag window + <=7-group agg
                                // + result sort
+    "matryoshka_audit" -> 1,   // id-aligned pair join broadcasts at fixture scale
+    "pca_power" -> 6)          // 3 power iterations x (per-dim decimal agg +
+                               // 1-row iterate collect); corpus never re-shuffles
   // Iterated operators (graph_pagerank, dedup_components*,
   // dedup_cluster_stats, graph_communities, bpe_train) are NOT pinned: their pre-execution
   // plan string inlines every tracked-cache subtree per round (and
