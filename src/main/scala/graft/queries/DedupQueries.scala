@@ -354,6 +354,84 @@ object DedupQueries {
        |SELECT degree, COUNT(*) AS n_nodes
        |FROM d GROUP BY degree ORDER BY degree""".stripMargin
 
+  /** Source-level MinHash overlap matrix: estimate the pairwise 3-gram
+    * Jaccard BETWEEN sources from 8-permutation set signatures (one
+    * MIN aggregate per source — mergeable, 8 longs per source no matter
+    * how big the source is), next to the exact Jaccard from the
+    * inverted-index join — the estimator-quality audit at the
+    * granularity curation actually reasons about ("how much does crawl
+    * A duplicate crawl B?"). At 100 TB the signature side is the only
+    * viable one (8 longs per source on the wire vs the full gram set);
+    * the exact side here exists to hash-check its error column. Exact
+    * machinery is the lang_gram_overlap shape keyed by source: distinct
+    * (source, gram) posting lists bounded by |sources|. */
+  def sourceMinhashOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    val grams = graft.GraftCaches.track(
+      Tables.documents(spark, dir)
+        .filter(size(ws) >= 3)
+        .select(col("source"), explode(TextOps.shingleHashes(ws)).as("h"))
+        .distinct())
+    val sigAggs = count(lit(1)).as("n_grams") +: (0 until 8).map(j =>
+      min((col("h") * A(j) + B(j)) % M).as(s"m$j"))
+    val sigs = grams.groupBy("source").agg(sigAggs.head, sigAggs.tail: _*)
+    val a = sigs.columns.foldLeft(sigs)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+    val b = sigs.columns.foldLeft(sigs)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+    val agree = (0 until 8).map(j =>
+      when(col(s"a_m$j") === col(s"b_m$j"), 1L).otherwise(0L)).reduce(_ + _)
+    val inter = grams.select(col("source").as("sa"), col("h"))
+      .join(grams.select(col("source").as("sb"), col("h")), "h")
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("n_inter"))
+    a.crossJoin(b).filter(col("a_source") < col("b_source"))
+      .join(inter, col("a_source") === col("sa") && col("b_source") === col("sb"), "left")
+      .select(col("a_source").as("source_a"), col("b_source").as("source_b"),
+        col("a_n_grams").as("n_a"), col("b_n_grams").as("n_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        (agree.cast("double") / 8.0).as("est_jaccard"),
+        (coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("a_n_grams") + col("b_n_grams") - coalesce(col("n_inter"), lit(0L)))
+            .cast("double")).as("jaccard"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceMinhashOverlapSql: String = {
+    val minSigs = (0 until 8).map(j =>
+      s"MIN((h * ${A(j)} + ${B(j)}) % $M) AS m$j").mkString(", ")
+    val agree = (0 until 8).map(j =>
+      s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT source, list_filter(string_split(text, ' '), x -> x != '') AS ws
+       |  FROM documents),
+       |g AS (SELECT DISTINCT source, h FROM (
+       |        SELECT source,
+       |          unnest(list_transform(
+       |            list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+       |            s -> list_reduce(list_prepend(0::BIGINT,
+       |                   list_transform(string_split(s, ''), c -> ascii(c)::BIGINT)),
+       |                 (a,b) -> (a*31+b) % $M))) AS h
+       |        FROM d WHERE len(ws) >= 3) t),
+       |sig AS (SELECT source, COUNT(*) AS n_grams, $minSigs FROM g GROUP BY source),
+       |inter AS (
+       |  SELECT ga.source AS sa, gb.source AS sb, COUNT(*) AS n_inter
+       |  FROM g ga JOIN g gb ON ga.h = gb.h AND ga.source < gb.source
+       |  GROUP BY ga.source, gb.source)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  a.n_grams AS n_a, b.n_grams AS n_b,
+       |  CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+       |  CAST($agree AS DOUBLE) / 8.0 AS est_jaccard,
+       |  CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+       |    CAST(a.n_grams + b.n_grams - COALESCE(i.n_inter, 0) AS DOUBLE) AS jaccard,
+       |  abs(CAST($agree AS DOUBLE) / 8.0 -
+       |      CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+       |        CAST(a.n_grams + b.n_grams - COALESCE(i.n_inter, 0) AS DOUBLE)) AS abs_err
+       |FROM sig a CROSS JOIN sig b
+       |LEFT JOIN inter i ON i.sa = a.source AND i.sb = b.source
+       |WHERE a.source < b.source
+       |ORDER BY source_a, source_b""".stripMargin
+  }
+
   /** Benchmark decontamination: 3-gram overlap of each corpus doc
     * (doc_id >= 10) against the doc_id < 10 benchmark set. */
   def benchmarkOverlap(spark: SparkSession, dir: String): DataFrame =
@@ -929,6 +1007,7 @@ object DedupQueries {
     "dedup_keep_best" -> (dedupKeepBest _),
     "graph_triangles" -> (graphTriangles _),
     "graph_degree_hist" -> (graphDegreeHist _),
+    "source_minhash_overlap" -> (sourceMinhashOverlap _),
     "dedup_components" -> (dedupComponents _),
     "dedup_components_converged" -> (dedupComponentsConverged _),
     "dedup_minhash_estimate" -> (minhashEstimate _),
@@ -959,6 +1038,7 @@ object DedupQueries {
     "dedup_keep_best" -> dedupKeepBestSql,
     "graph_triangles" -> graphTrianglesSql,
     "graph_degree_hist" -> graphDegreeHistSql,
+    "source_minhash_overlap" -> sourceMinhashOverlapSql,
     "dedup_components" -> dedupComponentsSql,
     "dedup_components_converged" -> dedupComponentsConvergedSql,
     "dedup_minhash_estimate" -> minhashEstimateSql,

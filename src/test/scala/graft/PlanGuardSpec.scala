@@ -44,6 +44,10 @@ class PlanGuardSpec extends AnyFunSuite {
       // pca_power: the 1-row iterate vector cross-broadcast onto the
       // corpus, once per power iteration — the scalar-broadcast shape.
       "pca_power",
+      // source_minhash_overlap: the |sources|x|sources| signature pair
+      // enumeration is a deliberate tiny-relation cross (<=20 rows per
+      // side, 8 longs each); the gram-level work is all equi-joined.
+      "source_minhash_overlap",
       "cms_heavy_hitters", "zorder_cluster", "hist_quantiles",
       "corpus_overlap", "corpus_card", "type_cooccurrence",
       "decayed_engagement", "key_skew_profile", "mix_apply",

@@ -142,8 +142,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "gap_histogram" -> 3,      // ONE user exchange for the lag window + <=7-group agg
                                // + result sort
     "matryoshka_audit" -> 1,   // id-aligned pair join broadcasts at fixture scale
-    "pca_power" -> 6)          // 3 power iterations x (per-dim decimal agg +
+    "pca_power" -> 6,          // 3 power iterations x (per-dim decimal agg +
                                // 1-row iterate collect); corpus never re-shuffles
+    "source_minhash_overlap" -> 9) // tracked (source,gram) distinct inlined per ref
+                               // (sig agg + both self-join sides) + pair agg + sort
   // Iterated operators (graph_pagerank, dedup_components*,
   // dedup_cluster_stats, graph_communities, bpe_train) are NOT pinned: their pre-execution
   // plan string inlines every tracked-cache subtree per round (and
