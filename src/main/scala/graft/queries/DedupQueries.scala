@@ -354,6 +354,67 @@ object DedupQueries {
        |SELECT degree, COUNT(*) AS n_nodes
        |FROM d GROUP BY degree ORDER BY degree""".stripMargin
 
+  /** Edge embeddedness on the near-duplicate candidate graph: for every
+    * candidate edge, the number of common neighbors and the Jaccard of
+    * the two neighborhoods (|N(a)∩N(b)| / (deg a + deg b − 2 − |∩|),
+    * endpoints excluded) — duplicate clusters are near-cliques, so a
+    * LOW-embeddedness edge inside a dense neighborhood is the classic
+    * LSH false-positive signature; the ascending-ranked output IS the
+    * prune list a curation pipeline reviews before collapsing clusters
+    * (the structural complement to the exact-verify threshold). Wedge
+    * enumeration is one equi-join of the capped directed-neighbor
+    * relation with itself on the shared vertex (bounded by the bucket
+    * cap like the triangle count); zero-support edges survive via the
+    * left join; weakest-50 via TakeOrdered. */
+  def graphEdgeSupport(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.GraftCaches.track(
+      Dedup.lshCandidatePairs(Tables.documents(spark, dir), "doc_id", "text"))
+    val nb = graft.GraftCaches.track(
+      e.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionByName(e.select(col("doc_b").as("u"), col("doc_a").as("v"))))
+    val deg = nb.groupBy("u").agg(count(lit(1)).as("deg"))
+    val wedges = nb.select(col("u").as("a"), col("v").as("b"))
+      .join(nb.select(col("u").as("b"), col("v").as("c")), "b")
+      .filter(col("a") < col("c"))
+      .groupBy("a", "c").agg(count(lit(1)).as("n_common"))
+    e.select(col("doc_a").as("a"), col("doc_b").as("c"))
+      .join(wedges, Seq("a", "c"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .join(deg.select(col("u").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("u").as("c"), col("deg").as("deg_c")), "c")
+      .select(col("a"), col("c"), col("n_common"), col("deg_a"), col("deg_c"),
+        when(col("deg_a") + col("deg_c") - 2L - col("n_common") > 0L,
+          col("n_common").cast("double") /
+            (col("deg_a") + col("deg_c") - 2L - col("n_common")).cast("double"))
+          .otherwise(lit(1.0)).as("embeddedness"))
+      .orderBy(col("embeddedness").asc, col("a").asc, col("c").asc)
+      .limit(50)
+  }
+
+  val graphEdgeSupportSql: String =
+    s"""WITH $shingleCte,
+       |$bandsCte,
+       |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bb a JOIN bb b ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id),
+       |nb AS (SELECT doc_a AS u, doc_b AS v FROM cand
+       |       UNION ALL SELECT doc_b, doc_a FROM cand),
+       |deg AS (SELECT u, COUNT(*) AS deg FROM nb GROUP BY u),
+       |wedge AS (
+       |  SELECT n1.u AS a, n2.v AS c, COUNT(*) AS n_common
+       |  FROM nb n1 JOIN nb n2 ON n1.v = n2.u
+       |  WHERE n1.u < n2.v GROUP BY n1.u, n2.v),
+       |es AS (
+       |  SELECT e.doc_a AS a, e.doc_b AS c, COALESCE(w.n_common, 0) AS n_common
+       |  FROM cand e LEFT JOIN wedge w ON w.a = e.doc_a AND w.c = e.doc_b)
+       |SELECT es.a, es.c, CAST(es.n_common AS BIGINT) AS n_common,
+       |  da.deg AS deg_a, dc.deg AS deg_c,
+       |  CASE WHEN da.deg + dc.deg - 2 - es.n_common > 0
+       |       THEN CAST(es.n_common AS DOUBLE) /
+       |            CAST(da.deg + dc.deg - 2 - es.n_common AS DOUBLE)
+       |       ELSE 1.0 END AS embeddedness
+       |FROM es JOIN deg da ON da.u = es.a JOIN deg dc ON dc.u = es.c
+       |ORDER BY embeddedness ASC, a ASC, c ASC LIMIT 50""".stripMargin
+
   /** Source-level MinHash overlap matrix: estimate the pairwise 3-gram
     * Jaccard BETWEEN sources from 8-permutation set signatures (one
     * MIN aggregate per source — mergeable, 8 longs per source no matter
@@ -1008,6 +1069,7 @@ object DedupQueries {
     "graph_triangles" -> (graphTriangles _),
     "graph_degree_hist" -> (graphDegreeHist _),
     "source_minhash_overlap" -> (sourceMinhashOverlap _),
+    "graph_edge_support" -> (graphEdgeSupport _),
     "dedup_components" -> (dedupComponents _),
     "dedup_components_converged" -> (dedupComponentsConverged _),
     "dedup_minhash_estimate" -> (minhashEstimate _),
@@ -1039,6 +1101,7 @@ object DedupQueries {
     "graph_triangles" -> graphTrianglesSql,
     "graph_degree_hist" -> graphDegreeHistSql,
     "source_minhash_overlap" -> sourceMinhashOverlapSql,
+    "graph_edge_support" -> graphEdgeSupportSql,
     "dedup_components" -> dedupComponentsSql,
     "dedup_components_converged" -> dedupComponentsConvergedSql,
     "dedup_minhash_estimate" -> minhashEstimateSql,

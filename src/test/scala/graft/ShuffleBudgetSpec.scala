@@ -146,6 +146,11 @@ class ShuffleBudgetSpec extends AnyFunSuite {
                                // 1-row iterate collect); corpus never re-shuffles
     "source_minhash_overlap" -> 9) // tracked (source,gram) distinct inlined per ref
                                // (sig agg + both self-join sides) + pair agg + sort
+  // graph_edge_support is NOT pinned: its two NESTED tracked caches
+  // (candidate pairs inside the neighbor union, each referenced 2-3x)
+  // make the static plan string inline the band self-join subtree ~6x
+  // (35 static exchanges vs ~6 executed once caches materialize) — the
+  // same overstatement exemption as the iterated operators below.
   // Iterated operators (graph_pagerank, dedup_components*,
   // dedup_cluster_stats, graph_communities, bpe_train) are NOT pinned: their pre-execution
   // plan string inlines every tracked-cache subtree per round (and
