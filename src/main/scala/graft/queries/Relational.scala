@@ -351,6 +351,57 @@ object Relational {
       |    AS skew_ratio
       |FROM a""".stripMargin
 
+  /** RFM segmentation — the canonical customer-value model: per user,
+    * Recency (days since last event vs the corpus max date), Frequency
+    * (purchase count), Monetary (micro-rounded exact decimal purchase
+    * value), each cut into terciles (ntile over the aggregated USER
+    * relation — one row per user, not per event — with (metric, user)
+    * total order so ties are deterministic; recency ntile is ordered
+    * DESC so tercile 3 is always the "best" band) and concatenated into
+    * the familiar "R-F-M" segment label. ONE user-keyed aggregate over
+    * events + the 1-row max-date broadcast; the tercile windows run on
+    * the |users|-sized relation. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxTs = Tables.events(spark, dir).agg(max(to_date(col("ts"))).as("d0"))
+    val isP = col("event_type") === "purchase"
+    val base = Tables.events(spark, dir)
+      .crossJoin(broadcast(maxTs))
+      .groupBy("user_id")
+      .agg(min(datediff(col("d0"), to_date(col("ts")))).as("recency_days"),
+        sum(when(isP, 1L).otherwise(0L)).as("frequency"),
+        (sum(when(isP, round(col("value") * lit(1e6)).cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).cast("double") / 1e6)
+          .as("monetary"))
+    val r = ntile(3).over(Window.orderBy(col("recency_days").desc, col("user_id"))).cast("bigint")
+    val f = ntile(3).over(Window.orderBy(col("frequency"), col("user_id"))).cast("bigint")
+    val m = ntile(3).over(Window.orderBy(col("monetary"), col("user_id"))).cast("bigint")
+    base
+      .withColumn("r_band", r).withColumn("f_band", f).withColumn("m_band", m)
+      .withColumn("segment",
+        concat_ws("-", col("r_band"), col("f_band"), col("m_band")))
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS d0 FROM events),
+      |u AS (
+      |  SELECT user_id,
+      |    CAST(MIN(d0 - CAST(ts AS DATE)) AS BIGINT) AS recency_days,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS frequency,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase'
+      |                  THEN CAST(round(value * 1000000.0) AS DECIMAL(38,0))
+      |                  ELSE 0::DECIMAL(38,0) END) AS DOUBLE) / 1000000.0 AS monetary
+      |  FROM events CROSS JOIN mx GROUP BY user_id)
+      |SELECT user_id, recency_days, frequency, monetary,
+      |  ntile(3) OVER (ORDER BY recency_days DESC, user_id) AS r_band,
+      |  ntile(3) OVER (ORDER BY frequency, user_id) AS f_band,
+      |  ntile(3) OVER (ORDER BY monetary, user_id) AS m_band,
+      |  ntile(3) OVER (ORDER BY recency_days DESC, user_id) || '-' ||
+      |    ntile(3) OVER (ORDER BY frequency, user_id) || '-' ||
+      |    ntile(3) OVER (ORDER BY monetary, user_id) AS segment
+      |FROM u""".stripMargin
+
   /** Gap-based sessionization over the event stream: a new session starts
     * when a user's inter-event gap exceeds 7 days. lag + running sum over
     * one (user, time) window, then a same-key aggregation — a single hash
@@ -2409,6 +2460,7 @@ object Relational {
     "join_card_audit" -> (joinCardAudit _),
     "session_paths" -> (sessionPaths _),
     "gap_histogram" -> (gapHistogram _),
+    "rfm_segments" -> (rfmSegments _),
     "sessionize" -> (sessionize _),
     "rollup_revenue" -> (rollupRevenue _),
     "cube_revenue" -> (cubeRevenue _),
@@ -2479,6 +2531,7 @@ object Relational {
     "join_card_audit" -> joinCardAuditSql,
     "session_paths" -> sessionPathsSql,
     "gap_histogram" -> gapHistogramSql,
+    "rfm_segments" -> rfmSegmentsSql,
     "sessionize" -> sessionizeSql,
     "rollup_revenue" -> rollupRevenueSql,
     "cube_revenue" -> cubeRevenueSql,

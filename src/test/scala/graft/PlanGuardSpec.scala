@@ -51,6 +51,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "cms_heavy_hitters", "zorder_cluster", "hist_quantiles",
       "corpus_overlap", "corpus_card", "type_cooccurrence",
       "decayed_engagement", "key_skew_profile", "mix_apply",
+      // rfm_segments: decayed_engagement's 1-row max-date cross-broadcast.
+      "rfm_segments",
       // bm25_search: the 1-row avgdl aggregate cross-broadcast onto the
       // scored postings; retrieve_rerank: the 1-row query-vector side
       // cross-broadcast onto the bounded candidate set. Both the same

@@ -144,8 +144,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "matryoshka_audit" -> 1,   // id-aligned pair join broadcasts at fixture scale
     "pca_power" -> 6,          // 3 power iterations x (per-dim decimal agg +
                                // 1-row iterate collect); corpus never re-shuffles
-    "source_minhash_overlap" -> 9) // tracked (source,gram) distinct inlined per ref
+    "source_minhash_overlap" -> 9, // tracked (source,gram) distinct inlined per ref
                                // (sig agg + both self-join sides) + pair agg + sort
+    "rfm_segments" -> 4)       // user agg (1-row max-date broadcast) + tercile
+                               // windows over the |users| relation
   // graph_edge_support is NOT pinned: its two NESTED tracked caches
   // (candidate pairs inside the neighbor union, each referenced 2-3x)
   // make the static plan string inline the band self-join subtree ~6x
