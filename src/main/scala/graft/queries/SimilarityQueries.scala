@@ -786,6 +786,96 @@ object SimilarityQueries {
        |    x -> CAST(CAST(round(x * 1000000.0) AS BIGINT) AS VARCHAR)), ',') AS vec_micro
        |FROM v3""".stripMargin
 
+  /** Ranking-quality eval of the lexical retriever against semantic
+    * relevance: treat quantized cosine-to-query-vector-0 as graded
+    * relevance (floor(4·cos) clamped to [0,3]) and score bm25_search's
+    * per-term top-10 with NDCG@10 and MRR@10 — the eval harness behind
+    * every retrieval A/B. The log2 position discounts are the ten
+    * FIXED literals 1/log2(i+1) (no runtime libm — both engines parse
+    * the same decimal literals to the same doubles), DCG/IDCG are
+    * fixed-order folds over the rank-sorted 10-row arrays, and the
+    * ideal ordering re-sorts the same graded list descending. Work is
+    * bm25's own plan + one broadcast-candidate embedding join; all
+    * eval windows run on ≤30 candidate rows. */
+  def rankingEval(spark: SparkSession, dir: String): DataFrame = {
+    val discounts = Array(1.0, 0.6309297535714575, 0.5, 0.43067655807339306,
+      0.38685280723454163, 0.3562071871080222, 0.33333333333333331,
+      0.31546487678572871, 0.30102999566398119, 0.28906482631788785)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("q_nrm"))
+    val graded = TextQueries.bm25Search(spark, dir)
+      .join(e, col("vec_id") === col("doc_id"))
+      .crossJoin(broadcast(q))
+      .select(col("term"), col("rn"), col("doc_id"),
+        (Similarity.dot(col("qv"), col("v")) / (col("q_nrm") * col("nrm"))).as("sim"))
+      .withColumn("rel",
+        greatest(lit(0L), least(lit(3L),
+          floor(col("sim") * 10.0).cast("bigint") + 1L)))
+    val dArr = array(discounts.map(lit): _*)
+    // Index-driven fold (not zip_with: that null-pads if a term has
+    // fewer than 10 results) — mirrors the oracle's range(1, len+1).
+    val fold = (rels: org.apache.spark.sql.Column) => aggregate(
+      transform(sequence(lit(1), size(rels)), i =>
+        element_at(rels, i).cast("double") * element_at(dArr, i)),
+      lit(0.0), (a, x) => a + x)
+    graded.groupBy("term")
+      .agg(sort_array(collect_list(struct(col("rn"), col("rel")))).as("byRank"),
+        sort_array(collect_list(col("rel")), asc = false).as("byRel"),
+        min(when(col("rel") >= 2L, col("rn"))).as("first_rel_rank"))
+      .select(col("term"),
+        fold(transform(col("byRank"), x => x("rel"))).as("dcg"),
+        fold(col("byRel")).as("idcg"),
+        col("first_rel_rank"))
+      .select(col("term"), col("dcg"), col("idcg"), col("first_rel_rank"),
+        when(col("idcg") > 0.0, col("dcg") / col("idcg")).as("ndcg"),
+        when(col("first_rel_rank").isNotNull,
+          lit(1.0) / col("first_rel_rank").cast("double")).as("mrr"))
+      .orderBy("term")
+  }
+
+  val rankingEvalSql: String = {
+    val discounts = Seq("1.0", "0.6309297535714575", "0.5", "0.43067655807339306",
+      "0.38685280723454163", "0.3562071871080222", "0.33333333333333331",
+      "0.31546487678572871", "0.30102999566398119", "0.28906482631788785")
+    val dList = discounts.mkString("[", ", ", "]")
+    s"""WITH b AS (SELECT term, rn, doc_id FROM (${TextQueries.bm25SearchSql}) t),
+       |$eCte,
+       |q AS (SELECT embedding AS qv, nrm AS q_nrm FROM e0 WHERE vec_id = 0),
+       |g AS (SELECT b.term, b.rn,
+       |        GREATEST(0, LEAST(3, CAST(floor(
+       |          (${dotSql("q.qv", "e.embedding")} / (q.q_nrm * e.nrm)) * 10.0)
+       |          AS BIGINT) + 1)) AS rel
+       |      FROM b JOIN e0 e ON e.vec_id = b.doc_id CROSS JOIN q),
+       |a AS (SELECT term,
+       |        list(rel ORDER BY rn) AS byRank,
+       |        list(rel ORDER BY rel DESC) AS byRel,
+       |        MIN(CASE WHEN rel >= 2 THEN rn END) AS first_rel_rank
+       |      FROM g GROUP BY term)
+       |SELECT term,
+       |  list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(range(1, len(byRank)+1),
+       |      i -> CAST(byRank[i] AS DOUBLE) * ($dList)[i])), (x,y) -> x+y) AS dcg,
+       |  list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(range(1, len(byRel)+1),
+       |      i -> CAST(byRel[i] AS DOUBLE) * ($dList)[i])), (x,y) -> x+y) AS idcg,
+       |  first_rel_rank,
+       |  CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(range(1, len(byRel)+1),
+       |      i -> CAST(byRel[i] AS DOUBLE) * ($dList)[i])), (x,y) -> x+y) > 0
+       |    THEN list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(range(1, len(byRank)+1),
+       |        i -> CAST(byRank[i] AS DOUBLE) * ($dList)[i])), (x,y) -> x+y) /
+       |      list_reduce(list_prepend(0.0::DOUBLE,
+       |        list_transform(range(1, len(byRel)+1),
+       |          i -> CAST(byRel[i] AS DOUBLE) * ($dList)[i])), (x,y) -> x+y) END AS ndcg,
+       |  CASE WHEN first_rel_rank IS NOT NULL
+       |       THEN 1.0 / CAST(first_rel_rank AS DOUBLE) END AS mrr
+       |FROM a ORDER BY term""".stripMargin
+  }
+
   /** SemDeDup semantic dedup over the embedding corpus: deterministic
     * 16-seed cell assignment, within-cell cosine >= 0.3 against any
     * lower-id cell-mate drops the vector (lowest id survives per
@@ -892,6 +982,7 @@ object SimilarityQueries {
     "ivfpq_recall" -> (ivfPqRecall _),
     "matryoshka_audit" -> (matryoshkaAudit _),
     "pca_power" -> (pcaPower _),
+    "ranking_eval" -> (rankingEval _),
     "pq_recall" -> (pqRecall _),
     "embed_dim_stats" -> (embedDimStats _),
     "ann_recall" -> (annRecall _),
@@ -920,6 +1011,7 @@ object SimilarityQueries {
     "ivfpq_recall" -> ivfPqRecallSql,
     "matryoshka_audit" -> matryoshkaAuditSql,
     "pca_power" -> pcaPowerSql,
+    "ranking_eval" -> rankingEvalSql,
     "pq_recall" -> pqRecallSql,
     "embed_dim_stats" -> embedDimStatsSql,
     "ann_recall" -> annRecallSql,

@@ -58,9 +58,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // cross-broadcast onto the bounded candidate set. Both the same
       // deliberate scalar-broadcast shape as source_mix_weights.
       "bm25_search", "retrieve_rerank",
-      // rrf_fusion: the same 1-row query-vector cross-broadcast as
-      // retrieve_rerank, onto the bounded candidate set.
-      "rrf_fusion",
+      // rrf_fusion / ranking_eval: the same 1-row query-vector
+      // cross-broadcast as retrieve_rerank, onto the bounded candidate set.
+      "rrf_fusion", "ranking_eval",
       // bloom_fpr: the trailing 1-row member-count aggregate
       // cross-broadcast onto the 1-row probe stats — the same deliberate
       // scalar shape; the register probe itself is an equi-join on reg.

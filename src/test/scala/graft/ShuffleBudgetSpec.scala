@@ -146,8 +146,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
                                // 1-row iterate collect); corpus never re-shuffles
     "source_minhash_overlap" -> 9, // tracked (source,gram) distinct inlined per ref
                                // (sig agg + both self-join sides) + pair agg + sort
-    "rfm_segments" -> 4)       // user agg (1-row max-date broadcast) + tercile
+    "rfm_segments" -> 4,       // user agg (1-row max-date broadcast) + tercile
                                // windows over the |users| relation
+    "ranking_eval" -> 8)       // bm25's 5 + candidate embedding join + per-term
+                               // grade agg + result sort (eval windows <=30 rows)
   // graph_edge_support is NOT pinned: its two NESTED tracked caches
   // (candidate pairs inside the neighbor union, each referenced 2-3x)
   // make the static plan string inline the band self-join subtree ~6x
