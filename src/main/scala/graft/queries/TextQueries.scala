@@ -2755,6 +2755,79 @@ object TextQueries {
       |    AS fragment_flag
       |FROM s""".stripMargin
 
+  /** Pseudo-relevance-feedback query expansion (RM3-lite): the top-5
+    * co-occurring terms from each query term's bm25 top-10 documents —
+    * the classic recall-widening step between first retrieval and
+    * rerank (expanded terms feed a second bm25 pass). The expansion
+    * candidate space is BOUNDED by construction: tokens of 10 docs per
+    * query term, so the per-term ranking window never sees more than a
+    * few hundred rows regardless of corpus size; the doc-id join against
+    * the token stream broadcasts the 30-row candidate relation. Original
+    * query terms are excluded from their own expansions. */
+  def queryExpansion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qTerms = Seq("spark", "join", "vector")
+    val cands = bm25Search(spark, dir).select(col("term"), col("doc_id"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(graft.operators.TextOps.words(col("text"))).as("w"))
+    val w = Window.partitionBy("term").orderBy(col("tf").desc, col("w").asc)
+    toks.join(broadcast(cands), "doc_id")
+      .filter(!col("w").isin(qTerms: _*))
+      .groupBy("term", "w").agg(count(lit(1)).as("tf"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 5)
+      .select(col("term"), col("w").as("exp_term"), col("tf"), col("rank"))
+      .orderBy("term", "rank")
+  }
+
+  val queryExpansionSql: String =
+    s"""WITH b AS (SELECT term, doc_id FROM ($bm25SearchSql) t),
+       |tk AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+       |       FROM documents),
+       |c AS (SELECT b.term, tk.w, COUNT(*) AS tf
+       |      FROM tk JOIN b USING (doc_id)
+       |      WHERE tk.w NOT IN ('spark', 'join', 'vector')
+       |      GROUP BY b.term, tk.w),
+       |r AS (SELECT term, w AS exp_term, tf,
+       |        CAST(row_number() OVER (PARTITION BY term ORDER BY tf DESC, w ASC) AS BIGINT)
+       |          AS rank
+       |      FROM c)
+       |SELECT term, exp_term, tf, rank FROM r
+       |WHERE rank <= 5 ORDER BY term, rank""".stripMargin
+
+  /** Search-result snippet extraction: for every bm25 hit, the ±2-token
+    * window around the term's FIRST occurrence — the serving-side
+    * result presentation step, done as pure array ops on the already-
+    * matched (term, doc) pairs: the 30-row hit relation broadcasts onto
+    * the document scan, the occurrence index is array_position, and the
+    * window is one slice — no regex, no second search. Note the
+    * LENGTH-vs-END-INDEX slice convention difference between engines is
+    * absorbed here (Spark slice takes length; the oracle's list_slice
+    * takes an end index). */
+  def searchSnippets(spark: SparkSession, dir: String): DataFrame = {
+    val cands = bm25Search(spark, dir).select(col("term"), col("rn"), col("doc_id"))
+    val start = greatest(lit(1), col("pos") - 2)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.operators.TextOps.words(col("text")).as("ws"))
+      .join(broadcast(cands), "doc_id")
+      .withColumn("pos", array_position(col("ws"), col("term")))
+      .select(col("term"), col("rn"), col("doc_id"), col("pos"),
+        array_join(slice(col("ws"), start.cast("int"), lit(5)), " ").as("snippet"))
+      .orderBy("term", "rn")
+  }
+
+  val searchSnippetsSql: String =
+    s"""WITH b AS (SELECT term, rn, doc_id FROM ($bm25SearchSql) t),
+       |d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+       |      FROM documents),
+       |s AS (SELECT b.term, b.rn, b.doc_id,
+       |        CAST(list_position(d.ws, b.term) AS BIGINT) AS pos, d.ws
+       |      FROM d JOIN b USING (doc_id))
+       |SELECT term, rn, doc_id, pos,
+       |  array_to_string(list_slice(ws, GREATEST(1, pos - 2), GREATEST(1, pos - 2) + 4), ' ')
+       |    AS snippet
+       |FROM s ORDER BY term, rn""".stripMargin
+
   /** Feature hashing (the "hashing trick", Weinberger et al. 2009): each
     * document's tokens fold into a FIXED 16-bucket count vector via the
     * engine's poly-hash — the unbounded-vocabulary-to-bounded-width map
@@ -2784,6 +2857,8 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "feature_hashing" -> (featureHashing _),
     "sentence_stats" -> (sentenceStats _),
+    "query_expansion" -> (queryExpansion _),
+    "search_snippets" -> (searchSnippets _),
     "quantile_transform" -> (quantileTransform _),
     "curriculum_schedule" -> (curriculumSchedule _),
     "bloom_fpr" -> (bloomFpr _),
@@ -2853,6 +2928,8 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "feature_hashing" -> featureHashingSql,
     "sentence_stats" -> sentenceStatsSql,
+    "query_expansion" -> queryExpansionSql,
+    "search_snippets" -> searchSnippetsSql,
     "quantile_transform" -> quantileTransformSql,
     "curriculum_schedule" -> curriculumScheduleSql,
     "bloom_fpr" -> bloomFprSql,

@@ -58,6 +58,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // cross-broadcast onto the bounded candidate set. Both the same
       // deliberate scalar-broadcast shape as source_mix_weights.
       "bm25_search", "retrieve_rerank",
+      // query_expansion / search_snippets: inherit bm25's 1-row avgdl
+      // scalar cross-broadcast; their own joins are broadcast equi-joins.
+      "query_expansion", "search_snippets",
       // rrf_fusion / ranking_eval: the same 1-row query-vector
       // cross-broadcast as retrieve_rerank, onto the bounded candidate set.
       "rrf_fusion", "ranking_eval",

@@ -148,8 +148,12 @@ class ShuffleBudgetSpec extends AnyFunSuite {
                                // (sig agg + both self-join sides) + pair agg + sort
     "rfm_segments" -> 4,       // user agg (1-row max-date broadcast) + tercile
                                // windows over the |users| relation
-    "ranking_eval" -> 8)       // bm25's 5 + candidate embedding join + per-term
+    "ranking_eval" -> 8,       // bm25's 5 + candidate embedding join + per-term
                                // grade agg + result sort (eval windows <=30 rows)
+    "query_expansion" -> 8,    // bm25's 5 + (term,w) tf agg + bounded per-term
+                               // rank window + result sort; hit relation broadcast
+    "search_snippets" -> 6)    // bm25's 5 + result sort; the hit relation
+                               // broadcasts onto the doc scan, snippets are array ops
   // graph_edge_support is NOT pinned: its two NESTED tracked caches
   // (candidate pairs inside the neighbor union, each referenced 2-3x)
   // make the static plan string inline the band self-join subtree ~6x
