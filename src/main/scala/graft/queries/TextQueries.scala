@@ -2828,6 +2828,59 @@ object TextQueries {
        |    AS snippet
        |FROM s ORDER BY term, rn""".stripMargin
 
+  /** Vocabulary-coverage curve: what share of all 3-gram OCCURRENCES the
+    * top-k most frequent gram types cover, at fixed cutoffs — the
+    * "how big must the vocab/cache be" readout (the companion to
+    * vocab_growth's type-discovery curve: growth says how many types
+    * exist, coverage says how few carry the mass). Frequency ranking
+    * and the cumulative sum both run through PrefixScan's distributed
+    * two-phase machinery over the (freq desc, gram) range partitioning —
+    * the gram relation never collapses to one partition; totals ride
+    * the whitelisted 1-row cross-broadcast. */
+  def tokenCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val ws = graft.operators.TextOps.words(col("text"))
+    val grams = transform(sequence(lit(1), size(col("ws")) - 2),
+      i => concat_ws(" ", element_at(col("ws"), i),
+        element_at(col("ws"), i + 1), element_at(col("ws"), i + 2)))
+    val freq = Tables.documents(spark, dir)
+      .select(ws.as("ws")).filter(size(col("ws")) >= 3)
+      .select(explode(grams).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("freq"))
+      .withColumn("one", lit(1L))
+    val ranked = graft.operators.PrefixScan.runningSumLong(
+      freq, "one", "rank", col("freq").desc, col("gram"))
+    val cum = graft.operators.PrefixScan.runningSumLong(
+      ranked, "freq", "cum_freq", col("freq").desc, col("gram"))
+    val tot = freq.agg(sum("freq").as("total"), count(lit(1)).as("n_types"))
+    cum.filter(col("rank").isin(100L, 500L, 1000L, 2000L, 5000L))
+      .crossJoin(broadcast(tot))
+      .select(col("rank").as("top_k"), col("cum_freq"), col("total"), col("n_types"),
+        (col("cum_freq").cast("double") / col("total").cast("double")).as("coverage"))
+      .orderBy("top_k")
+  }
+
+  val tokenCoverageSql: String =
+    """WITH d AS (
+      |  SELECT list_filter(string_split(text, ' '), x -> x != '') AS ws
+      |  FROM documents),
+      |g AS (
+      |  SELECT unnest(list_transform(range(1, len(ws)-1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+      |  FROM d WHERE len(ws) >= 3),
+      |f AS (SELECT gram, COUNT(*) AS freq FROM g GROUP BY gram),
+      |r AS (
+      |  SELECT gram, freq,
+      |    CAST(row_number() OVER (ORDER BY freq DESC, gram) AS BIGINT) AS rank,
+      |    CAST(SUM(freq) OVER (ORDER BY freq DESC, gram
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_freq
+      |  FROM f),
+      |t AS (SELECT CAST(SUM(freq) AS BIGINT) AS total, COUNT(*) AS n_types FROM f)
+      |SELECT rank AS top_k, cum_freq, total, n_types,
+      |  CAST(cum_freq AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+      |FROM r CROSS JOIN t
+      |WHERE rank IN (100, 500, 1000, 2000, 5000)
+      |ORDER BY top_k""".stripMargin
+
   /** Feature hashing (the "hashing trick", Weinberger et al. 2009): each
     * document's tokens fold into a FIXED 16-bucket count vector via the
     * engine's poly-hash — the unbounded-vocabulary-to-bounded-width map
@@ -2859,6 +2912,7 @@ object TextQueries {
     "sentence_stats" -> (sentenceStats _),
     "query_expansion" -> (queryExpansion _),
     "search_snippets" -> (searchSnippets _),
+    "token_coverage" -> (tokenCoverage _),
     "quantile_transform" -> (quantileTransform _),
     "curriculum_schedule" -> (curriculumSchedule _),
     "bloom_fpr" -> (bloomFpr _),
@@ -2930,6 +2984,7 @@ object TextQueries {
     "sentence_stats" -> sentenceStatsSql,
     "query_expansion" -> queryExpansionSql,
     "search_snippets" -> searchSnippetsSql,
+    "token_coverage" -> tokenCoverageSql,
     "quantile_transform" -> quantileTransformSql,
     "curriculum_schedule" -> curriculumScheduleSql,
     "bloom_fpr" -> bloomFprSql,

@@ -44,6 +44,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // pca_power: the 1-row iterate vector cross-broadcast onto the
       // corpus, once per power iteration — the scalar-broadcast shape.
       "pca_power",
+      // token_coverage: the 1-row (total, n_types) cross-broadcast onto
+      // the <=5 cutoff rows.
+      "token_coverage",
       // source_minhash_overlap: the |sources|x|sources| signature pair
       // enumeration is a deliberate tiny-relation cross (<=20 rows per
       // side, 8 longs each); the gram-level work is all equi-joined.

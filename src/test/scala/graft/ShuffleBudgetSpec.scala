@@ -152,8 +152,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
                                // grade agg + result sort (eval windows <=30 rows)
     "query_expansion" -> 8,    // bm25's 5 + (term,w) tf agg + bounded per-term
                                // rank window + result sort; hit relation broadcast
-    "search_snippets" -> 6)    // bm25's 5 + result sort; the hit relation
+    "search_snippets" -> 6,    // bm25's 5 + result sort; the hit relation
                                // broadcasts onto the doc scan, snippets are array ops
+    "token_coverage" -> 5)     // gram freq agg + two PrefixScan range exchanges
+                               // + 1-row totals fold + result sort
   // graph_edge_support is NOT pinned: its two NESTED tracked caches
   // (candidate pairs inside the neighbor union, each referenced 2-3x)
   // make the static plan string inline the band self-join subtree ~6x
