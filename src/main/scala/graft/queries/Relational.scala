@@ -2411,7 +2411,221 @@ object Relational {
       |WHERE user_id < 30
       |ORDER BY user_id, rn""".stripMargin
 
+  /** TPC-H Q14-shaped promo-revenue share: what fraction of one month's
+    * revenue came from PROMO parts. ONE fact-dimension join (part is the
+    * small side — broadcast; the shipdate filter prunes the lineitem scan
+    * first) feeding a conditional 1-row fold: at 100 TB the shuffle moves
+    * |partitions| partial rows, never lineitems. The share is two exact
+    * decimal sums and a single trailing IEEE division (both engines
+    * evaluate 100.0 * promo / total in the same order — bit-equal). */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = col("l_extendedprice").cast(DecimalType(12, 2)) *
+      (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1995-09-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1995-10-01")))
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", revenue).otherwise(lit(0).cast(DecimalType(12, 2))))
+          .as("promo_dec"),
+        sum(revenue).as("total_dec"),
+        count(lit(1)).as("n_items"))
+      .select(
+        (lit(100.0) * col("promo_dec").cast("double") / col("total_dec").cast("double"))
+          .as("promo_share_pct"),
+        col("promo_dec").cast("double").as("promo_revenue"),
+        col("total_dec").cast("double").as("total_revenue"),
+        col("n_items"))
+  }
+
+  val promoRevenueSql: String =
+    """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |           THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+      |           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+      |       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+      |         AS promo_share_pct,
+      |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |           THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+      |           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin
+
+  /** TPC-H Q15-shaped top supplier: per-supplier revenue, keep the
+    * supplier(s) hitting the global max. The per-supplier fold is ONE
+    * map-side-combined aggregate (shuffle carries |suppliers| partial
+    * rows); the max runs as a window over the AGGREGATED relation
+    * (|suppliers| rows — the single-partition window is justified the
+    * same way pareto_frontier's is), and the max comparison happens on
+    * the exact DECIMAL sums, never on doubles. Supplier names attach by
+    * broadcast at the end, after the 1-or-few-row survivor filter. */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val revenue = col("l_extendedprice").cast(DecimalType(12, 2)) *
+      (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
+    val perSupp = Tables.lineitem(spark, dir)
+      .groupBy("l_suppkey")
+      .agg(sum(revenue).as("rev_dec"))
+    perSupp
+      .withColumn("max_rev", max("rev_dec").over(Window.partitionBy()))
+      .filter(col("rev_dec") === col("max_rev"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("rev_dec").cast("double").as("total_revenue"))
+  }
+
+  val topSupplierSql: String =
+    """WITH r AS (SELECT l_suppkey,
+      |             SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev_dec
+      |           FROM lineitem GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+      |FROM r JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev_dec = (SELECT MAX(rev_dec) FROM r)""".stripMargin
+
+  /** TPC-H Q17-shaped small-quantity screen: revenue from orders whose
+    * quantity is below 20% of the part's own average. The correlated
+    * per-part average runs as a WINDOW over the partkey exchange — ONE
+    * shuffle, no second scan and no join-back (the textbook Q17 plan
+    * re-reads lineitem to build the per-part aggregate; the window form
+    * shares the exchange). The brand filter broadcasts into the lineitem
+    * scan first, so at 100 TB the exchange moves only one brand's rows.
+    * avg_qty is an exact decimal window sum over an IEEE count division;
+    * both engines compare l_quantity < 0.2 * avg_qty in that order. */
+  def avgQtyThreshold(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_partkey")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).filter(col("p_brand") === "Brand#11")),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("avg_qty",
+        sum(col("l_quantity").cast(DecimalType(12, 2))).over(w).cast("double") /
+          count(lit(1)).over(w))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(
+        (sum(col("l_extendedprice").cast(DecimalType(12, 2))).cast("double") / lit(7.0))
+          .as("avg_yearly"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val avgQtyThresholdSql: String =
+    """WITH j AS (SELECT l_partkey, l_quantity, l_extendedprice
+      |           FROM lineitem JOIN part ON l_partkey = p_partkey
+      |           WHERE p_brand = 'Brand#11'),
+      |w AS (SELECT l_quantity, l_extendedprice,
+      |        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (PARTITION BY l_partkey) AS DOUBLE)
+      |          / COUNT(*) OVER (PARTITION BY l_partkey) AS avg_qty
+      |      FROM j)
+      |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+      |       COUNT(*) AS n_rows
+      |FROM w WHERE l_quantity < 0.2 * avg_qty""".stripMargin
+
+  /** TPC-H Q19-shaped OR-of-ANDs predicate: three (brand, size-range,
+    * quantity-range) disjuncts over the part join. The point at scale is
+    * PUSHDOWN: the disjunction of part-only conjuncts (brand IN ..,
+    * size <= 50) prunes the broadcast build side, and the quantity
+    * bounds derived from the OR prune the lineitem scan — Catalyst
+    * factors common bounds out of the OR without hand-rewriting. Exact
+    * decimal revenue, 1-row fold. */
+  def orPredicateRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = col("l_extendedprice").cast(DecimalType(12, 2)) *
+      (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
+    val pred =
+      (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#22" && col("p_size").between(10, 30) &&
+        col("l_quantity").between(10, 35)) ||
+      (col("p_brand") === "Brand#6" && col("p_size").between(20, 50) &&
+        col("l_quantity").between(20, 50))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .filter(pred)
+      .agg(sum(revenue).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  val orPredicateRevenueSql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+      |   OR (p_brand = 'Brand#6' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""".stripMargin
+
+  /** TPC-H Q22-shaped idle-customer report: per nation, the well-funded
+    * customers (balance above the positive-balance average) who never
+    * ordered. The global average is the deliberate 1-row scalar
+    * cross-broadcast (PlanGuard-whitelisted shape); the no-orders test
+    * is a LEFT ANTI join on custkey (at 100 TB: one key exchange, no
+    * data columns from orders on the wire); the final fold is one tiny
+    * nation aggregate. Balance sums are exact DECIMAL(18,2) (the
+    * fixtures carry 2-decimal balances); the avg is one IEEE division
+    * and the > compare runs double-vs-double identically in both
+    * engines. */
+  def idleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val avgPos = cust.filter(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double") /
+        count(lit(1))).as("avg_bal"))
+    cust.crossJoin(broadcast(avgPos))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(spark, dir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("total_bal"))
+      .orderBy("c_nationkey")
+  }
+
+  val idleCustomersSql: String =
+    """WITH a AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+      |           FROM customer WHERE c_acctbal > 0.0)
+      |SELECT c_nationkey, COUNT(*) AS n_custs,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer CROSS JOIN a
+      |WHERE c_acctbal > avg_bal
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** Incremental materialized-view maintenance, hash-checked: the
+    * per-type stats view is maintained as OLD-partial ⊕ DELTA-partial
+    * (events before/after a mid-month cutoff aggregated separately, then
+    * MERGED — counts add, decimal sums add, mins/maxes fold), while the
+    * oracle recomputes the view from scratch over all events. Hash
+    * equality IS the incremental-maintenance correctness proof: the
+    * merge of partials equals the full recompute bit-for-bit (decimal
+    * addition is associative; min/max are semigroup folds). At 100 TB
+    * this is the shape that matters — a daily delta re-aggregates only
+    * the delta partition and merges |types| rows, never rescanning the
+    * base. Both branches prune on the pushed ts predicate. */
+  def incrementalAggMerge(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = to_timestamp(lit("2024-01-16"))
+    def partial(df: DataFrame): DataFrame = df.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("v"),
+        min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+    val e = Tables.events(spark, dir)
+    val base  = partial(e.filter(col("ts") < cutoff))
+    val delta = partial(e.filter(col("ts") >= cutoff))
+    base.unionByName(delta)
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("v")).cast("double").as("total_value"),
+        min(col("mn")).as("first_ts"), max(col("mx")).as("last_ts"))
+      .orderBy("event_type")
+  }
+
+  val incrementalAggMergeSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  MIN(ts) AS first_ts, MAX(ts) AS last_ts
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "incremental_agg_merge" -> (incrementalAggMerge _),
+    "promo_revenue" -> (promoRevenue _),
+    "top_supplier" -> (topSupplier _),
+    "avg_qty_threshold" -> (avgQtyThreshold _),
+    "or_predicate_revenue" -> (orPredicateRevenue _),
+    "idle_customers" -> (idleCustomers _),
     "sql_window_door" -> (sqlWindowDoor _),
     "key_skew_profile" -> (keySkewProfile _),
     "cohort_retention" -> (cohortRetention _),
@@ -2483,6 +2697,12 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "incremental_agg_merge" -> incrementalAggMergeSql,
+    "promo_revenue" -> promoRevenueSql,
+    "top_supplier" -> topSupplierSql,
+    "avg_qty_threshold" -> avgQtyThresholdSql,
+    "or_predicate_revenue" -> orPredicateRevenueSql,
+    "idle_customers" -> idleCustomersSql,
     "sql_window_door" -> sqlWindowDoorSql,
     "key_skew_profile" -> keySkewProfileSql,
     "cohort_retention" -> cohortRetentionSql,

@@ -968,7 +968,64 @@ object SimilarityQueries {
        |       CAST(rk AS BIGINT) AS rk, nbr, sim, q_label AS label, n_label
        |FROM r WHERE (same AND rk <= 1) OR (NOT same AND rk <= 3)""".stripMargin
 
+  /** The IVF tuning curve: mean recall@10 of the IVF index as nProbe
+    * sweeps 1→4 — the readout that picks the probe count for a target
+    * recall before anything ships to a 100 TB index. Reuses the
+    * hash-checked `ivf_topk` machinery per probe level; the brute-force
+    * truth relation is computed ONCE and cache-tracked across the four
+    * probe levels (as is the embeddings scan), so the sweep costs four
+    * candidate stages, not four corpus scans. Output is 4 rows. */
+  def ivfProbeCurve(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.GraftCaches.track(Tables.embeddings(spark, dir))
+    val truth = graft.GraftCaches.track(
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 5, k = 10)
+        .select(col("q_id"), col("vec_id")))
+    (1 to 4).map { np =>
+      val approx = Similarity.ivfTopK(emb, "vec_id", "embedding", col("vec_id") < 5,
+          k = 10, nProbe = np)
+        .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+      truth.join(approx, Seq("q_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(lit(np.toLong).as("n_probe"), col("n_truth"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_truth").cast("double")).as("recall"))
+    }.reduce(_ unionByName _).orderBy("n_probe")
+  }
+
+  /** One ivf_topk rebuild with `rn <= np` as the probe cut, wrapped as a
+    * (q_id, vec_id, hit) relation — the per-probe-level oracle half. */
+  private def probeApproxSql(np: Int): String =
+    s"""SELECT q_id, vec_id, 1::BIGINT AS hit FROM (
+       |WITH $eCte,
+       |$cCte,
+       |a AS (SELECT vec_id, c_id AS centroid_id FROM (
+       |  SELECT s.*, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) AS rn
+       |  FROM (SELECT e.vec_id, c.c_id, ${cosSql("e.embedding", "c.cv", "e.nrm", "c.c_nrm")} AS sim
+       |        FROM e0 e CROSS JOIN c) s) t WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qnrm FROM e0 WHERE vec_id < 5),
+       |p AS (SELECT q_id, c_id AS centroid_id FROM (
+       |  SELECT x.*, row_number() OVER (PARTITION BY q_id ORDER BY c_sim DESC, c_id ASC) AS rn
+       |  FROM (SELECT q.q_id, c.c_id, ${cosSql("q.qv", "c.cv", "q.qnrm", "c.c_nrm")} AS c_sim
+       |        FROM q CROSS JOIN c) x) y WHERE rn <= $np),
+       |s AS (SELECT p.q_id, a.vec_id, ${cosSql("q.qv", "e.embedding", "q.qnrm", "e.nrm")} AS sim
+       |      FROM a JOIN p USING (centroid_id)
+       |      JOIN e0 e ON e.vec_id = a.vec_id
+       |      JOIN q ON q.q_id = p.q_id
+       |      WHERE a.vec_id != p.q_id)
+       |SELECT q_id, vec_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM s) t
+       |WHERE rank <= 10)""".stripMargin
+
+  val ivfProbeCurveSql: String =
+    (1 to 4).map { np =>
+      s"""SELECT $np::BIGINT AS n_probe, COUNT(*) AS n_truth,
+         |  CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS n_hits,
+         |  CAST(SUM(COALESCE(a.hit, 0)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+         |FROM ($cosineTopKSql) t LEFT JOIN (${probeApproxSql(np)}) a USING (q_id, vec_id)""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY n_probe"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ivf_probe_curve" -> (ivfProbeCurve _),
     "contrastive_pairs" -> (contrastivePairsQ _),
     "knn_label_noise" -> (knnLabelNoiseQ _),
     "semdedup" -> (semDedupQ _),
@@ -998,6 +1055,7 @@ object SimilarityQueries {
     "ivf_topk" -> (ivfTopK _))
 
   val oracles: Map[String, String] = Map(
+    "ivf_probe_curve" -> ivfProbeCurveSql,
     "contrastive_pairs" -> contrastivePairsSql,
     "knn_label_noise" -> knnLabelNoiseSql,
     "semdedup" -> semDedupSql,

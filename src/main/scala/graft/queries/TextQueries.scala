@@ -2907,7 +2907,125 @@ object TextQueries {
        |  COUNT(*) AS cnt
        |FROM t GROUP BY 1, 2""".stripMargin
 
+  /** DPO/RLHF preference-pair assembly: deterministic candidate pairing
+    * (doc d responds to the same implicit prompt as doc d−250 — the
+    * rouge_pairs pairing rule), chosen/rejected decided by the SHARED
+    * quality composite (same expression tree as `quality_score`, so the
+    * doubles are bit-equal cross-engine), ties → lower doc_id wins.
+    * Emits the (chosen, rejected, margin) triple a preference-tuning run
+    * consumes. Scale shape: quality is scan-local column math; the pair
+    * attach is ONE equi-join on the derived pair key — no window, no
+    * all-pairs; output is |pairs| rows. */
+  def dpoPairs(spark: SparkSession, dir: String): DataFrame = {
+    val nTokens = size(org.apache.spark.sql.functions.filter(
+      split(col("text"), " "), w => w =!= "")).cast("bigint")
+    val q = Tables.documents(spark, dir)
+      .select(col("doc_id"), nTokens.as("n_tokens"),
+        regexp_count(col("text"), lit(enRx)).as("n_stop"))
+      .select(col("doc_id"),
+        (least(col("n_tokens") / lit(50.0), lit(1.0)) * 0.5 +
+          (col("n_stop").cast("double") / col("n_tokens")) * 0.5).as("quality"))
+    val a = q.filter(col("doc_id") >= 250)
+      .select((col("doc_id") - 250).as("pair_id"), col("doc_id").as("a_id"),
+        col("quality").as("a_q"))
+    val b = q.select(col("doc_id").as("pair_id"), col("quality").as("b_q"))
+    // Strict >: on a quality tie the lower-id side (b, id = pair_id) wins.
+    val aWins = col("a_q") > col("b_q")
+    a.join(b, "pair_id")
+      .select(col("pair_id"),
+        when(aWins, col("a_id")).otherwise(col("pair_id")).as("chosen_id"),
+        when(aWins, col("pair_id")).otherwise(col("a_id")).as("rejected_id"),
+        when(aWins, col("a_q")).otherwise(col("b_q")).as("chosen_q"),
+        when(aWins, col("b_q")).otherwise(col("a_q")).as("rejected_q"),
+        (when(aWins, col("a_q")).otherwise(col("b_q")) -
+          when(aWins, col("b_q")).otherwise(col("a_q"))).as("margin"))
+      .orderBy("pair_id")
+  }
+
+  val dpoPairsSql: String =
+    """WITH q AS (SELECT doc_id,
+      |    least(n_tokens / 50.0, 1.0) * 0.5 + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5 AS quality
+      |  FROM (SELECT doc_id,
+      |          len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+      |          len(regexp_extract_all(text, '\b(the|a|an|of)\b')) AS n_stop
+      |        FROM documents) t),
+      |p AS (SELECT a.doc_id - 250 AS pair_id, a.doc_id AS a_id, a.quality AS a_q, b.quality AS b_q,
+      |        a.quality > b.quality AS a_wins
+      |      FROM q a JOIN q b ON a.doc_id - 250 = b.doc_id
+      |      WHERE a.doc_id >= 250)
+      |SELECT pair_id,
+      |  CASE WHEN a_wins THEN a_id ELSE pair_id END AS chosen_id,
+      |  CASE WHEN a_wins THEN pair_id ELSE a_id END AS rejected_id,
+      |  CASE WHEN a_wins THEN a_q ELSE b_q END AS chosen_q,
+      |  CASE WHEN a_wins THEN b_q ELSE a_q END AS rejected_q,
+      |  (CASE WHEN a_wins THEN a_q ELSE b_q END) - (CASE WHEN a_wins THEN b_q ELSE a_q END) AS margin
+      |FROM p ORDER BY pair_id""".stripMargin
+
+  /** Per-source Simpson diversity over token types — the log-free
+    * lexical-diversity screen (Simpson's λ = Σ nᵢ(nᵢ−1) / (N(N−1)), the
+    * probability two sampled tokens are the same type): template-heavy
+    * sources score high-λ and get flagged without any libm `log`
+    * (integer numerators, ONE trailing IEEE division — the repo-wide
+    * cross-engine exactness discipline). Two map-side-combined
+    * aggregates: (source, term) counts, then the per-source fold; the
+    * shuffle carries (source, term, count), never documents. */
+  def simpsonDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(spark, dir)
+      .select(col("source"), explode(org.apache.spark.sql.functions.filter(
+        split(col("text"), " "), w => w =!= "")).as("term"))
+    terms.groupBy("source", "term").agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("n") * (col("n") - 1)).as("num"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        (col("num").cast("double") /
+          (col("n_tokens") * (col("n_tokens") - 1)).cast("double")).as("simpson"))
+      .orderBy("source")
+  }
+
+  val simpsonDiversitySql: String =
+    """WITH c AS (SELECT source, term, COUNT(*) AS n
+      |           FROM (SELECT source, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+      |                 FROM documents) t
+      |           GROUP BY source, term)
+      |SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens, COUNT(*) AS n_types,
+      |  CAST(SUM(n * (n - 1)) AS DOUBLE) / CAST(SUM(n) * (SUM(n) - 1) AS DOUBLE) AS simpson
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
+  /** Per-source hapax-legomena ratio: the share of a source's token
+    * TYPES that occur exactly once corpus-wide in that source — the
+    * complement view to `simpson_diversity` (hapax-poor sources are
+    * template mills; hapax-rich ones carry long-tail vocabulary worth
+    * keeping). Same two-aggregate shape; integer counts, one trailing
+    * division. */
+  def hapaxRatio(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(spark, dir)
+      .select(col("source"), explode(org.apache.spark.sql.functions.filter(
+        split(col("text"), " "), w => w =!= "")).as("term"))
+    terms.groupBy("source", "term").agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_types"), col("n_hapax"),
+        (col("n_hapax").cast("double") / col("n_types").cast("double")).as("hapax_ratio"))
+      .orderBy("source")
+  }
+
+  val hapaxRatioSql: String =
+    """WITH c AS (SELECT source, term, COUNT(*) AS n
+      |           FROM (SELECT source, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+      |                 FROM documents) t
+      |           GROUP BY source, term)
+      |SELECT source, COUNT(*) AS n_types,
+      |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dpo_pairs" -> (dpoPairs _),
+    "simpson_diversity" -> (simpsonDiversity _),
+    "hapax_ratio" -> (hapaxRatio _),
     "feature_hashing" -> (featureHashing _),
     "sentence_stats" -> (sentenceStats _),
     "query_expansion" -> (queryExpansion _),
@@ -2980,6 +3098,9 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "dpo_pairs" -> dpoPairsSql,
+    "simpson_diversity" -> simpsonDiversitySql,
+    "hapax_ratio" -> hapaxRatioSql,
     "feature_hashing" -> featureHashingSql,
     "sentence_stats" -> sentenceStatsSql,
     "query_expansion" -> queryExpansionSql,

@@ -89,7 +89,11 @@ class PlanGuardSpec extends AnyFunSuite {
       "ks_drift",
       // bigram_lift: the 1-row (t_uni x t_bi) scalar cross-broadcast onto
       // the >=5-count bigram relation (same shape as source_mix_weights).
-      "bigram_lift")
+      "bigram_lift",
+      // idle_customers: the 1-row positive-balance average scalar
+      // cross-broadcast onto customer (the TPC-H Q22 threshold); the
+      // no-orders test itself is a left-anti equi-join on custkey.
+      "idle_customers")
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
