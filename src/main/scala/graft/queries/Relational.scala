@@ -2551,11 +2551,14 @@ object Relational {
       |   OR (p_brand = 'Brand#6' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""".stripMargin
 
   /** TPC-H Q22-shaped idle-customer report: per nation, the well-funded
-    * customers (balance above the positive-balance average) who never
-    * ordered. The global average is the deliberate 1-row scalar
-    * cross-broadcast (PlanGuard-whitelisted shape); the no-orders test
-    * is a LEFT ANTI join on custkey (at 100 TB: one key exchange, no
-    * data columns from orders on the wire); the final fold is one tiny
+    * customers (balance above the positive-balance average) with no
+    * ORDER SINCE 2000 (the fixtures give every customer some lifetime
+    * order, so the recency cutoff is what makes the anti-set real —
+    * and it pushes into the orders scan as a date predicate). The
+    * global average is the deliberate 1-row scalar cross-broadcast
+    * (PlanGuard-whitelisted shape); the idleness test is a LEFT ANTI
+    * join on custkey (at 100 TB: one key exchange over the date-pruned
+    * orders, no data columns on the wire); the final fold is one tiny
     * nation aggregate. Balance sums are exact DECIMAL(18,2) (the
     * fixtures carry 2-decimal balances); the avg is one IEEE division
     * and the > compare runs double-vs-double identically in both
@@ -2567,7 +2570,9 @@ object Relational {
         count(lit(1))).as("avg_bal"))
     cust.crossJoin(broadcast(avgPos))
       .filter(col("c_acctbal") > col("avg_bal"))
-      .join(Tables.orders(spark, dir).select(col("o_custkey")),
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
+          .select(col("o_custkey")),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("c_nationkey")
       .agg(count(lit(1)).as("n_custs"),
@@ -2582,7 +2587,8 @@ object Relational {
       |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
       |FROM customer CROSS JOIN a
       |WHERE c_acctbal > avg_bal
-      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
   /** Incremental materialized-view maintenance, hash-checked: the

@@ -93,7 +93,10 @@ class PlanGuardSpec extends AnyFunSuite {
       // idle_customers: the 1-row positive-balance average scalar
       // cross-broadcast onto customer (the TPC-H Q22 threshold); the
       // no-orders test itself is a left-anti equi-join on custkey.
-      "idle_customers")
+      "idle_customers",
+      // ivf_probe_curve: ivf_topk's deliberate 16-tiny-centroid probe
+      // broadcast, once per probe level of the sweep.
+      "ivf_probe_curve")
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
