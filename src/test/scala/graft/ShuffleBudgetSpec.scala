@@ -154,8 +154,17 @@ class ShuffleBudgetSpec extends AnyFunSuite {
                                // rank window + result sort; hit relation broadcast
     "search_snippets" -> 6,    // bm25's 5 + result sort; the hit relation
                                // broadcasts onto the doc scan, snippets are array ops
-    "token_coverage" -> 5)     // gram freq agg + two PrefixScan range exchanges
+    "token_coverage" -> 5,     // gram freq agg + two PrefixScan range exchanges
                                // + 1-row totals fold + result sort
+    "promo_revenue" -> 1,      // part broadcast into the pruned scan + 1-row fold
+    "or_predicate_revenue" -> 1, // same shape; OR factored into both scans
+    "avg_qty_threshold" -> 2,  // ONE partkey exchange (window avg) + 1-row fold
+    "top_supplier" -> 3,       // suppkey agg + |suppliers|-row max window + survivor join
+    "idle_customers" -> 3,     // anti-join key exchange (both sides) + nation agg + sort
+    "incremental_agg_merge" -> 3, // base partial + delta partial + merge re-agg/sort
+    "dpo_pairs" -> 1,          // quality is scan-local; pair join broadcasts + result sort
+    "simpson_diversity" -> 3,  // (source,term) agg + source fold + result sort
+    "hapax_ratio" -> 3)        // same shape as simpson_diversity
   // graph_edge_support is NOT pinned: its two NESTED tracked caches
   // (candidate pairs inside the neighbor union, each referenced 2-3x)
   // make the static plan string inline the band self-join subtree ~6x
