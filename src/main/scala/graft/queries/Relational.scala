@@ -2625,7 +2625,135 @@ object Relational {
       |  MIN(ts) AS first_ts, MAX(ts) AS last_ts
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** TPC-H Q6-shaped forecast revenue: a pure filter-and-fold over
+    * lineitem — no join at all. The whole query is the PUSHDOWN story:
+    * all three predicates (date range, discount band, quantity cap)
+    * reach the parquet scan as PushedFilters, so at 100 TB the scan
+    * skips row groups on statistics and the fold sees only survivors.
+    * Revenue = Σ extendedprice×discount as exact decimals. */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(
+        sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+          col("l_discount").cast(DecimalType(4, 2))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val forecastRevenueSql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q10-shaped returned-revenue report: the top-20 customers by
+    * revenue on RETURNED items. ONE fact-fact shuffle (the returnflag
+    * filter prunes the lineitem scan first); customer and nation are
+    * broadcast dimensions; the top-20 runs as TakeOrderedAndProject on
+    * the |customers|-row aggregate (single pass, no RangePartitioning
+    * sampling). Exact decimal revenue; ties break on custkey so the
+    * cut is deterministic. */
+  def returnedRevenueTopk(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = col("l_extendedprice").cast(DecimalType(12, 2)) *
+      (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum(revenue).as("rev_dec"), count(lit(1)).as("n_returned"))
+      .orderBy(col("rev_dec").desc, col("c_custkey").asc)
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("rev_dec").cast("double").as("returned_revenue"), col("n_returned"))
+  }
+
+  val returnedRevenueTopkSql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |       CAST(rev_dec AS DOUBLE) AS returned_revenue, n_returned
+      |FROM (SELECT c_custkey, c_name, n_name,
+      |        SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev_dec,
+      |        COUNT(*) AS n_returned
+      |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |      JOIN customer ON o_custkey = c_custkey
+      |      JOIN nation ON c_nationkey = n_nationkey
+      |      WHERE l_returnflag = 'R'
+      |      GROUP BY c_custkey, c_name, n_name) t
+      |ORDER BY rev_dec DESC, c_custkey ASC LIMIT 20""".stripMargin
+
+  /** TPC-H Q4-shaped late-shipment priority count: orders (per priority)
+    * having at least one line shipped more than 90 days after the order
+    * date. The existence test is a LEFT SEMI join — the equi half
+    * (orderkey) drives the exchange, the non-equi half (the 90-day
+    * lateness predicate) evaluates inside the join, and no lineitem
+    * column survives it: at 100 TB the semi join ships only orderkeys
+    * back. One tiny priority aggregate on top. */
+  def lateShipmentPriority(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val o = Tables.orders(spark, dir)
+    o.join(li, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  val lateShipmentPrioritySql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Sensor-style delta compression audit: per user in (ts, event_id)
+    * order, a row survives if it's the user's first, moved by more than
+    * 1.0 in value, or arrived after a >10-minute silence — the
+    * keep-on-change rule a telemetry pipeline applies before storage.
+    * Reports the kept/total compression per event type. ONE user-keyed
+    * exchange for the lag window, one tiny type aggregate; the value
+    * delta compares doubles and the gap compares integer epoch
+    * microseconds, so the keep decision is bit-identical cross-engine. */
+  def deltaCompress(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_v", lag(col("value"), 1).over(w))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("keep",
+        col("prev_v").isNull ||
+        abs(col("value") - col("prev_v")) > 1.0 ||
+        unix_micros(col("ts")) - col("prev_us") > 600000000L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("event_type"), col("n_total"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_total").cast("double")).as("keep_ratio"))
+      .orderBy("event_type")
+  }
+
+  val deltaCompressSql: String =
+    """WITH w AS (SELECT event_type, value, epoch_us(ts) AS us,
+      |        lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v,
+      |        lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |      FROM events)
+      |SELECT event_type, COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN prev_v IS NULL OR abs(value - prev_v) > 1.0
+      |                     OR us - prev_us > 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN prev_v IS NULL OR abs(value - prev_v) > 1.0
+      |                     OR us - prev_us > 600000000 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS keep_ratio
+      |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "forecast_revenue" -> (forecastRevenue _),
+    "returned_revenue_topk" -> (returnedRevenueTopk _),
+    "late_shipment_priority" -> (lateShipmentPriority _),
+    "delta_compress" -> (deltaCompress _),
     "incremental_agg_merge" -> (incrementalAggMerge _),
     "promo_revenue" -> (promoRevenue _),
     "top_supplier" -> (topSupplier _),
@@ -2703,6 +2831,10 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "forecast_revenue" -> forecastRevenueSql,
+    "returned_revenue_topk" -> returnedRevenueTopkSql,
+    "late_shipment_priority" -> lateShipmentPrioritySql,
+    "delta_compress" -> deltaCompressSql,
     "incremental_agg_merge" -> incrementalAggMergeSql,
     "promo_revenue" -> promoRevenueSql,
     "top_supplier" -> topSupplierSql,

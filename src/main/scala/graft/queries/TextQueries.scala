@@ -3022,7 +3022,50 @@ object TextQueries {
       |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
       |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  /** Max-sequence-length sweep: for L ∈ {64, 128, 256, 512}, what share
+    * of corpus tokens a one-doc-per-row loader keeps, pads, and
+    * truncates — the curve that picks a training max_seq_len before
+    * `pack_sequences` even enters the picture. Scan-side explode of the
+    * four L values (no join; at 100 TB the 4× row expansion is absorbed
+    * by map-side combine into a 4-row aggregate), integer token sums,
+    * end-only divisions. */
+  def seqlenSweep(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(graft.operators.TextOps.words(col("text"))).cast("long")
+    Tables.documents(spark, dir)
+      .select(n.as("n_tokens"),
+        explode(array(lit(64L), lit(128L), lit(256L), lit(512L))).as("seq_len"))
+      .groupBy("seq_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(least(col("n_tokens"), col("seq_len"))).as("kept_tokens"),
+        sum(col("seq_len") - least(col("n_tokens"), col("seq_len"))).as("pad_tokens"),
+        sum(greatest(col("n_tokens") - col("seq_len"), lit(0L))).as("truncated_tokens"))
+      .select(col("seq_len"), col("n_docs"), col("total_tokens"), col("kept_tokens"),
+        col("pad_tokens"), col("truncated_tokens"),
+        (col("kept_tokens").cast("double") /
+          (col("n_docs") * col("seq_len")).cast("double")).as("slot_efficiency"),
+        (col("truncated_tokens").cast("double") /
+          col("total_tokens").cast("double")).as("truncation_share"))
+      .orderBy("seq_len")
+  }
+
+  val seqlenSweepSql: String =
+    """WITH t AS (SELECT len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens
+      |           FROM documents),
+      |s AS (SELECT n_tokens, unnest(CAST([64, 128, 256, 512] AS BIGINT[])) AS seq_len FROM t)
+      |SELECT seq_len, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(least(n_tokens, seq_len)) AS BIGINT) AS kept_tokens,
+      |  CAST(SUM(seq_len - least(n_tokens, seq_len)) AS BIGINT) AS pad_tokens,
+      |  CAST(SUM(greatest(n_tokens - seq_len, 0)) AS BIGINT) AS truncated_tokens,
+      |  CAST(SUM(least(n_tokens, seq_len)) AS DOUBLE)
+      |    / CAST(COUNT(*) * seq_len AS DOUBLE) AS slot_efficiency,
+      |  CAST(SUM(greatest(n_tokens - seq_len, 0)) AS DOUBLE)
+      |    / CAST(SUM(n_tokens) AS DOUBLE) AS truncation_share
+      |FROM s GROUP BY seq_len ORDER BY seq_len""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "seqlen_sweep" -> (seqlenSweep _),
     "dpo_pairs" -> (dpoPairs _),
     "simpson_diversity" -> (simpsonDiversity _),
     "hapax_ratio" -> (hapaxRatio _),
@@ -3098,6 +3141,7 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "seqlen_sweep" -> seqlenSweepSql,
     "dpo_pairs" -> dpoPairsSql,
     "simpson_diversity" -> simpsonDiversitySql,
     "hapax_ratio" -> hapaxRatioSql,

@@ -164,7 +164,13 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "incremental_agg_merge" -> 3, // base partial + delta partial + merge re-agg/sort
     "dpo_pairs" -> 1,          // quality is scan-local; pair join broadcasts + result sort
     "simpson_diversity" -> 3,  // (source,term) agg + source fold + result sort
-    "hapax_ratio" -> 3)        // same shape as simpson_diversity
+    "hapax_ratio" -> 3,        // same shape as simpson_diversity
+    "forecast_revenue" -> 1,   // all predicates pushed; 1-row fold only
+    "returned_revenue_topk" -> 2, // fact join (broadcast at fixture scale) +
+                               // cust agg; top-20 is TakeOrderedAndProject
+    "late_shipment_priority" -> 3, // semi-join exchange + priority agg + sort
+    "delta_compress" -> 3,     // ONE user exchange (lag window) + type agg + sort
+    "seqlen_sweep" -> 2)       // map-side-combined L agg + result sort
   // graph_edge_support is NOT pinned: its two NESTED tracked caches
   // (candidate pairs inside the neighbor union, each referenced 2-3x)
   // make the static plan string inline the band self-join subtree ~6x
