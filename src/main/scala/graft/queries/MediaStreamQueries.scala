@@ -474,7 +474,30 @@ object MediaStreamQueries {
       |           > 4.0 * var_prior AS anomaly
       |FROM win ORDER BY day""".stripMargin
 
+  /** Streaming delta compression
+    * ([[graft.streaming.DeltaCompressStream]]): the keep-on-change
+    * telemetry screen run as per-user ValueState, hash-checked against
+    * the SAME oracle as the batch `delta_compress` window query —
+    * online/offline parity demonstrated, not asserted. The kept stream
+    * folds into the per-type compression report; totals come from one
+    * extra scan-side aggregate (the raw count never rides the keyed
+    * exchange twice). */
+  def streamDeltaCompress(spark: SparkSession, dir: String): DataFrame = {
+    val kept = graft.streaming.DeltaCompressStream.kept(Tables.events(spark, dir))
+      .toDF()
+      .groupBy("event_type").agg(count(lit(1)).as("n_kept"))
+    val totals = Tables.events(spark, dir)
+      .groupBy("event_type").agg(count(lit(1)).as("n_total"))
+    totals.join(kept, "event_type")
+      .select(col("event_type"), col("n_total"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_total").cast("double")).as("keep_ratio"))
+      .orderBy("event_type")
+  }
+
+  val streamDeltaCompressSql: String = graft.queries.Relational.deltaCompressSql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_delta_compress" -> (streamDeltaCompress _),
     "event_rate_anomaly" -> (eventRateAnomaly _),
     "rolling_distinct_users" -> (rollingDistinctUsers _),
     "stream_type_stats" -> (streamTypeStats _),
@@ -497,6 +520,7 @@ object MediaStreamQueries {
     "media_dedup" -> (mediaDedup _))
 
   val oracles: Map[String, String] = Map(
+    "stream_delta_compress" -> streamDeltaCompressSql,
     "event_rate_anomaly" -> eventRateAnomalySql,
     "rolling_distinct_users" -> rollingDistinctUsersSql,
     "stream_type_stats" -> streamTypeStatsSql,

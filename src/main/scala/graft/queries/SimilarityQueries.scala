@@ -1024,7 +1024,37 @@ object SimilarityQueries {
          |FROM ($cosineTopKSql) t LEFT JOIN (${probeApproxSql(np)}) a USING (q_id, vec_id)""".stripMargin
     }.mkString("\nUNION ALL\n") + "\nORDER BY n_probe"
 
+  /** Embedding-level train/test decontamination: near-duplicate pairs
+    * that STRADDLE the split boundary (test = every 10th vec_id — the
+    * deterministic split rule) are eval leaks the n-gram screens can't
+    * see (paraphrases survive `benchmark_overlap`). Reuses the
+    * hash-checked capped banded-LSH near-dup machinery — candidates
+    * come from band buckets (never all-pairs), the split test is a
+    * scan-local predicate on the pair relation, and the oracle applies
+    * the identical straddle filter to its own rebuild of the pair set.
+    * Emits (test_id, train_id, sim): the rows to drop from eval. */
+  def embeddingDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val isTestA = pmod(col("id_a"), lit(10)) === 0
+    val isTestB = pmod(col("id_b"), lit(10)) === 0
+    Similarity.nearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        threshold = 0.4, maxBucket = 100)
+      .filter(isTestA =!= isTestB)
+      .select(when(isTestA, col("id_a")).otherwise(col("id_b")).as("test_id"),
+        when(isTestA, col("id_b")).otherwise(col("id_a")).as("train_id"),
+        col("sim"))
+      .orderBy("test_id", "train_id")
+  }
+
+  val embeddingDecontamSql: String =
+    s"""SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS test_id,
+       |       CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS train_id,
+       |       sim
+       |FROM ($nearDupPairsSql) p
+       |WHERE (id_a % 10 = 0) != (id_b % 10 = 0)
+       |ORDER BY test_id, train_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_decontam" -> (embeddingDecontam _),
     "ivf_probe_curve" -> (ivfProbeCurve _),
     "contrastive_pairs" -> (contrastivePairsQ _),
     "knn_label_noise" -> (knnLabelNoiseQ _),
@@ -1055,6 +1085,7 @@ object SimilarityQueries {
     "ivf_topk" -> (ivfTopK _))
 
   val oracles: Map[String, String] = Map(
+    "embedding_decontam" -> embeddingDecontamSql,
     "ivf_probe_curve" -> ivfProbeCurveSql,
     "contrastive_pairs" -> contrastivePairsSql,
     "knn_label_noise" -> knnLabelNoiseSql,

@@ -170,7 +170,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
                                // cust agg; top-20 is TakeOrderedAndProject
     "late_shipment_priority" -> 3, // semi-join exchange + priority agg + sort
     "delta_compress" -> 3,     // ONE user exchange (lag window) + type agg + sort
-    "seqlen_sweep" -> 2)       // map-side-combined L agg + result sort
+    "seqlen_sweep" -> 2,       // map-side-combined L agg + result sort
+    "stream_delta_compress" -> 4) // ONE user-keyed transformWithState exchange
+                               // + kept-type agg + totals agg (broadcast join) + sort
   // graph_edge_support is NOT pinned: its two NESTED tracked caches
   // (candidate pairs inside the neighbor union, each referenced 2-3x)
   // make the static plan string inline the band self-join subtree ~6x
