@@ -2749,7 +2749,114 @@ object Relational {
       |    / CAST(COUNT(*) AS DOUBLE) AS keep_ratio
       |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Concurrent-session load curve by SWEEP LINE: each 60-minute-gap
+    * session contributes +1 at its start day and −1 the day after its
+    * end; the running sum over day boundaries IS the number of sessions
+    * active on each day. The scale point: the interval×day explosion
+    * (rolling_distinct_users' bounded-window trick can't help here —
+    * sessions have unbounded length) never happens; the shuffle carries
+    * 2 boundary rows per session, the day aggregate is |days| rows, and
+    * the running sum is PrefixScan's two-phase distributed scan, not a
+    * single-partition window. Output rows are boundary days (days with
+    * no session edge repeat the previous count implicitly). */
+  def activeSessionsDaily(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapMicros = 3600L * 1000000L
+    val prev = lag(col("ts"), 1).over(w)
+    val newSession = when(
+      prev.isNull || unix_micros(col("ts")) - unix_micros(prev) > gapMicros, 1)
+      .otherwise(0)
+    val sessions = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("session_no", sum(newSession).over(run))
+      .groupBy("user_id", "session_no")
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+    val deltas = sessions.select(to_date(col("st")).as("day"), lit(1L).as("delta"))
+      .unionByName(sessions.select(date_add(to_date(col("en")), 1).as("day"),
+        lit(-1L).as("delta")))
+      .groupBy("day").agg(sum(col("delta")).as("delta"))
+    graft.operators.PrefixScan.runningSumLong(deltas, "delta", "active", col("day").asc)
+      .select(col("day").cast("timestamp").as("day"), col("delta"), col("active"))
+      .orderBy("day")
+  }
+
+  val activeSessionsDailySql: String =
+    """WITH x AS (SELECT user_id, event_id, ts,
+      |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |           FROM events),
+      |y AS (SELECT user_id, ts,
+      |        SUM(CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 3600000000
+      |                 THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |      FROM x),
+      |s AS (SELECT user_id, session_no, MIN(ts) AS st, MAX(ts) AS en
+      |      FROM y GROUP BY user_id, session_no),
+      |d AS (SELECT day, CAST(SUM(delta) AS BIGINT) AS delta FROM (
+      |        SELECT CAST(st AS DATE) AS day, 1 AS delta FROM s
+      |        UNION ALL
+      |        SELECT CAST(en AS DATE) + 1 AS day, -1 AS delta FROM s) b
+      |      GROUP BY day)
+      |SELECT CAST(day AS TIMESTAMP) AS day, delta,
+      |       CAST(SUM(delta) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS active
+      |FROM d ORDER BY day""".stripMargin
+
+  /** Fact→SCD2 dimension lookup: every event of the audited users
+    * attaches the dimension VERSION valid at its own timestamp (the
+    * type-change rows `scd2_history` derives are the dimension; the
+    * attach is "latest change at-or-before the fact"). This is the
+    * warehouse temporal-join every slowly-changing dimension needs, and
+    * it runs as the backward as-of operator — ONE key exchange, one
+    * sort, zero row blow-up — NOT as the |facts|×|versions| interval
+    * join the naive BETWEEN formulation would plan. A fact at the exact
+    * change instant sees the NEW version (right rows sort first at
+    * equal times), so the change event itself is already reclassified. */
+  def scd2AsofLookup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val base = Tables.events(spark, dir).filter(col("user_id") < 20)
+    val changes = base
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .select(col("user_id").as("c_user"), col("ts").as("valid_from"),
+        col("event_id").as("change_id"), col("event_type").as("dim_type"))
+    val facts = base.select(col("user_id"), col("event_id"), col("ts"))
+    graft.operators.AsOfJoin.asOf(facts, changes,
+        leftKey = col("user_id"), rightKey = col("c_user"),
+        leftTime = col("ts"), rightTime = col("valid_from"),
+        rightTie = "change_id", rightPayload = Seq("dim_type", "change_id"))
+      .select("user_id", "event_id", "asof_dim_type", "asof_change_id")
+      .orderBy("event_id")
+  }
+
+  val scd2AsofLookupSql: String =
+    """WITH b AS (SELECT user_id, event_id, ts, event_type FROM events WHERE user_id < 20),
+      |c AS (SELECT user_id, ts AS valid_from, event_id AS change_id, event_type AS dim_type
+      |      FROM (SELECT user_id, event_id, ts, event_type,
+      |              lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |            FROM b) x
+      |      WHERE prev_type IS NULL OR prev_type != event_type),
+      |u AS (SELECT user_id AS k, ts AS t, 1 AS side, NULL::BIGINT AS tie,
+      |             NULL::VARCHAR AS p_dt, NULL::BIGINT AS p_ci, user_id, event_id
+      |      FROM b
+      |      UNION ALL
+      |      SELECT user_id, valid_from, 0, change_id, dim_type, change_id, NULL, NULL
+      |      FROM c),
+      |w AS (SELECT side, user_id, event_id,
+      |        last_value(p_dt IGNORE NULLS) OVER win AS asof_dim_type,
+      |        last_value(p_ci IGNORE NULLS) OVER win AS asof_change_id
+      |      FROM u
+      |      WINDOW win AS (PARTITION BY k ORDER BY t, side, tie
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT user_id, event_id, asof_dim_type, asof_change_id
+      |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scd2_asof_lookup" -> (scd2AsofLookup _),
+    "active_sessions_daily" -> (activeSessionsDaily _),
     "forecast_revenue" -> (forecastRevenue _),
     "returned_revenue_topk" -> (returnedRevenueTopk _),
     "late_shipment_priority" -> (lateShipmentPriority _),
@@ -2831,6 +2938,8 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "scd2_asof_lookup" -> scd2AsofLookupSql,
+    "active_sessions_daily" -> activeSessionsDailySql,
     "forecast_revenue" -> forecastRevenueSql,
     "returned_revenue_topk" -> returnedRevenueTopkSql,
     "late_shipment_priority" -> lateShipmentPrioritySql,

@@ -3064,7 +3064,51 @@ object TextQueries {
       |    / CAST(SUM(n_tokens) AS DOUBLE) AS truncation_share
       |FROM s GROUP BY seq_len ORDER BY seq_len""".stripMargin
 
+  /** Loss-spike replay: given the deterministic epoch-0 data order
+    * (`epoch_shuffle`'s seeded-affine key) and a batch size of 16, which
+    * documents fed training steps 5–7? The debugging query every
+    * training run eventually needs — and it only exists because the
+    * engine's shuffle is a deterministic RANKING, not an RNG. The rank
+    * is PrefixScan's distributed running sum; the step filter cuts to
+    * ~48 rows BEFORE the document join (AQE broadcasts the tiny side),
+    * so at 100 TB the replay costs one keyed rank pass + a pinpoint
+    * join, never a full re-sort. */
+  def batchReplay(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = graft.operators.TextOps.MinhashSeeds(5)
+    val m = PolyHash.Mod
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"), ((col("doc_id") * a + b) % m).as("skey"), lit(1L).as("one"))
+    val ranked = graft.operators.PrefixScan
+      .runningSumLong(keyed, "one", "rk", col("skey"), col("doc_id"))
+      .withColumn("step", expr("(rk - 1) div 16"))
+      .filter(col("step").between(5, 7))
+      .withColumn("pos_in_batch", expr("(rk - 1) % 16"))
+      .select(col("doc_id"), col("step"), col("pos_in_batch"))
+    val docMeta = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(graft.operators.TextOps.words(col("text"))).cast("bigint").as("n_tokens"))
+    ranked.join(docMeta, "doc_id")
+      .select(col("step"), col("pos_in_batch"), col("doc_id"),
+        col("source"), col("lang"), col("n_tokens"))
+      .orderBy("step", "pos_in_batch")
+  }
+
+  val batchReplaySql: String = {
+    val (a, b) = graft.operators.TextOps.MinhashSeeds(5)
+    s"""WITH k AS (SELECT doc_id, (doc_id * ${a} + ${b}) % ${PolyHash.Mod} AS skey FROM documents),
+       |r AS (SELECT doc_id,
+       |        CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT) - 1 AS rk
+       |      FROM k),
+       |s AS (SELECT doc_id, rk // 16 AS step, rk % 16 AS pos_in_batch
+       |      FROM r WHERE rk // 16 BETWEEN 5 AND 7)
+       |SELECT step, pos_in_batch, s.doc_id, source, lang,
+       |       len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens
+       |FROM s JOIN documents d ON s.doc_id = d.doc_id
+       |ORDER BY step, pos_in_batch""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "batch_replay" -> (batchReplay _),
     "seqlen_sweep" -> (seqlenSweep _),
     "dpo_pairs" -> (dpoPairs _),
     "simpson_diversity" -> (simpsonDiversity _),
@@ -3141,6 +3185,7 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "batch_replay" -> batchReplaySql,
     "seqlen_sweep" -> seqlenSweepSql,
     "dpo_pairs" -> dpoPairsSql,
     "simpson_diversity" -> simpsonDiversitySql,

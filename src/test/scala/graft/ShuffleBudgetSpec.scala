@@ -171,8 +171,13 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "late_shipment_priority" -> 3, // semi-join exchange + priority agg + sort
     "delta_compress" -> 3,     // ONE user exchange (lag window) + type agg + sort
     "seqlen_sweep" -> 2,       // map-side-combined L agg + result sort
-    "stream_delta_compress" -> 4) // ONE user-keyed transformWithState exchange
+    "stream_delta_compress" -> 4, // ONE user-keyed transformWithState exchange
                                // + kept-type agg + totals agg (broadcast join) + sort
+    "active_sessions_daily" -> 4, // user session window + day delta agg +
+                               // PrefixScan range exchange (offsets broadcast)
+    "batch_replay" -> 4,       // rank keyed agg + PrefixScan range exchange +
+                               // pinpoint doc join (tiny side broadcast) + sort
+    "scd2_asof_lookup" -> 3)   // change-detect window + as-of union key exchange + sort
   // graph_edge_support is NOT pinned: its two NESTED tracked caches
   // (candidate pairs inside the neighbor union, each referenced 2-3x)
   // make the static plan string inline the band self-join subtree ~6x
