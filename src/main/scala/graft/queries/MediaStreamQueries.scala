@@ -496,7 +496,53 @@ object MediaStreamQueries {
 
   val streamDeltaCompressSql: String = graft.queries.Relational.deltaCompressSql
 
+  /** WebDataset-style shard packing plan: within each modality, items in
+    * id order pack into ~4 KB shards by the start-offset rule (an item
+    * belongs to the shard its FIRST byte lands in — `shard_plan`'s rule,
+    * here per modality). The running byte offset is PrefixScan's
+    * two-phase distributed sum over ONE global (modality, id) ordering;
+    * per-modality restarts come from subtracting each modality's start
+    * offset (a 3-row broadcast), so there is no per-modality re-sort and
+    * no single-partition window at any corpus size. Emits per-shard
+    * packing stats — the manifest a multimodal loader consumes. */
+  def mediaShardPlan(spark: SparkSession, dir: String): DataFrame = {
+    val target = 4096L
+    val feats = Multimodal.extractFeatures(
+        Multimodal.asMedia(Tables.documents(spark, dir), "doc_id", "text"),
+        partitions = 8)
+      .toDF()
+      .select(col("modality"), col("id"), col("n_bytes").cast("bigint").as("n_bytes"))
+    val cum = graft.operators.PrefixScan
+      .runningSumLong(feats, "n_bytes", "cum", col("modality").asc, col("id").asc)
+    val offsets = cum.groupBy("modality")
+      .agg(min(col("cum") - col("n_bytes")).as("mod_off"))
+    cum.join(broadcast(offsets), "modality")
+      .withColumn("shard_no", expr(s"(cum - n_bytes - mod_off) div $target"))
+      .groupBy("modality", "shard_no")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("shard_bytes"),
+        min(col("id")).as("first_id"), max(col("id")).as("last_id"))
+      .orderBy("modality", "shard_no")
+  }
+
+  val mediaShardPlanSql: String =
+    """WITH f AS (
+      |  SELECT doc_id AS id,
+      |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
+      |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+      |  FROM documents),
+      |c AS (SELECT modality, id, n_bytes,
+      |        CAST(SUM(n_bytes) OVER (PARTITION BY modality ORDER BY id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_in
+      |      FROM f)
+      |SELECT modality, (cum_in - n_bytes) // 4096 AS shard_no,
+      |       COUNT(*) AS n_items,
+      |       CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+      |       MIN(id) AS first_id, MAX(id) AS last_id
+      |FROM c GROUP BY modality, shard_no ORDER BY modality, shard_no""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_shard_plan" -> (mediaShardPlan _),
     "stream_delta_compress" -> (streamDeltaCompress _),
     "event_rate_anomaly" -> (eventRateAnomaly _),
     "rolling_distinct_users" -> (rollingDistinctUsers _),
@@ -520,6 +566,7 @@ object MediaStreamQueries {
     "media_dedup" -> (mediaDedup _))
 
   val oracles: Map[String, String] = Map(
+    "media_shard_plan" -> mediaShardPlanSql,
     "stream_delta_compress" -> streamDeltaCompressSql,
     "event_rate_anomaly" -> eventRateAnomalySql,
     "rolling_distinct_users" -> rollingDistinctUsersSql,

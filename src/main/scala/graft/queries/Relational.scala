@@ -2854,7 +2854,50 @@ object Relational {
       |SELECT user_id, event_id, asof_dim_type, asof_change_id
       |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin
 
+  /** Exact click→purchase conversion-lag quantiles (p50/p90/p99) — the
+    * SLA readout over the attribution relation. Quantiles are EXACT, not
+    * approximate: per-lag-level counts (integer micros — lag levels are
+    * few relative to purchases), PrefixScan's distributed running sum
+    * over the level relation, and the rank-hit filter cum ≥ ⌈q·n⌉ >
+    * cum−cnt — the corpus never passes through a global sort or a
+    * single-partition rank window (hist_quantiles' shape, but exact on
+    * distinct levels instead of binned). Scalars ride the whitelisted
+    * 1-row cross-broadcast. */
+  def conversionLagQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val lags = attributionLastTouch(spark, dir)
+      .filter(col("lag_us").isNotNull).select(col("lag_us"))
+    val levels = lags.groupBy("lag_us").agg(count(lit(1)).as("cnt"))
+    val cum = graft.operators.PrefixScan
+      .runningSumLong(levels, "cnt", "cum", col("lag_us").asc)
+      .withColumn("cum0", col("cum") - col("cnt"))
+    val tot = levels.agg(sum("cnt").as("n"))
+    val qdf = spark.range(1).select(
+      explode(array(lit(0.5), lit(0.9), lit(0.99))).as("q"))
+    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(qdf))
+      .withColumn("target_rank", ceil(col("q") * col("n").cast("double")).cast("bigint"))
+      .filter(col("cum") >= col("target_rank") && col("cum0") < col("target_rank"))
+      .select(col("q"), col("target_rank"), col("lag_us"), col("n"))
+      .orderBy("q")
+  }
+
+  val conversionLagQuantilesSql: String =
+    s"""WITH att AS ($attributionLastTouchSql),
+       |l AS (SELECT lag_us FROM att WHERE lag_us IS NOT NULL),
+       |lv AS (SELECT lag_us, COUNT(*) AS cnt FROM l GROUP BY lag_us),
+       |c AS (SELECT lag_us, cnt,
+       |        CAST(SUM(cnt) OVER (ORDER BY lag_us
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |      FROM lv),
+       |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM lv),
+       |q AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+       |SELECT q, CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT) AS target_rank, lag_us, n
+       |FROM c CROSS JOIN n CROSS JOIN q
+       |WHERE cum >= CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT)
+       |  AND cum - cnt < CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT)
+       |ORDER BY q""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "conversion_lag_quantiles" -> (conversionLagQuantiles _),
     "scd2_asof_lookup" -> (scd2AsofLookup _),
     "active_sessions_daily" -> (activeSessionsDaily _),
     "forecast_revenue" -> (forecastRevenue _),
@@ -2938,6 +2981,7 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "conversion_lag_quantiles" -> conversionLagQuantilesSql,
     "scd2_asof_lookup" -> scd2AsofLookupSql,
     "active_sessions_daily" -> activeSessionsDailySql,
     "forecast_revenue" -> forecastRevenueSql,

@@ -96,7 +96,10 @@ class PlanGuardSpec extends AnyFunSuite {
       "idle_customers",
       // ivf_probe_curve: ivf_topk's deliberate 16-tiny-centroid probe
       // broadcast, once per probe level of the sweep.
-      "ivf_probe_curve")
+      "ivf_probe_curve",
+      // conversion_lag_quantiles: hist_quantiles' 1-row totals + 3-row
+      // quantile cross-broadcasts onto the lag-level relation.
+      "conversion_lag_quantiles")
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
