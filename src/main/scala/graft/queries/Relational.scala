@@ -2896,7 +2896,74 @@ object Relational {
        |  AND cum - cnt < CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT)
        |ORDER BY q""".stripMargin
 
+  /** Strict ordered funnel (ClickHouse windowFunnel-style, per-step
+    * tolerance): view → first click at-or-after it (≤24 h) → first
+    * purchase at-or-after that click (≤24 h; the fixtures' per-user
+    * event cadence is ~1/36 h, so an hour-scale window would be
+    * vacuously empty). Each step is the FORWARD
+    * as-of operator — one user-keyed exchange per step, zero row
+    * blow-up — never the |views|×|clicks-per-user| join the oracle's
+    * row_number formulation materializes (that asymmetry is the point:
+    * the oracle states the semantics, the engine states the plan).
+    * "First event at-or-after" makes the funnel strict: if a view's
+    * earliest following click is late, no later click can rescue it.
+    * Output is the 3-row stage table (rows + distinct users). */
+  def windowFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ev = Tables.events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("vts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"))
+    val s1 = graft.operators.AsOfJoin.asOfForward(views, clicks,
+        leftKey = col("user_id"), rightKey = col("c_user"),
+        leftTime = col("vts"), rightTime = col("cts"),
+        rightTie = "click_id", rightPayload = Seq("click_id", "cts"))
+      .filter(col("asof_cts").isNotNull &&
+        unix_micros(col("asof_cts")) - unix_micros(col("vts")) <= dayUs)
+    val s2 = graft.operators.AsOfJoin.asOfForward(s1, purchases,
+        leftKey = col("user_id"), rightKey = col("p_user"),
+        leftTime = col("asof_cts"), rightTime = col("pts"),
+        rightTie = "purchase_id", rightPayload = Seq("purchase_id", "pts"))
+      .filter(col("asof_pts").isNotNull &&
+        unix_micros(col("asof_pts")) - unix_micros(col("asof_cts")) <= dayUs)
+    def stage(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"))
+        .select(lit(name).as("stage"), col("n_rows"), col("n_users"))
+    stage(views, "1_view")
+      .unionByName(stage(s1, "2_click"))
+      .unionByName(stage(s2, "3_purchase"))
+      .orderBy("stage")
+  }
+
+  val windowFunnelSql: String =
+    """WITH v AS (SELECT user_id, event_id AS view_id, ts AS vts FROM events WHERE event_type = 'view'),
+      |c AS (SELECT user_id, event_id AS click_id, ts AS cts FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, event_id AS purchase_id, ts AS pts FROM events WHERE event_type = 'purchase'),
+      |s1 AS (SELECT user_id, view_id, vts, click_id, cts FROM (
+      |        SELECT v.user_id, v.view_id, v.vts, c.click_id, c.cts,
+      |               row_number() OVER (PARTITION BY v.user_id, v.view_id
+      |                                  ORDER BY c.cts, c.click_id) AS rn
+      |        FROM v JOIN c ON c.user_id = v.user_id AND c.cts >= v.vts) x WHERE rn = 1),
+      |s1ok AS (SELECT * FROM s1 WHERE epoch_us(cts) - epoch_us(vts) <= 86400000000),
+      |s2 AS (SELECT user_id, view_id, cts, purchase_id, pts FROM (
+      |        SELECT s.user_id, s.view_id, s.cts, p.purchase_id, p.pts,
+      |               row_number() OVER (PARTITION BY s.user_id, s.view_id
+      |                                  ORDER BY p.pts, p.purchase_id) AS rn
+      |        FROM s1ok s JOIN p ON p.user_id = s.user_id AND p.pts >= s.cts) y WHERE rn = 1),
+      |s2ok AS (SELECT * FROM s2 WHERE epoch_us(pts) - epoch_us(cts) <= 86400000000)
+      |SELECT '1_view' AS stage, COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS n_users FROM v
+      |UNION ALL SELECT '2_click', COUNT(*), COUNT(DISTINCT user_id) FROM s1ok
+      |UNION ALL SELECT '3_purchase', COUNT(*), COUNT(DISTINCT user_id) FROM s2ok
+      |ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_funnel" -> (windowFunnel _),
     "conversion_lag_quantiles" -> (conversionLagQuantiles _),
     "scd2_asof_lookup" -> (scd2AsofLookup _),
     "active_sessions_daily" -> (activeSessionsDaily _),
@@ -2981,6 +3048,7 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "window_funnel" -> windowFunnelSql,
     "conversion_lag_quantiles" -> conversionLagQuantilesSql,
     "scd2_asof_lookup" -> scd2AsofLookupSql,
     "active_sessions_daily" -> activeSessionsDailySql,

@@ -3107,7 +3107,44 @@ object TextQueries {
        |ORDER BY step, pos_in_batch""".stripMargin
   }
 
+  /** Bigram-LM next-token lookup: the top-3 successors (by corpus bigram
+    * count) of three fixed context words — the inference-side read of
+    * the n-gram language model `lm_score` trains. The context filter
+    * prunes the exploded bigram stream AT THE SCAN (three posting lists,
+    * not the corpus); the rank window partitions by context word over
+    * the ≤|vocab| successor relation. Ties break (count desc, word asc)
+    * so the cut is deterministic cross-engine. */
+  def nextTokenTopk(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = Seq("spark", "data", "join")
+    val ws = graft.operators.TextOps.words(col("text"))
+    val pairs = Tables.documents(spark, dir)
+      .select(explode(zip_with(
+        slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+        slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w1").isin(ctx: _*))
+    pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("w1").orderBy(col("cnt").desc, col("w2").asc)).cast("bigint"))
+      .filter(col("rk") <= 3)
+      .orderBy("w1", "rk")
+  }
+
+  val nextTokenTopkSql: String =
+    """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents),
+      |b AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+      |      FROM t, unnest(range(1, len(ws))) AS u(i)
+      |      WHERE ws[i] IN ('spark', 'data', 'join')),
+      |c AS (SELECT w1, w2, COUNT(*) AS cnt FROM b GROUP BY w1, w2)
+      |SELECT w1, w2, cnt, rk FROM (
+      |  SELECT w1, w2, cnt,
+      |         CAST(row_number() OVER (PARTITION BY w1 ORDER BY cnt DESC, w2 ASC) AS BIGINT) AS rk
+      |  FROM c) r
+      |WHERE rk <= 3 ORDER BY w1, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "next_token_topk" -> (nextTokenTopk _),
     "batch_replay" -> (batchReplay _),
     "seqlen_sweep" -> (seqlenSweep _),
     "dpo_pairs" -> (dpoPairs _),
@@ -3185,6 +3222,7 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "next_token_topk" -> nextTokenTopkSql,
     "batch_replay" -> batchReplaySql,
     "seqlen_sweep" -> seqlenSweepSql,
     "dpo_pairs" -> dpoPairsSql,

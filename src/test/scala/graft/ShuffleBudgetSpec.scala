@@ -177,7 +177,11 @@ class ShuffleBudgetSpec extends AnyFunSuite {
                                // PrefixScan range exchange (offsets broadcast)
     "batch_replay" -> 4,       // rank keyed agg + PrefixScan range exchange +
                                // pinpoint doc join (tiny side broadcast) + sort
-    "scd2_asof_lookup" -> 3)   // change-detect window + as-of union key exchange + sort
+    "scd2_asof_lookup" -> 3,   // change-detect window + as-of union key exchange + sort
+    "window_funnel" -> 9,      // two forward as-of union exchanges + three
+                               // stage aggs (count-distinct = 2 exchanges each)
+                               // + result sort
+    "next_token_topk" -> 3)    // scan-pruned bigram agg + per-context window + sort
   // graph_edge_support is NOT pinned: its two NESTED tracked caches
   // (candidate pairs inside the neighbor union, each referenced 2-3x)
   // make the static plan string inline the band self-join subtree ~6x
