@@ -1053,7 +1053,80 @@ object SimilarityQueries {
        |WHERE (id_a % 10 = 0) != (id_b % 10 = 0)
        |ORDER BY test_id, train_id""".stripMargin
 
+  /** The LSH tuning curve, companion to `ivf_probe_curve`: candidate
+    * volume and mean recall@10 as the band count sweeps 1→2 (more bands
+    * = more candidates = higher recall at higher cost — THE LSH knob).
+    * The banded index and the brute-force truth are each built once and
+    * cache-tracked across the sweep; per band count the candidate join
+    * moves only (id, band, key) rows and the top-10 is the bounded-heap
+    * aggregator. Output is 2 rows: the knob's cost/recall readout. */
+  def lshBandSweep(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKAggregator
+    val e = graft.GraftCaches.track(
+      Similarity.indexed(Tables.embeddings(spark, dir), "vec_id", "embedding"))
+    val truth = graft.GraftCaches.track(
+      Similarity.bruteForceTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+          col("vec_id") < 5, k = 10)
+        .select(col("q_id"), col("vec_id")))
+    val allBands = graft.GraftCaches.track(Similarity.bandRows(e, "vec_id"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("q_nrm"))
+    (1 to 2).map { nb =>
+      val bands = allBands.filter(col("band") < nb)
+      val qb = bands.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("band"), col("key"))
+      val cand = bands.as("c").join(broadcast(qb.as("q")),
+          col("c.band") === col("q.band") && col("c.key") === col("q.key") &&
+            col("c.vec_id") =!= col("q.q_id"))
+        .select(col("q.q_id").as("q_id"), col("c.vec_id").as("vec_id"))
+        .distinct()
+      val scored = cand
+        .join(e.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+        .join(broadcast(q), "q_id")
+        .select(col("q_id"), col("vec_id"),
+          (Similarity.dot(col("qv"), col("v")) / (col("q_nrm") * col("nrm"))).as("sim"))
+      val top = scored.groupBy("q_id")
+        .agg(TopKAggregator.topK(10)(col("vec_id"), col("sim")).as("tk"))
+        .select(col("q_id"), explode(col("tk.ids")).as("vec_id"), lit(1L).as("hit"))
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      truth.join(top, Seq("q_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .crossJoin(broadcast(nCand))
+        .select(lit(nb.toLong).as("n_bands"), col("n_candidates"), col("n_truth"),
+          col("n_hits"),
+          (col("n_hits").cast("double") / col("n_truth").cast("double")).as("recall"))
+    }.reduce(_ unionByName _).orderBy("n_bands")
+  }
+
+  /** One banded-candidate top-10 rebuild restricted to bands < nb. */
+  private def bandSweepApproxSql(nb: Int): String = {
+    val bandsFiltered = s"(SELECT vec_id, band, key FROM bands WHERE band < $nb)"
+    s"""WITH $eCte,
+       |$bandsCte,
+       |q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qnrm FROM e0 WHERE vec_id < 5),
+       |qb AS (SELECT vec_id AS q_id, band, key FROM $bandsFiltered WHERE vec_id < 5),
+       |cand AS (SELECT DISTINCT qb.q_id, b.vec_id
+       |         FROM $bandsFiltered b JOIN qb ON b.band = qb.band AND b.key = qb.key AND b.vec_id != qb.q_id),
+       |s AS (SELECT c.q_id, c.vec_id, ${cosSql("q.qv", "e.embedding", "q.qnrm", "e.nrm")} AS sim
+       |      FROM cand c JOIN e0 e ON e.vec_id = c.vec_id JOIN q ON q.q_id = c.q_id),
+       |top AS (SELECT q_id, vec_id, 1::BIGINT AS hit FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM s) t
+       |        WHERE rank <= 10),
+       |nc AS (SELECT COUNT(*) AS n_candidates FROM cand)
+       |SELECT $nb::BIGINT AS n_bands, nc.n_candidates, COUNT(*) AS n_truth,
+       |       CAST(SUM(COALESCE(top.hit, 0)) AS BIGINT) AS n_hits,
+       |       CAST(SUM(COALESCE(top.hit, 0)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+       |FROM ($cosineTopKSql) tr LEFT JOIN top USING (q_id, vec_id) CROSS JOIN nc
+       |GROUP BY nc.n_candidates""".stripMargin
+  }
+
+  val lshBandSweepSql: String =
+    (1 to 2).map(nb => s"SELECT * FROM (${bandSweepApproxSql(nb)})")
+      .mkString("\nUNION ALL\n") + "\nORDER BY n_bands"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lsh_band_sweep" -> (lshBandSweep _),
     "embedding_decontam" -> (embeddingDecontam _),
     "ivf_probe_curve" -> (ivfProbeCurve _),
     "contrastive_pairs" -> (contrastivePairsQ _),
@@ -1085,6 +1158,7 @@ object SimilarityQueries {
     "ivf_topk" -> (ivfTopK _))
 
   val oracles: Map[String, String] = Map(
+    "lsh_band_sweep" -> lshBandSweepSql,
     "embedding_decontam" -> embeddingDecontamSql,
     "ivf_probe_curve" -> ivfProbeCurveSql,
     "contrastive_pairs" -> contrastivePairsSql,

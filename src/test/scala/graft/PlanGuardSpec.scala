@@ -99,10 +99,16 @@ class PlanGuardSpec extends AnyFunSuite {
       "ivf_probe_curve",
       // conversion_lag_quantiles: hist_quantiles' 1-row totals + 3-row
       // quantile cross-broadcasts onto the lag-level relation.
-      "conversion_lag_quantiles")
+      "conversion_lag_quantiles",
+      // lsh_band_sweep: ann_recall's deliberate exact-scoring BNLJ on
+      // the brute-force truth side (+ the 1-row candidate-count
+      // cross-broadcast); the banded candidate joins are equi-joins.
+      "lsh_band_sweep")
 
   private def planOf(name: String): String =
-    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+    try SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+    finally GraftCaches.releaseAll() // tracked caches would leak into sibling
+                                     // suites' plan shapes (round-6 flake class)
 
   test("no CartesianProduct; BroadcastNestedLoopJoin only where whitelisted") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>

@@ -14,7 +14,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   private def planOf(name: String): String =
-    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+    try SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+    finally GraftCaches.releaseAll() // tracked caches would leak into sibling
+                                     // suites' plan shapes (round-6 flake class)
 
   private def shuffles(plan: String): Int =
     "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
