@@ -200,4 +200,50 @@ class ScaleSmokeSpec extends AnyFunSuite {
     assert(agg.getLong(1) >= 0L)
     GraftCaches.releaseAll()
   }
+
+  /** Synthetic events parquet (1M rows, 5k users, 30-day span) written
+    * once per test: the event-stream operators read the REAL fixture
+    * path (`Tables.events`), so the smoke drives the exact shipped query
+    * functions, not re-implementations. */
+  private def synthEventsDir(n: Long): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scale-ev").toString
+    val baseUs = 1704067200000000L // 2024-01-01 UTC
+    spark.range(n).select(
+        col("id").as("event_id"),
+        timestamp_micros(lit(baseUs) +
+          pmod(col("id") * 37000000L, lit(30L * 86400 * 1000000L))).as("ts"),
+        pmod(col("id"), lit(5000)).as("user_id"),
+        element_at(array(lit("view"), lit("click"), lit("purchase"),
+          lit("signup"), lit("error")),
+          (pmod(hash(col("id")), lit(5)) + 1).cast("int")).as("event_type"),
+        (pmod(hash(col("id"), lit(1)), lit(10000)).cast("double") / 100.0).as("value"),
+        lit("{\"k\": 1}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    tmp
+  }
+
+  test("sweep-line session load and window funnel complete at 1M events") {
+    val dir = synthEventsDir(1000000L)
+    val asd = graft.queries.Relational.activeSessionsDaily(spark, dir)
+    banned(asd)
+    val days = timed("activeSessionsDaily over 1M events")(asd.count())
+    assert(days > 0L)
+    val wf = graft.queries.Relational.windowFunnel(spark, dir)
+    banned(wf)
+    val stages = timed("windowFunnel over 1M events")(wf.collect())
+    assert(stages.length === 3)
+    assert(stages(0).getLong(1) > 0L, "stage 1 must see views")
+    GraftCaches.releaseAll()
+  }
+
+  test(s"media shard packing completes at $nDocs docs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scale-docs").toString
+    synthDocs(nDocs).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val plan = graft.queries.MediaStreamQueries.mediaShardPlan(spark, tmp)
+    banned(plan)
+    val rows = timed(s"mediaShardPlan over $nDocs docs")(
+      plan.agg(count(lit(1)), sum(col("n_items"))).collect()(0))
+    assert(rows.getLong(1) === nDocs, "every item must land in exactly one shard")
+    GraftCaches.releaseAll()
+  }
 }
