@@ -541,7 +541,34 @@ object MediaStreamQueries {
       |       MIN(id) AS first_id, MAX(id) AS last_id
       |FROM c GROUP BY modality, shard_no ORDER BY modality, shard_no""".stripMargin
 
+  /** Streaming HLL distinct-user counter ([[graft.streaming.HllStream]]):
+    * 64 bytes of register state per event type, max-merged as events
+    * arrive — hash-checked against the DuckDB register-replay oracle
+    * (the hll_by_source formula over (event_type, user_id)), so the
+    * streaming sketch and the relational sketch are provably the same
+    * math. */
+  def streamHllUsers(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.HllStream.distinctUsers(Tables.events(spark, dir))
+      .toDF()
+      .orderBy("event_type")
+
+  val streamHllUsersSql: String =
+    s"""WITH h AS (SELECT event_type,
+       |             list_reduce(list_prepend(0::BIGINT,
+       |               list_transform(string_split(CAST(user_id AS VARCHAR), ''), c -> ascii(c)::BIGINT)),
+       |               (a,b) -> (a*31+b) % ${graft.functions.PolyHash.Mod}) AS hv
+       |           FROM events),
+       |r AS (SELECT event_type, hv % 64 AS bucket,
+       |        CASE WHEN hv // 64 = 0 THEN 25
+       |             ELSE bit_count(((hv // 64) & -(hv // 64)) - 1) + 1 END AS rho
+       |      FROM h),
+       |regs AS (SELECT event_type, bucket, MAX(rho) AS max_rho FROM r GROUP BY event_type, bucket)
+       |SELECT event_type, COUNT(*) AS n_used,
+       |  0.709::DOUBLE * 64 * 64 / (SUM(pow(2, -max_rho)) + (64 - COUNT(*))) AS estimate
+       |FROM regs GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_hll_users" -> (streamHllUsers _),
     "media_shard_plan" -> (mediaShardPlan _),
     "stream_delta_compress" -> (streamDeltaCompress _),
     "event_rate_anomaly" -> (eventRateAnomaly _),
@@ -566,6 +593,7 @@ object MediaStreamQueries {
     "media_dedup" -> (mediaDedup _))
 
   val oracles: Map[String, String] = Map(
+    "stream_hll_users" -> streamHllUsersSql,
     "media_shard_plan" -> mediaShardPlanSql,
     "stream_delta_compress" -> streamDeltaCompressSql,
     "event_rate_anomaly" -> eventRateAnomalySql,

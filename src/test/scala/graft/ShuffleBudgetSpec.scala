@@ -183,7 +183,8 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "window_funnel" -> 9,      // two forward as-of union exchanges + three
                                // stage aggs (count-distinct = 2 exchanges each)
                                // + result sort
-    "next_token_topk" -> 3)    // scan-pruned bigram agg + per-context window + sort
+    "next_token_topk" -> 3,    // scan-pruned bigram agg + per-context window + sort
+    "stream_hll_users" -> 2)   // ONE type-keyed transformWithState exchange + sort
   // graph_edge_support is NOT pinned: its two NESTED tracked caches
   // (candidate pairs inside the neighbor union, each referenced 2-3x)
   // make the static plan string inline the band self-join subtree ~6x
