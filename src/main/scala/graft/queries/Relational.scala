@@ -2962,7 +2962,49 @@ object Relational {
       |UNION ALL SELECT '3_purchase', COUNT(*), COUNT(DISTINCT user_id) FROM s2ok
       |ORDER BY stage""".stripMargin
 
+  /** TPC-H Q5-shaped local-supplier volume: revenue per nation where the
+    * ordering customer and the line's supplier sit in the SAME nation —
+    * the join graph whose interesting edge is the c_nationkey =
+    * s_nationkey equality BETWEEN two dimension paths, not another
+    * fact-dimension key. Plan shape: ONE fact-fact shuffle
+    * (lineitem⋈orders on orderkey); customer, supplier, nation, region
+    * all broadcast; the same-nation test evaluates inside the broadcast
+    * joins, so no extra exchange appears for it. Exact decimal revenue,
+    * |nations|-row output. */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = col("l_extendedprice").cast(DecimalType(12, 2)) *
+      (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
+    val custNation = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(revenue).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  val localSupplierVolumeSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "local_supplier_volume" -> (localSupplierVolume _),
     "window_funnel" -> (windowFunnel _),
     "conversion_lag_quantiles" -> (conversionLagQuantiles _),
     "scd2_asof_lookup" -> (scd2AsofLookup _),
@@ -3048,6 +3090,7 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "local_supplier_volume" -> localSupplierVolumeSql,
     "window_funnel" -> windowFunnelSql,
     "conversion_lag_quantiles" -> conversionLagQuantilesSql,
     "scd2_asof_lookup" -> scd2AsofLookupSql,
