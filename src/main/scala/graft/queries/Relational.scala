@@ -3003,7 +3003,58 @@ object Relational {
       |WHERE r_name = 'ASIA'
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** Referential-integrity audit across the star schema's four FK edges
+    * (lineitem→orders/part/supplier, orders→customer): orphan counts and
+    * coverage per edge — the data-quality gate that runs before anyone
+    * trusts a join. Each edge is ONE left-anti probe of the child's
+    * DISTINCT keys against the parent (at 100 TB: distinct-key aggs
+    * shuffle keys only, the parent sides broadcast after their own
+    * distinct); the four 1-row results union into the audit table. */
+  def fkIntegrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String): DataFrame = {
+      val keys = child.select(col(childKey).as("k")).distinct()
+      val orphans = keys.join(parent.select(col(parentKey).as("k")).distinct(),
+        Seq("k"), "left_anti")
+      keys.agg(count(lit(1)).as("n_keys"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("fk_edge"), col("n_keys"), col("n_orphans"),
+          ((col("n_keys") - col("n_orphans")).cast("double") /
+            col("n_keys").cast("double")).as("coverage"))
+    }
+    val li = Tables.lineitem(spark, dir)
+    edge("lineitem.orderkey->orders", li, "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey")
+      .unionByName(edge("lineitem.partkey->part", li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey"))
+      .unionByName(edge("lineitem.suppkey->supplier", li, "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"))
+      .unionByName(edge("orders.custkey->customer", Tables.orders(spark, dir),
+        "o_custkey", Tables.customer(spark, dir), "c_custkey"))
+      .orderBy("fk_edge")
+  }
+
+  val fkIntegrityAuditSql: String = {
+    def edgeSql(name: String, child: String, childKey: String,
+        parent: String, parentKey: String): String =
+      s"""SELECT '$name' AS fk_edge,
+         |  (SELECT COUNT(DISTINCT $childKey) FROM $child) AS n_keys,
+         |  (SELECT COUNT(*) FROM (SELECT DISTINCT $childKey AS k FROM $child) c
+         |    WHERE NOT EXISTS (SELECT 1 FROM $parent WHERE $parentKey = c.k)) AS n_orphans,
+         |  CAST((SELECT COUNT(DISTINCT $childKey) FROM $child)
+         |       - (SELECT COUNT(*) FROM (SELECT DISTINCT $childKey AS k FROM $child) c
+         |          WHERE NOT EXISTS (SELECT 1 FROM $parent WHERE $parentKey = c.k)) AS DOUBLE)
+         |    / CAST((SELECT COUNT(DISTINCT $childKey) FROM $child) AS DOUBLE) AS coverage""".stripMargin
+    Seq(
+      edgeSql("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      edgeSql("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      edgeSql("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      edgeSql("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"))
+      .mkString("\nUNION ALL\n") + "\nORDER BY fk_edge"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fk_integrity_audit" -> (fkIntegrityAudit _),
     "local_supplier_volume" -> (localSupplierVolume _),
     "window_funnel" -> (windowFunnel _),
     "conversion_lag_quantiles" -> (conversionLagQuantiles _),
@@ -3090,6 +3141,7 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "fk_integrity_audit" -> fkIntegrityAuditSql,
     "local_supplier_volume" -> localSupplierVolumeSql,
     "window_funnel" -> windowFunnelSql,
     "conversion_lag_quantiles" -> conversionLagQuantilesSql,

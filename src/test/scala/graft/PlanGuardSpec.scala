@@ -103,7 +103,10 @@ class PlanGuardSpec extends AnyFunSuite {
       // lsh_band_sweep: ann_recall's deliberate exact-scoring BNLJ on
       // the brute-force truth side (+ the 1-row candidate-count
       // cross-broadcast); the banded candidate joins are equi-joins.
-      "lsh_band_sweep")
+      "lsh_band_sweep",
+      // fk_integrity_audit: per edge, the 1-row keys x 1-row orphans
+      // scalar cross-broadcast; the orphan probes are anti equi-joins.
+      "fk_integrity_audit")
 
   private def planOf(name: String): String =
     try SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
