@@ -567,7 +567,39 @@ object MediaStreamQueries {
        |  0.709::DOUBLE * 64 * 64 / (SUM(pow(2, -max_rho)) + (64 - COUNT(*))) AS estimate
        |FROM regs GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Streaming count-min sketch over the document token stream
+    * ([[graft.streaming.CmsStream]]): the live (row_j, bucket, cnt) cell
+    * relation, hash-checked against the DuckDB sketch-replay oracle —
+    * the same cells `cms_heavy_hitters` builds in batch, proven equal
+    * when maintained online. */
+  def streamCmsTerms(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = Tables.documents(spark, dir)
+      .select(explode(graft.operators.TextOps.words(col("text"))).as("term"))
+    graft.streaming.CmsStream.sketch(tokens, "term")
+      .toDF()
+      .orderBy("row_j", "bucket")
+  }
+
+  val streamCmsTermsSql: String = {
+    val m = graft.functions.PolyHash.Mod
+    val seeds = (0 until graft.operators.Sketches.CmsDepth)
+      .map(j => { val (a, b) = graft.operators.TextOps.MinhashSeeds(j); s"($j, ${a}, ${b})" })
+      .mkString(", ")
+    val w = graft.operators.Sketches.CmsWidth
+    s"""WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term FROM documents),
+       |t AS (SELECT term,
+       |        list_reduce(list_prepend(0::BIGINT, list_transform(string_split(term, ''), c -> ascii(c)::BIGINT)),
+       |                    (a,b) -> (a*31+b) % $m) AS h
+       |      FROM tok),
+       |seeds AS (SELECT * FROM (VALUES $seeds) AS s(row_j, a, b)),
+       |cells AS (SELECT s.row_j, (t.h*s.a + s.b) % $m % $w AS bucket
+       |          FROM t CROSS JOIN seeds s)
+       |SELECT CAST(row_j AS INT) AS row_j, CAST(bucket AS INT) AS bucket, COUNT(*) AS cnt
+       |FROM cells GROUP BY row_j, bucket ORDER BY row_j, bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_cms_terms" -> (streamCmsTerms _),
     "stream_hll_users" -> (streamHllUsers _),
     "media_shard_plan" -> (mediaShardPlan _),
     "stream_delta_compress" -> (streamDeltaCompress _),
@@ -593,6 +625,7 @@ object MediaStreamQueries {
     "media_dedup" -> (mediaDedup _))
 
   val oracles: Map[String, String] = Map(
+    "stream_cms_terms" -> streamCmsTermsSql,
     "stream_hll_users" -> streamHllUsersSql,
     "media_shard_plan" -> mediaShardPlanSql,
     "stream_delta_compress" -> streamDeltaCompressSql,
