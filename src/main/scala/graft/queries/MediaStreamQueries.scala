@@ -598,7 +598,39 @@ object MediaStreamQueries {
        |FROM cells GROUP BY row_j, bucket ORDER BY row_j, bucket""".stripMargin
   }
 
+  /** Streaming Bloom filter over document fingerprints
+    * ([[graft.streaming.BloomStream]]): the live (reg, bits) register
+    * relation of the poly-hash fingerprint stream, OR-merged in state and
+    * hash-checked against the DuckDB register-replay oracle — the same
+    * registers `bloom_fpr` builds in batch, proven equal online. */
+  def streamBloomFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val elems = Tables.documents(spark, dir)
+      .select(graft.functions.PolyHash.hash(col("text")).as("h"))
+    graft.streaming.BloomStream.sketch(elems, "h")
+      .toDF()
+      .orderBy("reg")
+  }
+
+  val streamBloomFingerprintsSql: String = {
+    val m = graft.functions.PolyHash.Mod
+    val bits = (0 until graft.operators.Sketches.BloomK).map { j =>
+      val (a, b) = graft.operators.TextOps.MinhashSeeds(j)
+      s"(h * ${a} + ${b}) % $m % ${graft.operators.Sketches.BloomBits}"
+    }.mkString(",\n       |         ")
+    s"""WITH h AS (SELECT list_reduce(list_prepend(0::BIGINT,
+       |             list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+       |             (a,b) -> (a*31+b) % $m) AS h
+       |           FROM documents),
+       |b AS (SELECT unnest([
+       |         $bits]) AS bit
+       |      FROM h)
+       |SELECT bit // 32 AS reg,
+       |       bit_or(1::BIGINT << CAST(bit % 32 AS INTEGER)) AS bits
+       |FROM b GROUP BY reg ORDER BY reg""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_bloom_fingerprints" -> (streamBloomFingerprints _),
     "stream_cms_terms" -> (streamCmsTerms _),
     "stream_hll_users" -> (streamHllUsers _),
     "media_shard_plan" -> (mediaShardPlan _),
@@ -625,6 +657,7 @@ object MediaStreamQueries {
     "media_dedup" -> (mediaDedup _))
 
   val oracles: Map[String, String] = Map(
+    "stream_bloom_fingerprints" -> streamBloomFingerprintsSql,
     "stream_cms_terms" -> streamCmsTermsSql,
     "stream_hll_users" -> streamHllUsersSql,
     "media_shard_plan" -> mediaShardPlanSql,

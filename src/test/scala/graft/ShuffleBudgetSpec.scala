@@ -187,7 +187,8 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "stream_hll_users" -> 2,   // ONE type-keyed transformWithState exchange + sort
     "local_supplier_volume" -> 3, // ONE fact-fact shuffle (both sides) + nation agg
                                // + result sort; all four dims broadcast
-    "stream_cms_terms" -> 2)   // ONE row_j-keyed transformWithState exchange + sort
+    "stream_cms_terms" -> 2,   // ONE row_j-keyed transformWithState exchange + sort
+    "stream_bloom_fingerprints" -> 2) // ONE block-keyed transformWithState exchange + sort
   // graph_edge_support is NOT pinned: its two NESTED tracked caches
   // (candidate pairs inside the neighbor union, each referenced 2-3x)
   // make the static plan string inline the band self-join subtree ~6x
