@@ -1125,7 +1125,64 @@ object SimilarityQueries {
     (1 to 2).map(nb => s"SELECT * FROM (${bandSweepApproxSql(nb)})")
       .mkString("\nUNION ALL\n") + "\nORDER BY n_bands"
 
+  /** Binary-quantization retrieval audit: vectors collapse to a 48-bit
+    * sign signature (one codegen'd [[graft.functions.LshBandKey]] call —
+    * 48 hyperplane sign bits in a single long, a 42× storage shrink from
+    * 64 floats), retrieval is Hamming distance (one xor + popcount per
+    * comparison), and the readout is recall@10 against the exact cosine
+    * truth — the cheapest index tier next to int8 (`embed_quantize_int8`)
+    * and PQ (`pq_recall`). The Hamming scan is the deliberate
+    * exact-baseline BNLJ shape of the recall family; per-query top-10 is
+    * the bounded heap on negated distance. */
+  def binaryEmbedRecall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{LshBandKey, TopKAggregator}
+    val emb = graft.GraftCaches.track(Tables.embeddings(spark, dir))
+    val e = emb.select(col("vec_id"),
+      LshBandKey.key(Similarity.toDoubleVec(col("embedding")), 0, 48).as("sig"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("sig").as("qsig"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        bit_count(col("sig").bitwiseXOR(col("qsig"))).cast("double").as("ham"))
+    val approx = scored
+      .groupBy("q_id")
+      .agg(TopKAggregator.topK(10)(col("vec_id"), -col("ham")).as("tk"))
+      .select(col("q_id"), explode(col("tk.ids")).as("vec_id"), lit(1L).as("hit"))
+    val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 5, k = 10)
+      .select(col("q_id"), col("vec_id"))
+    truth.join(approx, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / col("k").cast("double"))
+      .orderBy("q_id")
+  }
+
+  /** 48-bit sign signature rebuilt in SQL: band 0, 48 planes, the same
+    * ±1 pattern ((i·31 + j·37) mod 97) mod 2 as [[bandKeySql]]. */
+  private val sig48Sql: String =
+    s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 48), jj ->
+       |   CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(embedding)+1), i ->
+       |        embedding[i]::DOUBLE * (CASE WHEN ((i*31 + jj*37) % 97) % 2 = 0 THEN 1.0 ELSE -1.0 END))), (x,y) -> x+y) > 0
+       |   THEN (1::BIGINT << jj) ELSE 0 END)), (a,b) -> a+b)""".stripMargin
+
+  val binaryEmbedRecallSql: String =
+    s"""WITH s AS (SELECT vec_id, $sig48Sql AS sig FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, sig AS qsig FROM s WHERE vec_id < 5),
+       |h AS (SELECT q.q_id, s.vec_id, CAST(bit_count(xor(s.sig, q.qsig)) AS DOUBLE) AS ham
+       |      FROM s JOIN q ON s.vec_id != q.q_id),
+       |approx AS (SELECT q_id, vec_id, 1::BIGINT AS hit FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ham ASC, vec_id ASC) AS rn FROM h) t
+       |  WHERE rn <= 10),
+       |truth AS (SELECT q_id, vec_id FROM ($cosineTopKSql))
+       |SELECT t.q_id, COUNT(*) AS k,
+       |       CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS n_hits,
+       |       CAST(SUM(COALESCE(a.hit, 0)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+       |FROM truth t LEFT JOIN approx a USING (q_id, vec_id)
+       |GROUP BY t.q_id ORDER BY q_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "binary_embed_recall" -> (binaryEmbedRecall _),
     "lsh_band_sweep" -> (lshBandSweep _),
     "embedding_decontam" -> (embeddingDecontam _),
     "ivf_probe_curve" -> (ivfProbeCurve _),
@@ -1158,6 +1215,7 @@ object SimilarityQueries {
     "ivf_topk" -> (ivfTopK _))
 
   val oracles: Map[String, String] = Map(
+    "binary_embed_recall" -> binaryEmbedRecallSql,
     "lsh_band_sweep" -> lshBandSweepSql,
     "embedding_decontam" -> embeddingDecontamSql,
     "ivf_probe_curve" -> ivfProbeCurveSql,

@@ -106,7 +106,11 @@ class PlanGuardSpec extends AnyFunSuite {
       "lsh_band_sweep",
       // fk_integrity_audit: per edge, the 1-row keys x 1-row orphans
       // scalar cross-broadcast; the orphan probes are anti equi-joins.
-      "fk_integrity_audit")
+      "fk_integrity_audit",
+      // binary_embed_recall: the recall family's deliberate
+      // exact-baseline BNLJ on BOTH sides (the Hamming scan is the
+      // audited index; the cosine truth is the usual exact baseline).
+      "binary_embed_recall")
 
   private def planOf(name: String): String =
     try SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
