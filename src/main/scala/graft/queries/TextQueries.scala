@@ -3143,7 +3143,59 @@ object TextQueries {
       |  FROM c) r
       |WHERE rk <= 3 ORDER BY w1, rk""".stripMargin
 
+  /** Distinctive vocabulary per source: the top-3 terms by the
+    * division-cleared χ² association score (O·N − R·C)² / (R·C) — the
+    * "what makes this domain's text different" readout behind corpus
+    * cards and mixture debugging. The numerator is exact integer math
+    * (the chi2_independence discipline) so only ONE fixed-order IEEE
+    * division happens per cell; ranking ties break by term. (int64
+    * bounds: o·n and its square stay far under 2^63 at fixture scale;
+    * a trillion-token corpus would promote the numerator to
+    * DECIMAL(38,0) — same expression tree, wider lanes.) Shapes:
+    * (source, term) counts, term totals joined ON THE TERM, the
+    * |sources|-row and 1-row totals broadcast, ranking window bounded by
+    * per-source vocabulary. */
+  def sourceTermSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(spark, dir)
+      .select(col("source"), explode(org.apache.spark.sql.functions.filter(
+        split(col("text"), " "), w => w =!= "")).as("term"))
+    val cell = terms.groupBy("source", "term").agg(count(lit(1)).as("o"))
+    val rowT = cell.groupBy("term").agg(sum(col("o")).as("r"))
+    val colT = cell.groupBy("source").agg(sum(col("o")).as("c"))
+    val n = cell.agg(sum(col("o")).as("n"))
+    val num = (col("o") * col("n") - col("r") * col("c"))
+    val score = (num * num).cast("double") / (col("r") * col("c")).cast("double")
+    cell.join(rowT, "term")
+      .join(broadcast(colT), "source")
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("term"), col("o"), score.as("chi2_score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("chi2_score").desc, col("term").asc))
+        .cast("bigint"))
+      .filter(col("rk") <= 3)
+      .orderBy("source", "rk")
+  }
+
+  val sourceTermSignaturesSql: String =
+    """WITH cell AS (SELECT source, term, COUNT(*) AS o
+      |              FROM (SELECT source, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+      |                    FROM documents) t
+      |              GROUP BY source, term),
+      |r AS (SELECT term, CAST(SUM(o) AS BIGINT) AS r FROM cell GROUP BY term),
+      |c AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM cell GROUP BY source),
+      |n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cell),
+      |s AS (SELECT cell.source, cell.term, cell.o,
+      |        CAST((cell.o * n.n - r.r * c.c) * (cell.o * n.n - r.r * c.c) AS DOUBLE)
+      |          / CAST(r.r * c.c AS DOUBLE) AS chi2_score
+      |      FROM cell JOIN r USING (term) JOIN c USING (source) CROSS JOIN n)
+      |SELECT source, term, o, chi2_score, rk FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+      |              ORDER BY chi2_score DESC, term ASC) AS BIGINT) AS rk
+      |  FROM s) t
+      |WHERE rk <= 3 ORDER BY source, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_term_signatures" -> (sourceTermSignatures _),
     "next_token_topk" -> (nextTokenTopk _),
     "batch_replay" -> (batchReplay _),
     "seqlen_sweep" -> (seqlenSweep _),
@@ -3222,6 +3274,7 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "source_term_signatures" -> sourceTermSignaturesSql,
     "next_token_topk" -> nextTokenTopkSql,
     "batch_replay" -> batchReplaySql,
     "seqlen_sweep" -> seqlenSweepSql,

@@ -110,7 +110,10 @@ class PlanGuardSpec extends AnyFunSuite {
       // binary_embed_recall: the recall family's deliberate
       // exact-baseline BNLJ on BOTH sides (the Hamming scan is the
       // audited index; the cosine truth is the usual exact baseline).
-      "binary_embed_recall")
+      "binary_embed_recall",
+      // source_term_signatures: the 1-row grand-total scalar
+      // cross-broadcast onto the cell relation (source_mix_weights shape).
+      "source_term_signatures")
 
   private def planOf(name: String): String =
     try SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
