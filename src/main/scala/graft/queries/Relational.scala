@@ -3053,7 +3053,64 @@ object Relational {
       .mkString("\nUNION ALL\n") + "\nORDER BY fk_edge"
   }
 
+  /** Data-layout file-skipping audit — the number that justifies
+    * Z-ordering: partition lineitem into 32 "files" two ways (natural
+    * orderkey ranges vs equal-width Z-ranges over (partkey, suppkey)),
+    * record per-file min/max stats, and count how many files a fixed
+    * (partkey, suppkey) box predicate can NOT skip under each layout.
+    * Fewer candidate files = fewer splits a 100 TB scan must touch;
+    * the audit is pure integer bucketing + min/max folds, with the two
+    * 1-row maxima on the whitelisted scalar cross-broadcast. */
+  def layoutSkippingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.GraftCaches.track(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").cast("long").as("ok"),
+          col("l_partkey").cast("long").as("pk"),
+          col("l_suppkey").cast("long").as("sk"))
+        .select(col("ok"), col("pk"), col("sk"),
+          graft.functions.ZOrderCode.z(col("pk"), col("sk")).as("z")))
+    val maxes = base.agg(max("ok").as("okmax"), max("z").as("zmax"))
+    def audit(name: String, bucket: org.apache.spark.sql.Column): DataFrame =
+      base.crossJoin(broadcast(maxes))
+        .groupBy(bucket.as("file_no"))
+        .agg(min("pk").as("min_pk"), max("pk").as("max_pk"),
+          min("sk").as("min_sk"), max("sk").as("max_sk"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("min_pk") <= 150L && col("max_pk") >= 100L &&
+            col("min_sk") <= 20L && col("max_sk") >= 10L, 1L).otherwise(0L))
+            .as("n_candidate_files"))
+        .select(lit(name).as("layout"), col("n_files"), col("n_candidate_files"))
+    audit("natural", floor(col("ok") * 32 / (col("okmax") + 1)).cast("bigint"))
+      .unionByName(audit("zorder", floor(col("z") * 32 / (col("zmax") + 1)).cast("bigint")))
+      .orderBy("layout")
+  }
+
+  val layoutSkippingAuditSql: String =
+    """WITH b AS (SELECT CAST(l_orderkey AS BIGINT) AS ok, CAST(l_partkey AS BIGINT) AS pk,
+       |                 CAST(l_suppkey AS BIGINT) AS sk FROM lineitem),
+       |z AS (SELECT ok, pk, sk,
+       |        list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 16), j ->
+       |          (((pk >> CAST(j AS INT)) & 1) << CAST(2*j AS INT))
+       |        + (((sk >> CAST(j AS INT)) & 1) << CAST(2*j + 1 AS INT)))), (a,b) -> a|b) AS z
+       |      FROM b),
+       |m AS (SELECT MAX(ok) AS okmax, MAX(z) AS zmax FROM z),
+       |nat AS (SELECT CAST(floor(ok * 32 / (okmax + 1)) AS BIGINT) AS file_no,
+       |          MIN(pk) AS min_pk, MAX(pk) AS max_pk, MIN(sk) AS min_sk, MAX(sk) AS max_sk
+       |        FROM z CROSS JOIN m GROUP BY file_no),
+       |zo AS (SELECT CAST(floor(z * 32 / (zmax + 1)) AS BIGINT) AS file_no,
+       |          MIN(pk) AS min_pk, MAX(pk) AS max_pk, MIN(sk) AS min_sk, MAX(sk) AS max_sk
+       |        FROM z CROSS JOIN m GROUP BY file_no)
+       |SELECT 'natural' AS layout, COUNT(*) AS n_files,
+       |  CAST(SUM(CASE WHEN min_pk <= 150 AND max_pk >= 100 AND min_sk <= 20 AND max_sk >= 10
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_candidate_files FROM nat
+       |UNION ALL
+       |SELECT 'zorder', COUNT(*),
+       |  CAST(SUM(CASE WHEN min_pk <= 150 AND max_pk >= 100 AND min_sk <= 20 AND max_sk >= 10
+       |           THEN 1 ELSE 0 END) AS BIGINT) FROM zo
+       |ORDER BY layout""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_skipping_audit" -> (layoutSkippingAudit _),
     "fk_integrity_audit" -> (fkIntegrityAudit _),
     "local_supplier_volume" -> (localSupplierVolume _),
     "window_funnel" -> (windowFunnel _),
@@ -3141,6 +3198,7 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "layout_skipping_audit" -> layoutSkippingAuditSql,
     "fk_integrity_audit" -> fkIntegrityAuditSql,
     "local_supplier_volume" -> localSupplierVolumeSql,
     "window_funnel" -> windowFunnelSql,

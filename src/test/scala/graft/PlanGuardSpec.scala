@@ -113,7 +113,10 @@ class PlanGuardSpec extends AnyFunSuite {
       "binary_embed_recall",
       // source_term_signatures: the 1-row grand-total scalar
       // cross-broadcast onto the cell relation (source_mix_weights shape).
-      "source_term_signatures")
+      "source_term_signatures",
+      // layout_skipping_audit: zorder_cluster's 1-row maxima scalar
+      // cross-broadcast onto the keyed relation, once per layout.
+      "layout_skipping_audit")
 
   private def planOf(name: String): String =
     try SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
