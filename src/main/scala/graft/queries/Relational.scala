@@ -2908,9 +2908,14 @@ object Relational {
     * "First event at-or-after" makes the funnel strict: if a view's
     * earliest following click is late, no later click can rescue it.
     * Output is the 3-row stage table (rows + distinct users). */
-  def windowFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val dayUs = 86400000000L
-    val ev = Tables.events(spark, dir)
+  def windowFunnel(spark: SparkSession, dir: String): DataFrame =
+    windowFunnelStages(Tables.events(spark, dir), tolUs = 86400000000L)
+
+  /** Operator core of [[windowFunnel]] over any events relation (also
+    * the property-test seam: WindowFunnelPropertySpec differentials it
+    * against a brute-force reference on generated streams). */
+  def windowFunnelStages(ev: DataFrame, tolUs: Long): DataFrame = {
+    val dayUs = tolUs
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("vts"))
     val clicks = ev.filter(col("event_type") === "click")
