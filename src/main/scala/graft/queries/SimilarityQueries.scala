@@ -1025,19 +1025,22 @@ object SimilarityQueries {
     }.mkString("\nUNION ALL\n") + "\nORDER BY n_probe"
 
   /** Embedding-level train/test decontamination: near-duplicate pairs
-    * that STRADDLE the split boundary (test = every 10th vec_id — the
+    * that STRADDLE the split boundary (test = every 5th vec_id — the
     * deterministic split rule) are eval leaks the n-gram screens can't
     * see (paraphrases survive `benchmark_overlap`). Reuses the
     * hash-checked capped banded-LSH near-dup machinery — candidates
     * come from band buckets (never all-pairs), the split test is a
     * scan-local predicate on the pair relation, and the oracle applies
     * the identical straddle filter to its own rebuild of the pair set.
-    * Emits (test_id, train_id, sim): the rows to drop from eval. */
+    * τ = 0.3, looser than `embed_neardup_pairs`' 0.4: a leak screen
+    * trades precision for recall (a missed paraphrase contaminates an
+    * eval; a false positive merely drops one eval row). Emits
+    * (test_id, train_id, sim): the rows to drop from eval. */
   def embeddingDecontam(spark: SparkSession, dir: String): DataFrame = {
-    val isTestA = pmod(col("id_a"), lit(10)) === 0
-    val isTestB = pmod(col("id_b"), lit(10)) === 0
+    val isTestA = pmod(col("id_a"), lit(5)) === 0
+    val isTestB = pmod(col("id_b"), lit(5)) === 0
     Similarity.nearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
-        threshold = 0.4, maxBucket = 100)
+        threshold = 0.3, maxBucket = 100)
       .filter(isTestA =!= isTestB)
       .select(when(isTestA, col("id_a")).otherwise(col("id_b")).as("test_id"),
         when(isTestA, col("id_b")).otherwise(col("id_a")).as("train_id"),
@@ -1046,11 +1049,11 @@ object SimilarityQueries {
   }
 
   val embeddingDecontamSql: String =
-    s"""SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS test_id,
-       |       CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS train_id,
+    s"""SELECT CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END AS test_id,
+       |       CASE WHEN id_a % 5 = 0 THEN id_b ELSE id_a END AS train_id,
        |       sim
-       |FROM ($nearDupPairsSql) p
-       |WHERE (id_a % 10 = 0) != (id_b % 10 = 0)
+       |FROM (${nearDupPairsSql.replace("WHERE sim >= 0.4", "WHERE sim >= 0.3")}) p
+       |WHERE (id_a % 5 = 0) != (id_b % 5 = 0)
        |ORDER BY test_id, train_id""".stripMargin
 
   /** The LSH tuning curve, companion to `ivf_probe_curve`: candidate
