@@ -3194,7 +3194,37 @@ object TextQueries {
       |  FROM s) t
       |WHERE rk <= 3 ORDER BY source, rk""".stripMargin
 
+  /** SFT example rendering: each document splits at a fixed 10-token
+    * boundary into a (prompt, completion) pair and serializes to the
+    * training-wire JSONL line — the export step between curation and
+    * the trainer. The line is built by explicit concatenation (NOT an
+    * engine JSON serializer, whose escaping/whitespace conventions
+    * differ across engines — the corpus is serializer-safe plain text,
+    * and the explicit build keeps the bytes hash-checkable). Scan-local
+    * array slicing and concat: ZERO data shuffles. */
+  def sftRender(spark: SparkSession, dir: String): DataFrame = {
+    val ws = graft.operators.TextOps.words(col("text"))
+    val prompt = array_join(slice(ws, lit(1), lit(10)), " ")
+    val completion = array_join(
+      slice(ws, lit(11), greatest(size(ws) - 10, lit(0))), " ")
+    Tables.documents(spark, dir)
+      .filter(size(ws) > 10)
+      .select(col("doc_id"),
+        concat(lit("{\"prompt\": \""), prompt,
+          lit("\", \"completion\": \""), completion, lit("\"}")).as("line"))
+      .orderBy("doc_id")
+  }
+
+  val sftRenderSql: String =
+    """SELECT doc_id,
+      |  '{"prompt": "' || array_to_string(ws[1:10], ' ')
+      |    || '", "completion": "' || array_to_string(ws[11:], ' ') || '"}' AS line
+      |FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+      |      FROM documents) t
+      |WHERE len(ws) > 10 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sft_render" -> (sftRender _),
     "source_term_signatures" -> (sourceTermSignatures _),
     "next_token_topk" -> (nextTokenTopk _),
     "batch_replay" -> (batchReplay _),
@@ -3274,6 +3304,7 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "sft_render" -> sftRenderSql,
     "source_term_signatures" -> sourceTermSignaturesSql,
     "next_token_topk" -> nextTokenTopkSql,
     "batch_replay" -> batchReplaySql,
