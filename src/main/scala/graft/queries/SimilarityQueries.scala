@@ -1184,7 +1184,51 @@ object SimilarityQueries {
        |FROM truth t LEFT JOIN approx a USING (q_id, vec_id)
        |GROUP BY t.q_id ORDER BY q_id""".stripMargin
 
+  /** Late-interaction (ColBERT-style) MaxSim retrieval: the query is a
+    * BAG of 4 vectors (vec_ids 0–3), every corpus "document" is a bag of
+    * 4 consecutive vectors (grp = vec_id div 4), and
+    * score(q, d) = Σ_{qv∈q} max_{dv∈d} cos(qv, dv) — the multi-vector
+    * scoring single-vector indexes can't express. The per-(doc, q-vec)
+    * max is one map-side-combined aggregate over the exact-baseline
+    * scan (4-row query side broadcast); the Σ of maxes is a FIXED-ORDER
+    * fold over the q_vec-sorted max list (sum order pinned, so the
+    * score is bit-equal cross-engine); top-5 via TakeOrdered. */
+  def colbertMaxsimTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+    val q = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_vec"), col("v").as("qv"), col("nrm").as("q_nrm"))
+    val d = e.filter(col("vec_id") >= 4)
+      .select(expr("vec_id div 4").as("grp"), col("v"), col("nrm"))
+    val mx = d.crossJoin(broadcast(q))
+      .select(col("grp"), col("q_vec"),
+        (Similarity.dot(col("qv"), col("v")) / (col("q_nrm") * col("nrm"))).as("sim"))
+      .groupBy("grp", "q_vec").agg(max(col("sim")).as("mx"))
+    mx.groupBy("grp")
+      .agg(aggregate(
+        transform(sort_array(collect_list(struct(col("q_vec"), col("mx")))),
+          s => s.getField("mx")),
+        lit(0.0), (acc, x) => acc + x).as("score"))
+      .orderBy(col("score").desc, col("grp").asc)
+      .limit(5)
+  }
+
+  val colbertMaxsimTopkSql: String =
+    s"""WITH e0 AS (SELECT vec_id, embedding,
+       |              sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       |q AS (SELECT vec_id AS q_vec, embedding AS qv, nrm AS qnrm FROM e0 WHERE vec_id < 4),
+       |d AS (SELECT vec_id // 4 AS grp, embedding, nrm FROM e0 WHERE vec_id >= 4),
+       |s AS (SELECT d.grp, q.q_vec, ${cosSql("q.qv", "d.embedding", "q.qnrm", "d.nrm")} AS sim
+       |      FROM d CROSS JOIN q),
+       |m AS (SELECT grp, q_vec, MAX(sim) AS mx FROM s GROUP BY grp, q_vec),
+       |sc AS (SELECT grp, list_reduce(list_prepend(0.0::DOUBLE, list(mx ORDER BY q_vec)),
+       |                               (a,b) -> a + b) AS score
+       |       FROM m GROUP BY grp)
+       |SELECT grp, score FROM sc ORDER BY score DESC, grp ASC LIMIT 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "colbert_maxsim_topk" -> (colbertMaxsimTopk _),
     "binary_embed_recall" -> (binaryEmbedRecall _),
     "lsh_band_sweep" -> (lshBandSweep _),
     "embedding_decontam" -> (embeddingDecontam _),
@@ -1218,6 +1262,7 @@ object SimilarityQueries {
     "ivf_topk" -> (ivfTopK _))
 
   val oracles: Map[String, String] = Map(
+    "colbert_maxsim_topk" -> colbertMaxsimTopkSql,
     "binary_embed_recall" -> binaryEmbedRecallSql,
     "lsh_band_sweep" -> lshBandSweepSql,
     "embedding_decontam" -> embeddingDecontamSql,

@@ -116,7 +116,11 @@ class PlanGuardSpec extends AnyFunSuite {
       "source_term_signatures",
       // layout_skipping_audit: zorder_cluster's 1-row maxima scalar
       // cross-broadcast onto the keyed relation, once per layout.
-      "layout_skipping_audit")
+      "layout_skipping_audit",
+      // colbert_maxsim_topk: the exact-baseline scan — the 4-row
+      // query-vector bag cross-broadcast onto the corpus (the
+      // embed_cosine_topk shape, multi-vector edition).
+      "colbert_maxsim_topk")
 
   private def planOf(name: String): String =
     try SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
