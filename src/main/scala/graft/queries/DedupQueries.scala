@@ -1050,7 +1050,42 @@ object DedupQueries {
        |FROM ov JOIN documents d ON d.doc_id = ov.doc_id
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** Cross-source copy matrix: the verified near-dup pairs (the
+    * hash-checked LSH-candidate + exact-Jaccard machinery of
+    * `dedup_ngram_jaccard`) classified by which SOURCE pair they
+    * straddle — the "who mirrors whom" readout that decides whether a
+    * crawl source is original or a scraper. Pair endpoints join their
+    * sources by doc id (broadcast-sized candidate relation), the matrix
+    * cell key is the unordered (src_lo, src_hi) pair, and within-source
+    * duplication shows up on the diagonal. */
+  def sourceCopyMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val srcs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val pairs = Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
+      threshold = 0.12)
+    pairs
+      .join(srcs.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(srcs.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+      .select(least(col("src_a"), col("src_b")).as("src_lo"),
+        greatest(col("src_a"), col("src_b")).as("src_hi"),
+        col("jacc"))
+      .groupBy("src_lo", "src_hi")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("jacc") >= 0.5, 1L).otherwise(0L)).as("n_strong"))
+      .orderBy("src_lo", "src_hi")
+  }
+
+  val sourceCopyMatrixSql: String =
+    s"""WITH p AS ($ngramJaccardSql),
+       |s AS (SELECT p.doc_a, p.doc_b, p.jacc, da.source AS src_a, db.source AS src_b
+       |      FROM p JOIN documents da ON da.doc_id = p.doc_a
+       |             JOIN documents db ON db.doc_id = p.doc_b)
+       |SELECT least(src_a, src_b) AS src_lo, greatest(src_a, src_b) AS src_hi,
+       |       COUNT(*) AS n_pairs,
+       |       CAST(SUM(CASE WHEN jacc >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_strong
+       |FROM s GROUP BY src_lo, src_hi ORDER BY src_lo, src_hi""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_copy_matrix" -> (sourceCopyMatrix _),
     "dedup_cluster_stats" -> (dedupClusterStats _),
     "dedup_method_agreement" -> (dedupMethodAgreement _),
     "decontam_stats" -> (decontamStats _),
@@ -1083,6 +1118,7 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> (ngramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "source_copy_matrix" -> sourceCopyMatrixSql,
     "dedup_cluster_stats" -> dedupClusterStatsSql,
     "dedup_method_agreement" -> dedupMethodAgreementSql,
     "decontam_stats" -> decontamStatsSql,
