@@ -3114,7 +3114,56 @@ object Relational {
        |           THEN 1 ELSE 0 END) AS BIGINT) FROM zo
        |ORDER BY layout""".stripMargin
 
+  /** TPC-H Q7-shaped bilateral trade flows: revenue between two named
+    * nations in BOTH directions (supplier nation ≠ customer nation, both
+    * drawn from the pair), per direction per year — the
+    * cross-border-volume readout. The nation-pair predicate evaluates
+    * inside the two broadcast dimension paths (the Q5 family's shape);
+    * ONE fact-fact shuffle; exact decimal revenue; ≤ 2×|years| rows. */
+  def nationTradeFlows(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = col("l_extendedprice").cast(DecimalType(12, 2)) *
+      (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
+    val pair = Seq("NATION_1", "NATION_2")
+    val suppN = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin(pair: _*))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custN = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin(pair: _*))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(sum(revenue).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "o_year")
+  }
+
+  val nationTradeFlowsSql: String =
+    """SELECT supp_nation, cust_nation, o_year,
+      |  CAST(SUM(rev) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+      |FROM (
+      |  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |         CAST(year(o_orderdate) AS INT) AS o_year,
+      |         CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS rev
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |  WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+      |    AND cn.n_name IN ('NATION_1', 'NATION_2')
+      |    AND sn.n_name != cn.n_name) t
+      |GROUP BY supp_nation, cust_nation, o_year
+      |ORDER BY supp_nation, cust_nation, o_year""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nation_trade_flows" -> (nationTradeFlows _),
     "layout_skipping_audit" -> (layoutSkippingAudit _),
     "fk_integrity_audit" -> (fkIntegrityAudit _),
     "local_supplier_volume" -> (localSupplierVolume _),
@@ -3203,6 +3252,7 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "nation_trade_flows" -> nationTradeFlowsSql,
     "layout_skipping_audit" -> layoutSkippingAuditSql,
     "fk_integrity_audit" -> fkIntegrityAuditSql,
     "local_supplier_volume" -> localSupplierVolumeSql,
