@@ -3162,7 +3162,47 @@ object Relational {
       |GROUP BY supp_nation, cust_nation, o_year
       |ORDER BY supp_nation, cust_nation, o_year""".stripMargin
 
+  /** Functional-dependency audit (data-profiling classic): for candidate
+    * determinant→dependent column pairs over `part`, how many
+    * determinant values map to MORE than one dependent value — FD holds
+    * iff n_violating = 0. Each candidate costs one (det, dep) distinct
+    * aggregate + one det-level fold (shuffles carry value pairs, never
+    * rows); the three candidates union into the audit table. The
+    * discovered FDs feed normalization and dimension-extraction
+    * decisions on wide 100 TB tables. */
+  def fdAudit(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+    def candidate(det: String, dep: String): DataFrame =
+      part.select(col(det).cast("string").as("det"), col(dep).cast("string").as("dep"))
+        .distinct()
+        .groupBy("det").agg(count(lit(1)).as("n_dep"))
+        .agg(count(lit(1)).as("n_det_values"),
+          sum(when(col("n_dep") > 1, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(s"$det->$dep").as("fd"), col("n_det_values"), col("n_violating"),
+          (col("n_violating") === 0).as("holds"))
+    candidate("p_partkey", "p_brand")
+      .unionByName(candidate("p_brand", "p_type"))
+      .unionByName(candidate("p_type", "p_brand"))
+      .orderBy("fd")
+  }
+
+  val fdAuditSql: String = {
+    def candidateSql(det: String, dep: String): String =
+      s"""SELECT '$det->$dep' AS fd, COUNT(*) AS n_det_values,
+         |  CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+         |  CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT) = 0 AS holds
+         |FROM (SELECT det, COUNT(*) AS n_dep FROM (
+         |        SELECT DISTINCT CAST($det AS VARCHAR) AS det, CAST($dep AS VARCHAR) AS dep
+         |        FROM part) d
+         |      GROUP BY det) g""".stripMargin
+    Seq(candidateSql("p_partkey", "p_brand"),
+      candidateSql("p_brand", "p_type"),
+      candidateSql("p_type", "p_brand"))
+      .mkString("\nUNION ALL\n") + "\nORDER BY fd"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fd_audit" -> (fdAudit _),
     "nation_trade_flows" -> (nationTradeFlows _),
     "layout_skipping_audit" -> (layoutSkippingAudit _),
     "fk_integrity_audit" -> (fkIntegrityAudit _),
@@ -3252,6 +3292,7 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "fd_audit" -> fdAuditSql,
     "nation_trade_flows" -> nationTradeFlowsSql,
     "layout_skipping_audit" -> layoutSkippingAuditSql,
     "fk_integrity_audit" -> fkIntegrityAuditSql,
