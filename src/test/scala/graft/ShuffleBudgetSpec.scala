@@ -188,7 +188,14 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "local_supplier_volume" -> 3, // ONE fact-fact shuffle (both sides) + nation agg
                                // + result sort; all four dims broadcast
     "stream_cms_terms" -> 2,   // ONE row_j-keyed transformWithState exchange + sort
-    "stream_bloom_fingerprints" -> 2) // ONE block-keyed transformWithState exchange + sort
+    "stream_bloom_fingerprints" -> 2, // ONE block-keyed transformWithState exchange + sort
+    "nation_trade_flows" -> 2, // ONE fact-fact shuffle + direction-year agg
+                               // + result sort (all dims broadcast)
+    "fd_audit" -> 9,           // 3 candidates x (distinct + det fold + 1-row agg)
+    "colbert_maxsim_topk" -> 3, // per-(doc,qvec) max agg + per-doc fold + TakeOrdered
+    "sft_render" -> 1,         // scan-local render + result sort
+    "source_term_signatures" -> 9) // cell agg (inlined per ref) + term/source
+                               // totals + 1-row grand total + rank window + sort
   // graph_edge_support is NOT pinned: its two NESTED tracked caches
   // (candidate pairs inside the neighbor union, each referenced 2-3x)
   // make the static plan string inline the band self-join subtree ~6x
