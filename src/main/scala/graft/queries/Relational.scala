@@ -3123,7 +3123,7 @@ object Relational {
   def nationTradeFlows(spark: SparkSession, dir: String): DataFrame = {
     val revenue = col("l_extendedprice").cast(DecimalType(12, 2)) *
       (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
-    val pair = Seq("NATION_1", "NATION_2")
+    val pair = Seq("NATION_18", "NATION_19")
     val suppN = Tables.supplier(spark, dir)
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .filter(col("n_name").isin(pair: _*))
@@ -3156,8 +3156,8 @@ object Relational {
       |  JOIN nation sn ON s_nationkey = sn.n_nationkey
       |  JOIN customer ON o_custkey = c_custkey
       |  JOIN nation cn ON c_nationkey = cn.n_nationkey
-      |  WHERE sn.n_name IN ('NATION_1', 'NATION_2')
-      |    AND cn.n_name IN ('NATION_1', 'NATION_2')
+      |  WHERE sn.n_name IN ('NATION_18', 'NATION_19')
+      |    AND cn.n_name IN ('NATION_18', 'NATION_19')
       |    AND sn.n_name != cn.n_name) t
       |GROUP BY supp_nation, cust_nation, o_year
       |ORDER BY supp_nation, cust_nation, o_year""".stripMargin
