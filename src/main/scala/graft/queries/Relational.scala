@@ -3201,7 +3201,35 @@ object Relational {
       .mkString("\nUNION ALL\n") + "\nORDER BY fd"
   }
 
+  /** Hour-of-day × day-of-week seasonality profile: event counts per
+    * (dow, hour) cell with the within-day share and a peak-hour flag —
+    * the capacity-planning heatmap behind batch-window scheduling.
+    * Calendar extraction is scan-local (session tz pinned UTC, so both
+    * engines decode identical wall-clock fields); ONE 168-cell
+    * map-side-combined aggregate; the share/peak windows run over ≤24
+    * rows per day. */
+  def hourlySeasonality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDay = Window.partitionBy("dow")
+    Tables.events(spark, dir)
+      .select(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"))
+      .groupBy("dow", "hod").agg(count(lit(1)).as("n"))
+      .withColumn("day_share",
+        col("n").cast("double") / sum(col("n")).over(byDay).cast("double"))
+      .withColumn("is_peak", col("n") === max(col("n")).over(byDay))
+      .orderBy("dow", "hod")
+  }
+
+  val hourlySeasonalitySql: String =
+    """WITH c AS (SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hod FROM events),
+      |g AS (SELECT dow, hod, COUNT(*) AS n FROM c GROUP BY dow, hod)
+      |SELECT dow, hod, n,
+      |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY dow) AS DOUBLE) AS day_share,
+      |  n = MAX(n) OVER (PARTITION BY dow) AS is_peak
+      |FROM g ORDER BY dow, hod""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hourly_seasonality" -> (hourlySeasonality _),
     "fd_audit" -> (fdAudit _),
     "nation_trade_flows" -> (nationTradeFlows _),
     "layout_skipping_audit" -> (layoutSkippingAudit _),
@@ -3292,6 +3320,7 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "hourly_seasonality" -> hourlySeasonalitySql,
     "fd_audit" -> fdAuditSql,
     "nation_trade_flows" -> nationTradeFlowsSql,
     "layout_skipping_audit" -> layoutSkippingAuditSql,
