@@ -1084,7 +1084,38 @@ object DedupQueries {
        |       CAST(SUM(CASE WHEN jacc >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_strong
        |FROM s GROUP BY src_lo, src_hi ORDER BY src_lo, src_hi""".stripMargin
 
+  /** Per-source duplication KPI: of each source's documents, how many
+    * sit in a near-dup component as a NON-keeper (the rows dedup would
+    * drop) — the curation scorecard that names which crawl sources are
+    * worth their storage. Composes the hash-checked 3-round component
+    * machinery (docs outside any candidate edge are their own keeper by
+    * definition) with one source join + one source fold. */
+  def dedupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    val comps = Dedup.duplicateComponents(
+      Dedup.lshCandidatePairs(Tables.documents(spark, dir), "doc_id", "text"),
+      iters = 3)
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(comps.select(col("doc_id"), col("is_keeper")), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_keeper") === false, 1L).otherwise(0L)).as("n_droppable"))
+      .select(col("source"), col("n_docs"), col("n_droppable"),
+        (col("n_droppable").cast("double") / col("n_docs").cast("double"))
+          .as("dup_share"))
+      .orderBy("source")
+  }
+
+  val dedupRateBySourceSql: String =
+    s"""WITH comp AS ($dedupComponentsSql)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN comp.is_keeper = false THEN 1 ELSE 0 END) AS BIGINT) AS n_droppable,
+       |  CAST(SUM(CASE WHEN comp.is_keeper = false THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS dup_share
+       |FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
+       |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_rate_by_source" -> (dedupRateBySource _),
     "source_copy_matrix" -> (sourceCopyMatrix _),
     "dedup_cluster_stats" -> (dedupClusterStats _),
     "dedup_method_agreement" -> (dedupMethodAgreement _),
@@ -1118,6 +1149,7 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> (ngramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_rate_by_source" -> dedupRateBySourceSql,
     "source_copy_matrix" -> sourceCopyMatrixSql,
     "dedup_cluster_stats" -> dedupClusterStatsSql,
     "dedup_method_agreement" -> dedupMethodAgreementSql,
