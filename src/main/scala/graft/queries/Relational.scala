@@ -3228,7 +3228,174 @@ object Relational {
       |  n = MAX(n) OVER (PARTITION BY dow) AS is_peak
       |FROM g ORDER BY dow, hod""".stripMargin
 
+  /** TPC-H Q2-shaped correlated-min lookup: for each screened part (one
+    * type, small sizes), the EUROPE supplier(s) achieving the minimum
+    * observed shipment price — the fixtures carry no partsupp table, so
+    * the observed (part, supplier) relation from lineitem stands in for
+    * it (cost = MIN extendedprice, exact decimal, so the min and the
+    * equality join-back are bit-stable cross-engine). Shape at 100 TB:
+    * the (part, supp) aggregate is map-side combined; both dimension
+    * screens (part filter, region-filtered supplier) broadcast, so the
+    * per-part min window runs over the already-screened slice only —
+    * never over the full relation. */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ps = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(col("l_extendedprice").cast(DecimalType(12, 2))).as("cost"))
+    val euSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    ps.join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_type") === "ECONOMY" && col("p_size") <= 15)),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(euSupp), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("min_cost", min("cost").over(Window.partitionBy("p_partkey")))
+      .filter(col("cost") === col("min_cost"))
+      .select(col("p_partkey"), col("p_brand"), col("s_name"), col("n_name"),
+        col("cost").cast("double").as("cost"))
+      .orderBy("p_partkey", "s_name")
+  }
+
+  val minCostSupplierSql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey, MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+      |  FROM lineitem GROUP BY 1, 2),
+      |eu AS (
+      |  SELECT s_suppkey, s_name, n_name FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'),
+      |j AS (
+      |  SELECT p_partkey, p_brand, s_name, n_name, cost,
+      |         MIN(cost) OVER (PARTITION BY p_partkey) AS min_cost
+      |  FROM ps
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN eu ON l_suppkey = s_suppkey
+      |  WHERE p_type = 'ECONOMY' AND p_size <= 15)
+      |SELECT p_partkey, p_brand, s_name, n_name, CAST(cost AS DOUBLE) AS cost
+      |FROM j WHERE cost = min_cost ORDER BY p_partkey, s_name""".stripMargin
+
+  /** TPC-H Q21-shaped "who kept the order waiting": suppliers that were
+    * the ONLY late shipper (ship > order date + 60 days) on a finished
+    * multi-supplier order, with how many such orders each blocked. The
+    * textbook Q21 plan is two lineitem self-joins (EXISTS other-supplier
+    * + NOT EXISTS other-late-supplier); here both collapse into ONE
+    * grouped pass per (order, supplier) plus an orderkey window that
+    * counts suppliers and late suppliers in the same exchange — at
+    * 100 TB the fact table moves twice total (order join, orderkey
+    * exchange) instead of four times. */
+  def soleLateSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_orderkey")
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"), 1)
+        .otherwise(0)).as("late"))
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late", sum("late").over(w))
+      .filter(col("late") === 1 && col("n_supp") > 1 && col("n_late") === 1)
+      .groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy("s_suppkey")
+  }
+
+  val soleLateSupplierSql: String =
+    """WITH per_supp AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |  GROUP BY 1, 2),
+      |w AS (SELECT l_orderkey, l_suppkey, late,
+      |             COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+      |             SUM(late) OVER (PARTITION BY l_orderkey) AS n_late
+      |      FROM per_supp)
+      |SELECT s_suppkey, s_name, COUNT(*) AS numwait
+      |FROM w JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE late = 1 AND n_supp > 1 AND n_late = 1
+      |GROUP BY 1, 2 ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q16-shaped supplier/part relationship count: distinct
+    * suppliers per surviving (brand, type, size) bucket, with
+    * flagged suppliers (negative account balance — the fixtures' stand-in
+    * for Q16's complaint screen) removed by LEFT ANTI against a broadcast
+    * key list. The distinct runs on (brand, type, size, suppkey) AFTER
+    * the broadcast part screen prunes the scan, so the only wide shuffle
+    * carries the deduplicated 4-tuples — count-distinct-by-group without
+    * an expensive expand. */
+  def supplierPartRelationship(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).filter(
+        col("p_brand") =!= "Brand#11" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 5, 15, 25, 35, 45, 49, 50))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .select("p_brand", "p_type", "p_size", "l_suppkey").distinct()
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(count(lit(1)).as("supplier_cnt"))
+      .orderBy("p_brand", "p_type", "p_size")
+  }
+
+  val supplierPartRelationshipSql: String =
+    """SELECT p_brand, p_type, p_size, COUNT(*) AS supplier_cnt
+      |FROM (SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
+      |      FROM lineitem JOIN part ON l_partkey = p_partkey
+      |      WHERE p_brand <> 'Brand#11' AND p_type <> 'PROMO'
+      |        AND p_size IN (1, 5, 15, 25, 35, 45, 49, 50)
+      |        AND NOT EXISTS (SELECT 1 FROM supplier
+      |                        WHERE s_suppkey = l_suppkey AND s_acctbal < 0)) r
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q20-shaped dominant-supplier screen: suppliers shipping MORE
+    * than 10% of a screened part family's total volume ("widget" parts)
+    * — Q20's nested available-quantity semi-join re-expressed over the
+    * observed shipment relation. The share test `qty * 10 > total` stays
+    * in exact decimal (no IEEE ratio), so the survivor set is bit-stable
+    * cross-engine. One map-side-combined (part, supp) aggregate, a
+    * per-part window over the screened slice, then broadcast dimension
+    * decoration of the (few) survivors. */
+  def dominantSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).filter(col("p_name").like("%widget%"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity").cast(DecimalType(12, 2))).as("qty"))
+      .withColumn("total", sum("qty").over(Window.partitionBy("l_partkey")))
+      .filter(col("qty") * 10 > col("total"))
+      .select("l_suppkey").distinct()
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy("s_suppkey")
+  }
+
+  val dominantSupplierSql: String =
+    """WITH pq AS (
+      |  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE '%widget%' GROUP BY 1, 2),
+      |t AS (SELECT l_partkey, l_suppkey, qty,
+      |             SUM(qty) OVER (PARTITION BY l_partkey) AS total FROM pq)
+      |SELECT DISTINCT s_suppkey, s_name, n_name
+      |FROM t JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE qty * 10 > total
+      |ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "min_cost_supplier" -> (minCostSupplier _),
+    "sole_late_supplier" -> (soleLateSupplier _),
+    "supplier_part_relationship" -> (supplierPartRelationship _),
+    "dominant_supplier" -> (dominantSupplier _),
     "hourly_seasonality" -> (hourlySeasonality _),
     "fd_audit" -> (fdAudit _),
     "nation_trade_flows" -> (nationTradeFlows _),
@@ -3320,6 +3487,10 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "min_cost_supplier" -> minCostSupplierSql,
+    "sole_late_supplier" -> soleLateSupplierSql,
+    "supplier_part_relationship" -> supplierPartRelationshipSql,
+    "dominant_supplier" -> dominantSupplierSql,
     "hourly_seasonality" -> hourlySeasonalitySql,
     "fd_audit" -> fdAuditSql,
     "nation_trade_flows" -> nationTradeFlowsSql,

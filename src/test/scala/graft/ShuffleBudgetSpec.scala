@@ -194,6 +194,14 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "fd_audit" -> 9,           // 3 candidates x (distinct + det fold + 1-row agg)
     "colbert_maxsim_topk" -> 3, // per-(doc,qvec) max agg + per-doc fold + TakeOrdered
     "sft_render" -> 1,         // scan-local render + result sort
+    "min_cost_supplier" -> 3,  // (part,supp) min agg + per-part window exchange
+                               // + result sort; part screen + EU suppliers broadcast
+    "sole_late_supplier" -> 4, // order join broadcast at fixture scale; (order,supp)
+                               // agg + orderkey window + suppkey agg + result sort
+    "supplier_part_relationship" -> 3, // 4-tuple distinct + group agg + result sort;
+                               // part screen and flagged-supplier list broadcast
+    "dominant_supplier" -> 4,  // (part,supp) qty agg + per-part window + survivor
+                               // distinct + result sort; dims broadcast
     "source_term_signatures" -> 9) // cell agg (inlined per ref) + term/source
                                // totals + 1-row grand total + rank window + sort
   // graph_edge_support is NOT pinned: its two NESTED tracked caches
