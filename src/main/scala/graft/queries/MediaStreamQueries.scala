@@ -629,7 +629,37 @@ object MediaStreamQueries {
        |FROM b GROUP BY reg ORDER BY reg""".stripMargin
   }
 
+  /** Per-user 3σ inter-arrival anomaly flags
+    * ([[graft.streaming.AnomalyStream]]) in one-shot batch mode: the
+    * cross-multiplied integer test (n·gap − S)² > 9·(n·SS − S²) over ≥ 5
+    * prior gaps makes the flag set exact integer arithmetic, so the
+    * stateful online detector hash-matches the DuckDB HUGEINT
+    * window-frame oracle bit-for-bit. ONE user-keyed exchange. */
+  def streamAnomalyFlags(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.AnomalyStream.gapAnomalies(Tables.events(spark, dir))
+      .toDF()
+
+  val streamAnomalyFlagsSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |    (epoch_us(ts) - lag(epoch_us(ts)) OVER w) // 1000000 AS gap_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |f AS (
+      |  SELECT user_id, event_id, gap_s,
+      |    COUNT(gap_s) OVER pw AS n_prior,
+      |    SUM(gap_s) OVER pw AS s,
+      |    SUM(CAST(gap_s AS HUGEINT) * gap_s) OVER pw AS ss
+      |  FROM g WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, event_id, gap_s, n_prior
+      |FROM f
+      |WHERE gap_s IS NOT NULL AND n_prior >= 5
+      |  AND (CAST(n_prior AS HUGEINT) * gap_s - s) * (CAST(n_prior AS HUGEINT) * gap_s - s)
+      |      > 9 * (CAST(n_prior AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
+      |ORDER BY user_id, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_anomaly_flags" -> (streamAnomalyFlags _),
     "stream_bloom_fingerprints" -> (streamBloomFingerprints _),
     "stream_cms_terms" -> (streamCmsTerms _),
     "stream_hll_users" -> (streamHllUsers _),
@@ -657,6 +687,7 @@ object MediaStreamQueries {
     "media_dedup" -> (mediaDedup _))
 
   val oracles: Map[String, String] = Map(
+    "stream_anomaly_flags" -> streamAnomalyFlagsSql,
     "stream_bloom_fingerprints" -> streamBloomFingerprintsSql,
     "stream_cms_terms" -> streamCmsTermsSql,
     "stream_hll_users" -> streamHllUsersSql,

@@ -3391,7 +3391,71 @@ object Relational {
       |WHERE qty * 10 > total
       |ORDER BY s_suppkey""".stripMargin
 
+  /** Daily-revenue autocorrelation at row lags 1–7: the seasonality
+    * detector behind forecast validation ("does yesterday predict
+    * today?"). Pearson r per lag via the moment formula, with every
+    * moment an EXACT decimal sum (rev is DECIMAL(14,2); products stay
+    * inside DECIMAL(38,4)) so partial-agg order can't perturb the
+    * result; the only IEEE ops are the final per-lag division and sqrt.
+    * The day series aggregates map-side (≤ a few thousand rows at any
+    * SF), the 7 lags share ONE single-partition window pass over it,
+    * and the lag pairs unpivot scan-side into a 7-group fold. */
+  def revenueAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("day")
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(12, 2)))
+        .cast(DecimalType(14, 2)).as("rev"))
+    val lagged = daily.select(col("day") +: col("rev") +:
+      (1 to 7).map(k => lag("rev", k).over(w).as(s"rev_$k")): _*)
+    val pairs = lagged.select(explode(array((1 to 7).map(k =>
+        struct(lit(k).as("k"), col("rev").as("x"), col(s"rev_$k").as("y"))): _*)).as("p"))
+      .select(col("p.k").as("k"), col("p.x").as("x"), col("p.y").as("y"))
+      .filter(col("y").isNotNull)
+    val nd = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxy = col("sxy").cast("double"); val sx2 = col("sx2").cast("double")
+    val sy2 = col("sy2").cast("double")
+    val r = (nd * sxy - sx * sy) /
+      sqrt((nd * sx2 - sx * sx) * (nd * sy2 - sy * sy))
+    pairs.groupBy("k").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"),
+        sum(col("y") * col("y")).as("sy2"))
+      .select(col("k"), col("n"), r.as("autocorr"))
+      .orderBy("k")
+  }
+
+  // Moment casts go DECIMAL → VARCHAR → DOUBLE on the DuckDB side for the
+  // same reason as corr_stats: the strtod round-trip forces DuckDB to the
+  // correctly-rounded double Spark's Decimal.toDouble produces.
+  val revenueAutocorrSql: String = {
+    val lags = (1 to 7).map(k => s"lag(rev, $k) OVER w AS rev_$k").mkString(", ")
+    val cases = (1 to 7).map(k => s"WHEN $k THEN rev_$k").mkString(" ")
+    def d(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
+    s"""WITH d AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(14,2)) AS rev
+       |  FROM orders GROUP BY 1),
+       |l AS (SELECT rev, $lags FROM d WINDOW w AS (ORDER BY day)),
+       |p AS (SELECT k, x, y FROM (
+       |        SELECT u.k, rev AS x, CASE u.k $cases END AS y
+       |        FROM l, (SELECT unnest(range(1, 8)) AS k) u) t
+       |      WHERE y IS NOT NULL),
+       |m AS (SELECT k, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+       |             SUM(x*x) AS sx2, SUM(y*y) AS sy2
+       |      FROM p GROUP BY k)
+       |SELECT CAST(k AS INT) AS k, n,
+       |  (CAST(n AS DOUBLE) * ${d("sxy")} - ${d("sx")} * ${d("sy")})
+       |  / sqrt((CAST(n AS DOUBLE) * ${d("sx2")} - ${d("sx")} * ${d("sx")})
+       |       * (CAST(n AS DOUBLE) * ${d("sy2")} - ${d("sy")} * ${d("sy")})) AS autocorr
+       |FROM m ORDER BY k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "revenue_autocorr" -> (revenueAutocorr _),
     "min_cost_supplier" -> (minCostSupplier _),
     "sole_late_supplier" -> (soleLateSupplier _),
     "supplier_part_relationship" -> (supplierPartRelationship _),
@@ -3487,6 +3551,7 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "revenue_autocorr" -> revenueAutocorrSql,
     "min_cost_supplier" -> minCostSupplierSql,
     "sole_late_supplier" -> soleLateSupplierSql,
     "supplier_part_relationship" -> supplierPartRelationshipSql,

@@ -3223,7 +3223,48 @@ object TextQueries {
       |      FROM documents) t
       |WHERE len(ws) > 10 ORDER BY doc_id""".stripMargin
 
+  /** Zipf rank-frequency profile at power-of-two ranks: term frequency at
+    * ranks 1, 2, 4, … 1024 plus the decay ratio to the previous probe —
+    * the log-free readout of the rank-frequency law (a true Zipf fit
+    * needs ln(), whose last-ulp behavior differs across engines; the
+    * power-of-two probe ladder reads the same slope from exact integer
+    * frequencies and ONE IEEE division per row). Term counts are a
+    * map-side-combined aggregate; the top-1024 cut is a TakeOrdered heap
+    * (never a full vocab sort), totally ordered by (freq DESC, term ASC)
+    * so ties are deterministic; the rank/lag windows run on ≤1024 rows
+    * in a single partition. */
+  def zipfProfile(spark: SparkSession, dir: String): DataFrame = {
+    val probes = Seq(1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+    val byFreq = Window.orderBy(col("freq").desc, col("term").asc)
+    Tables.documents(spark, dir)
+      .select(explode(graft.operators.TextOps.words(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term").asc).limit(1024)
+      .withColumn("rank", row_number().over(byFreq))
+      .filter(col("rank").isin(probes: _*))
+      .withColumn("decay",
+        col("freq").cast("double") /
+          lag("freq", 1).over(Window.orderBy("rank")).cast("double"))
+      .select("rank", "term", "freq", "decay")
+      .orderBy("rank")
+  }
+
+  val zipfProfileSql: String =
+    """WITH tf AS (
+      |  SELECT term, COUNT(*) AS freq FROM (
+      |    SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+      |    FROM documents) t
+      |  GROUP BY term),
+      |r AS (SELECT term, freq,
+      |        row_number() OVER (ORDER BY freq DESC, term ASC) AS rank
+      |      FROM tf),
+      |p AS (SELECT * FROM r WHERE rank IN (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024))
+      |SELECT rank, term, freq,
+      |  CAST(freq AS DOUBLE) / CAST(lag(freq) OVER (ORDER BY rank) AS DOUBLE) AS decay
+      |FROM p ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zipf_profile" -> (zipfProfile _),
     "sft_render" -> (sftRender _),
     "source_term_signatures" -> (sourceTermSignatures _),
     "next_token_topk" -> (nextTokenTopk _),
@@ -3304,6 +3345,7 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "zipf_profile" -> zipfProfileSql,
     "sft_render" -> sftRenderSql,
     "source_term_signatures" -> sourceTermSignaturesSql,
     "next_token_topk" -> nextTokenTopkSql,

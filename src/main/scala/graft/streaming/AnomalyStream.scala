@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** Streaming inter-arrival anomaly detector: per user, flag events whose
+  * gap to the previous event deviates more than 3σ from that user's own
+  * running gap statistics — the online "this key went quiet / went
+  * burst" monitor that pages an on-call before a batch job would notice.
+  *
+  * State per user is four longs: last event-time micros plus (n, Σgap,
+  * Σgap²) over all PRIOR gaps — O(1) per key regardless of stream
+  * length. The 3σ test never divides: (n·x − S)² > 9·(n·SS − S²) is the
+  * cross-multiplied form of (x − μ)² > 9σ², evaluated in BigInt, so the
+  * flag set is EXACT integer arithmetic end-to-end (gap quantized to
+  * whole seconds) and the batch one-shot run hash-matches the DuckDB
+  * HUGEINT window-frame oracle bit-for-bit. Flags need ≥ 5 prior gaps —
+  * no cold-start pages.
+  *
+  * Determinism: within a batch a user's rows arrive unordered, so the
+  * processor sorts its buffer by (ts, event_id) before folding; across
+  * micro-batches the carried state makes the same code the true
+  * arrival-order detector.
+  */
+object AnomalyStream {
+
+  final case class GapFlag(user_id: Long, event_id: Long, gap_s: Long, n_prior: Long)
+
+  final case class GapState(lastTs: Long, n: Long, s: Long, ss: Long)
+
+  /** K = user_id, I = (user_id, ts_us, event_id). */
+  final class GapProcessor extends StatefulProcessor[Long, (Long, Long, Long), GapFlag] {
+    @transient private var st: ValueState[GapState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[GapState]("gapstats",
+        Encoders.product[GapState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+        timers: TimerValues): Iterator[GapFlag] = {
+      val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+      var state = if (st.exists()) st.get() else null
+      val out = Vector.newBuilder[GapFlag]
+      sorted.foreach { case (_, ts, id) =>
+        if (state == null) state = GapState(ts, 0L, 0L, 0L)
+        else {
+          val gap = java.lang.Math.floorDiv(ts - state.lastTs, 1000000L)
+          if (state.n >= 5) {
+            val lhs = BigInt(state.n) * gap - state.s
+            val rhs = BigInt(9) * (BigInt(state.n) * state.ss - BigInt(state.s) * state.s)
+            if (lhs * lhs > rhs) out += GapFlag(key, id, gap, state.n)
+          }
+          state = GapState(ts, state.n + 1, state.s + gap, state.ss + gap * gap)
+        }
+      }
+      if (state != null) st.update(state)
+      out.result().iterator
+    }
+  }
+
+  /** Batch or streaming: per-user 3σ inter-arrival flags. */
+  def gapAnomalies(events: DataFrame): Dataset[GapFlag] = {
+    // Same batch-mode StateStoreCoordinator pre-registration as TypeStats.
+    try {
+      val mgr = events.sparkSession.streams
+      mgr.getClass.getMethod("stateStoreCoordinator").invoke(mgr)
+    } catch { case _: ReflectiveOperationException => () }
+    implicit val outEnc: org.apache.spark.sql.Encoder[GapFlag] = Encoders.product[GapFlag]
+    events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")),
+        col("event_id").cast("long"))
+      .as(Encoders.product[(Long, Long, Long)])
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new GapProcessor, TimeMode.None(), OutputMode.Update())
+  }
+}

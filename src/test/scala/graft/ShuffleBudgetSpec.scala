@@ -202,6 +202,11 @@ class ShuffleBudgetSpec extends AnyFunSuite {
                                // part screen and flagged-supplier list broadcast
     "dominant_supplier" -> 4,  // (part,supp) qty agg + per-part window + survivor
                                // distinct + result sort; dims broadcast
+    "zipf_profile" -> 3,       // term agg + TakeOrdered heap; rank/lag windows
+                               // single-partition over <=1024 rows + result sort
+    "revenue_autocorr" -> 4,   // day agg + ONE single-partition window for all 7
+                               // lags + 7-group moment fold + result sort
+    "stream_anomaly_flags" -> 1, // transformWithState: ONE user-keyed exchange
     "source_term_signatures" -> 9) // cell agg (inlined per ref) + term/source
                                // totals + 1-row grand total + rank window + sort
   // graph_edge_support is NOT pinned: its two NESTED tracked caches
