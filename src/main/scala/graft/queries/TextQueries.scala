@@ -2002,6 +2002,86 @@ object TextQueries {
        |  0.709::DOUBLE * 64 * 64 / (SUM(pow(2, -max_rho)) + (64 - COUNT(*))) AS estimate
        |FROM regs GROUP BY source ORDER BY source""".stripMargin
 
+  /** HLL set algebra across sources: estimated distinct-token union,
+    * intersection (inclusion–exclusion), and Jaccard for every source
+    * pair — cross-source overlap WITHOUT any token-level join, from 64
+    * bytes of mergeable state per source. This is the O(1)-state
+    * companion to `source_minhash_overlap`'s exact audit: at 100 TB the
+    * registers max-merge map-side, the pair step touches only
+    * |sources|² × 64 register rows, and the corpus is read once. Pair
+    * membership is an EXPLODED equi-join (pair → its two members), so
+    * no cartesian/BNLJ appears; per-source and union estimates use the
+    * same exact-dyadic harmonic fold as `hll_by_source`, and the
+    * inclusion–exclusion arithmetic is ordered identically cross-engine. */
+  def hllSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(spark, dir).select(col("source"),
+      explode(org.apache.spark.sql.functions.filter(split(col("text"), " "), w => w =!= "")).as("term"))
+    val h = PolyHash.hash(col("term"))
+    val rho = when(col("w") === 0, lit(25))
+      .otherwise(bit_count(col("w").bitwiseAND(-col("w")) - 1) + 1)
+    val regs = graft.GraftCaches.track(
+      terms.select(col("source"), h.as("h"))
+        .select(col("source"), pmod(col("h"), lit(64)).as("bucket"),
+          expr("h div 64").as("w"))
+        .select(col("source"), col("bucket"), rho.as("rho"))
+        .groupBy("source", "bucket")
+        .agg(max(col("rho")).as("max_rho")))
+    def estimate(grouped: DataFrame, keys: Seq[String]): DataFrame =
+      grouped.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n_used"),
+          sum(pow(lit(2.0), -col("max_rho"))).as("s_present"))
+        .select(keys.map(col) :+
+          (lit(0.709) * 64 * 64 / (col("s_present") + (lit(64) - col("n_used"))))
+            .as("estimate"): _*)
+    val est = estimate(regs, Seq("source"))
+    val pairs = est.select(col("source").as("s1"))
+      .join(broadcast(est.select(col("source").as("s2"))), col("s1") < col("s2"))
+    val membership = pairs.select(col("s1"), col("s2"),
+      explode(array(col("s1"), col("s2"))).as("source"))
+    val unionEst = estimate(
+      regs.join(broadcast(membership), "source")
+        .groupBy("s1", "s2", "bucket")
+        .agg(max(col("max_rho")).as("max_rho")),
+      Seq("s1", "s2"))
+      .withColumnRenamed("estimate", "est_union")
+    unionEst
+      .join(broadcast(est.select(col("source").as("s1"), col("estimate").as("est_a"))), "s1")
+      .join(broadcast(est.select(col("source").as("s2"), col("estimate").as("est_b"))), "s2")
+      .withColumn("est_inter", col("est_a") + col("est_b") - col("est_union"))
+      .select(col("s1"), col("s2"), col("est_a"), col("est_b"),
+        col("est_union"), col("est_inter"),
+        (col("est_inter") / col("est_union")).as("jaccard"))
+      .orderBy("s1", "s2")
+  }
+
+  val hllSourceOverlapSql: String =
+    s"""WITH t AS (SELECT source, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term FROM documents),
+       |h AS (SELECT source, list_reduce(list_prepend(0::BIGINT, list_transform(string_split(term,''), c -> ascii(c)::BIGINT)),
+       |                         (a,b) -> (a*31+b) % ${PolyHash.Mod}) AS hv FROM t),
+       |r AS (SELECT source, hv % 64 AS bucket,
+       |        CASE WHEN hv // 64 = 0 THEN 25
+       |             ELSE bit_count(((hv // 64) & -(hv // 64)) - 1) + 1 END AS rho
+       |      FROM h),
+       |regs AS (SELECT source, bucket, MAX(rho) AS max_rho FROM r GROUP BY source, bucket),
+       |est AS (SELECT source,
+       |          0.709::DOUBLE * 64 * 64 / (SUM(pow(2, -max_rho)) + (64 - COUNT(*))) AS estimate
+       |        FROM regs GROUP BY source),
+       |pairs AS (SELECT a.source AS s1, b.source AS s2
+       |          FROM est a, est b WHERE a.source < b.source),
+       |u AS (SELECT p.s1, p.s2, r.bucket, MAX(r.max_rho) AS max_rho
+       |      FROM pairs p JOIN regs r ON r.source = p.s1 OR r.source = p.s2
+       |      GROUP BY p.s1, p.s2, r.bucket),
+       |uest AS (SELECT s1, s2,
+       |           0.709::DOUBLE * 64 * 64 / (SUM(pow(2, -max_rho)) + (64 - COUNT(*))) AS est_union
+       |         FROM u GROUP BY s1, s2)
+       |SELECT s1, s2, ea.estimate AS est_a, eb.estimate AS est_b, est_union,
+       |       ea.estimate + eb.estimate - est_union AS est_inter,
+       |       (ea.estimate + eb.estimate - est_union) / est_union AS jaccard
+       |FROM uest
+       |JOIN est ea ON ea.source = s1
+       |JOIN est eb ON eb.source = s2
+       |ORDER BY s1, s2""".stripMargin
+
   /** Exact tie-aware ROC-AUC of the quality score against the
     * lang='en' label — the language-bias audit of the (English-
     * stopword-based) quality composite: AUC ≫ 0.5 quantifies exactly
@@ -3264,6 +3344,7 @@ object TextQueries {
       |FROM p ORDER BY rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hll_source_overlap" -> (hllSourceOverlap _),
     "zipf_profile" -> (zipfProfile _),
     "sft_render" -> (sftRender _),
     "source_term_signatures" -> (sourceTermSignatures _),
@@ -3345,6 +3426,7 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "hll_source_overlap" -> hllSourceOverlapSql,
     "zipf_profile" -> zipfProfileSql,
     "sft_render" -> sftRenderSql,
     "source_term_signatures" -> sourceTermSignaturesSql,

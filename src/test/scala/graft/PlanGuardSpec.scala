@@ -120,7 +120,11 @@ class PlanGuardSpec extends AnyFunSuite {
       // colbert_maxsim_topk: the exact-baseline scan — the 4-row
       // query-vector bag cross-broadcast onto the corpus (the
       // embed_cosine_topk shape, multi-vector edition).
-      "colbert_maxsim_topk")
+      "colbert_maxsim_topk",
+      // hll_source_overlap: the s1 < s2 pair inventory over the
+      // ≤|sources|-row estimate relation (both BNLJ sides tiny by
+      // construction); the register joins themselves are equi-joins.
+      "hll_source_overlap")
 
   private def planOf(name: String): String =
     try SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString

@@ -207,6 +207,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "revenue_autocorr" -> 4,   // day agg + ONE single-partition window for all 7
                                // lags + 7-group moment fold + result sort
     "stream_anomaly_flags" -> 1, // transformWithState: ONE user-keyed exchange
+    "hll_source_overlap" -> 12, // static count inlines the tracked register agg
+                               // per est reference (pair inventory + est_a/est_b
+                               // decorations + union side); executed once cached:
+                               // register agg + pair-union regroup + tiny folds + sort
     "source_term_signatures" -> 9) // cell agg (inlined per ref) + term/source
                                // totals + 1-row grand total + rank window + sort
   // graph_edge_support is NOT pinned: its two NESTED tracked caches
