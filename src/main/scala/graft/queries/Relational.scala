@@ -3454,7 +3454,190 @@ object Relational {
        |FROM m ORDER BY k""".stripMargin
   }
 
+  /** Exact quantity-weighted median price per return flag — the robust
+    * "typical unit price weighted by volume" statistic percentile
+    * sketches approximate. Weighted median = smallest price whose
+    * cumulative weight reaches half the group total, so the whole
+    * computation stays in exact decimal comparisons: collapse to price
+    * LEVELS first (one map-side-combined aggregate — the cumulative
+    * window then runs over distinct prices, not rows), ONE flag-keyed
+    * exchange shared by the running-weight and total windows, and a
+    * min-price fold over the qualifying levels. No interpolation, no
+    * IEEE ordering hazards — ties are resolved by the level collapse
+    * itself. */
+  def weightedMedianByGroup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byFlag = Window.partitionBy("l_returnflag")
+    val cum = byFlag.orderBy("price")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_extendedprice")
+        .cast(DecimalType(12, 2)).as("price"))
+      .agg(sum(col("l_quantity").cast(DecimalType(12, 2))).as("w"))
+      .withColumn("cumw", sum("w").over(cum))
+      .withColumn("total", sum("w").over(byFlag))
+      .filter(col("cumw") * 2 >= col("total"))
+      .groupBy("l_returnflag")
+      .agg(min("price").cast("double").as("weighted_median_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val weightedMedianByGroupSql: String =
+    """WITH lv AS (
+      |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+      |         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (SELECT l_returnflag, price,
+      |        SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+      |        SUM(w) OVER (PARTITION BY l_returnflag) AS total
+      |      FROM lv)
+      |SELECT l_returnflag, CAST(MIN(price) AS DOUBLE) AS weighted_median_price
+      |FROM c WHERE cumw * 2 >= total
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Deterministic MODE aggregate: the most frequent quantity per return
+    * flag, ties broken toward the SMALLEST value so the answer is unique
+    * cross-engine (the built-in mode() of either engine leaves ties
+    * unspecified — unusable under a hash compare). One value-level
+    * aggregate, a per-flag max-count window over the ≤|levels| relation,
+    * and a min-value fold over the argmax set. */
+  def modeByGroup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity")
+        .cast(DecimalType(12, 2)).as("qty"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("max_n", max("n").over(Window.partitionBy("l_returnflag")))
+      .filter(col("n") === col("max_n"))
+      .groupBy("l_returnflag")
+      .agg(min("qty").cast("double").as("mode_qty"), max("max_n").as("n_occurrences"))
+      .orderBy("l_returnflag")
+  }
+
+  val modeByGroupSql: String =
+    """WITH lv AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS DECIMAL(12,2)) AS qty, COUNT(*) AS n
+      |  FROM lineitem GROUP BY 1, 2),
+      |m AS (SELECT l_returnflag, qty, n,
+      |        MAX(n) OVER (PARTITION BY l_returnflag) AS max_n
+      |      FROM lv)
+      |SELECT l_returnflag, CAST(MIN(qty) AS DOUBLE) AS mode_qty,
+      |       MAX(max_n) AS n_occurrences
+      |FROM m WHERE n = max_n
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Benford first-digit audit over order totals: observed share per
+    * leading digit vs the Benford expectation log10(1+1/d) — the
+    * fabricated-data / unit-mixup screen auditors run over financial
+    * fact columns. The digit comes from the DECIMAL's string form (no
+    * log10 at query time — the nine expected shares are compile-time
+    * literals shared verbatim with the oracle SQL), the count is one
+    * 9-group map-side-combined aggregate, and each row carries its own
+    * share/excess division so no cross-row IEEE fold exists anywhere. */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val digit = substring(col("o_totalprice").cast(DecimalType(12, 2))
+      .cast("string"), 1, 1).cast("int")
+    val benfordP = element_at(
+      array(BenfordShares.map(lit): _*), col("digit"))
+    Tables.orders(spark, dir)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      .withColumn("total", sum("n_obs").over(Window.partitionBy()))
+      .select(col("digit"), col("n_obs"),
+        (col("n_obs").cast("double") / col("total").cast("double")).as("share"),
+        benfordP.as("benford_p"),
+        ((col("n_obs").cast("double") / col("total").cast("double")) - benfordP)
+          .as("excess"))
+      .orderBy("digit")
+  }
+
+  /** log10(1+1/d) for d = 1..9, evaluated once here so the Spark plan
+    * and the oracle SQL interpolate the SAME double literals. */
+  private val BenfordShares: Seq[Double] = (1 to 9).map(d => math.log10(1 + 1.0 / d))
+
+  // NB the expected shares interpolate as QUOTED strings ('0.301…'::DOUBLE):
+  // a bare high-precision numeric literal parses as DECIMAL in DuckDB and
+  // loses the last ulp on the way to DOUBLE; the string form takes the
+  // correctly-rounded strtod path and lands on Spark's exact literal.
+  val benfordAuditSql: String = {
+    val cases = BenfordShares.zipWithIndex
+      .map { case (p, i) => s"WHEN ${i + 1} THEN '${p}'::DOUBLE" }.mkString(" ")
+    s"""WITH d AS (
+       |  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 1, 1) AS INT) AS digit
+       |  FROM orders),
+       |g AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY digit),
+       |t AS (SELECT digit, n_obs, SUM(n_obs) OVER () AS total FROM g)
+       |SELECT digit, n_obs,
+       |  CAST(n_obs AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+       |  CASE digit $cases END AS benford_p,
+       |  (CAST(n_obs AS DOUBLE) / CAST(total AS DOUBLE)) - (CASE digit $cases END) AS excess
+       |FROM t ORDER BY digit""".stripMargin
+  }
+
+  /** Monthly growth accounting over ordering customers: every active
+    * month classifies each customer as NEW (first month ever), RETAINED
+    * (also active the previous calendar month), or RESURRECTED (active
+    * before, but not last month); CHURNED(m) = active(prev observed
+    * month) − retained(m). The product-analytics ledger behind "is
+    * growth new demand or returning demand". One distinct
+    * (customer, month) aggregate, ONE customer-keyed window for the
+    * lag-month classification, a month fold, and a ≤|months|-row
+    * single-partition lag for churn — the fact table never moves twice. */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val act = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("cust"),
+        trunc(col("o_orderdate").cast("date"), "month").as("m"))
+      .distinct()
+    val status = act
+      .withColumn("prev", lag("m", 1).over(Window.partitionBy("cust").orderBy("m")))
+      .withColumn("status",
+        when(col("prev").isNull, "new")
+          .when(col("prev") === add_months(col("m"), -1), "retained")
+          .otherwise("resurrected"))
+    status.groupBy("m")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("status") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("status") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+      .withColumn("n_churned",
+        coalesce(lag("n_active", 1).over(Window.orderBy("m")), lit(0L)) - col("n_retained"))
+      .withColumn("m", col("m").cast("timestamp")) // month keys ship as
+      // TIMESTAMP like monthly_growth: parquet date32 vs DuckDB DATE hash
+      // differently in the driver compare
+      .orderBy("m")
+  }
+
+  val growthAccountingSql: String =
+    """WITH act AS (
+      |  SELECT DISTINCT o_custkey AS cust, CAST(date_trunc('month', o_orderdate) AS DATE) AS m
+      |  FROM orders),
+      |s AS (
+      |  SELECT cust, m, lag(m) OVER (PARTITION BY cust ORDER BY m) AS prev
+      |  FROM act),
+      |c AS (
+      |  SELECT m,
+      |    CASE WHEN prev IS NULL THEN 'new'
+      |         WHEN prev = m - INTERVAL 1 MONTH THEN 'retained'
+      |         ELSE 'resurrected' END AS status
+      |  FROM s),
+      |g AS (
+      |  SELECT m, COUNT(*) AS n_active,
+      |    CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |    CAST(SUM(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+      |    CAST(SUM(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      |  FROM c GROUP BY m)
+      |SELECT CAST(m AS TIMESTAMP) AS m, n_active, n_new, n_retained, n_resurrected,
+      |  COALESCE(lag(n_active) OVER (ORDER BY m), 0) - n_retained AS n_churned
+      |FROM g ORDER BY m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "benford_audit" -> (benfordAudit _),
+    "growth_accounting" -> (growthAccounting _),
+    "weighted_median_by_group" -> (weightedMedianByGroup _),
+    "mode_by_group" -> (modeByGroup _),
     "revenue_autocorr" -> (revenueAutocorr _),
     "min_cost_supplier" -> (minCostSupplier _),
     "sole_late_supplier" -> (soleLateSupplier _),
@@ -3551,6 +3734,10 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "benford_audit" -> benfordAuditSql,
+    "growth_accounting" -> growthAccountingSql,
+    "weighted_median_by_group" -> weightedMedianByGroupSql,
+    "mode_by_group" -> modeByGroupSql,
     "revenue_autocorr" -> revenueAutocorrSql,
     "min_cost_supplier" -> minCostSupplierSql,
     "sole_late_supplier" -> soleLateSupplierSql,

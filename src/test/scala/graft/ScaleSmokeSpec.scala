@@ -236,6 +236,34 @@ class ScaleSmokeSpec extends AnyFunSuite {
     GraftCaches.releaseAll()
   }
 
+  test("streaming gap-anomaly detector completes at 1M events") {
+    val dir = synthEventsDir(1000000L)
+    val flags = graft.queries.MediaStreamQueries.streamAnomalyFlags(spark, dir)
+    banned(flags)
+    // 5000 users x 200 events: the user-keyed state fold must finish in
+    // one exchange; flag count is data-dependent (the synthetic gap
+    // pattern is near-regular), completion + plan shape are the smoke.
+    val n = timed("gapAnomalies over 1M events")(flags.count())
+    assert(n >= 0L)
+    GraftCaches.releaseAll()
+  }
+
+  test(s"HLL source-overlap sketch algebra completes at $nDocs docs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scale-hll").toString
+    synthDocs(nDocs)
+      .withColumn("source", concat(lit("src_"), pmod(col("doc_id"), lit(20))))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val ov = graft.queries.TextQueries.hllSourceOverlap(spark, tmp)
+    // The s1 < s2 pair inventory over the 20-row estimate relation is a
+    // deliberate tiny BNLJ (PlanGuard whitelist); only CartesianProduct
+    // stays banned here.
+    assert(!ov.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    val rows = timed(s"hllSourceOverlap over $nDocs docs")(ov.collect())
+    assert(rows.length === 190, "20 sources must yield C(20,2) = 190 pairs")
+    assert(rows.forall(r => r.getDouble(4) > 0.0), "union estimates must be positive")
+    GraftCaches.releaseAll()
+  }
+
   test(s"media shard packing completes at $nDocs docs") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-scale-docs").toString
     synthDocs(nDocs).write.mode("overwrite").parquet(s"$tmp/documents.parquet")

@@ -207,6 +207,13 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "revenue_autocorr" -> 4,   // day agg + ONE single-partition window for all 7
                                // lags + 7-group moment fold + result sort
     "stream_anomaly_flags" -> 1, // transformWithState: ONE user-keyed exchange
+    "benford_audit" -> 2,      // 9-digit agg + tiny single-partition total window
+                               // + result sort (shares are per-row divisions)
+    "growth_accounting" -> 4,  // (cust,month) distinct + cust lag window + month
+                               // agg + <=|months|-row churn lag + result sort
+    "weighted_median_by_group" -> 3, // price-level agg + ONE flag exchange for both
+                               // windows + qualifying-level min fold + sort
+    "mode_by_group" -> 3,      // value-level agg + per-flag max window + argmax fold
     "hll_source_overlap" -> 12, // static count inlines the tracked register agg
                                // per est reference (pair inventory + est_a/est_b
                                // decorations + union side); executed once cached:
