@@ -3633,7 +3633,100 @@ object Relational {
       |  COALESCE(lag(n_active) OVER (ORDER BY m), 0) - n_retained AS n_churned
       |FROM g ORDER BY m""".stripMargin
 
+  /** Poisson bootstrap of mean order value: 20 deterministic replicates
+    * whose per-row weights are pseudo-Poisson(1) draws from an affine
+    * hash of (orderkey, replicate) — THE scalable bootstrap: no
+    * resampling passes, no shuffle of the fact table, just a scan-side
+    * ×20 expand and one replicate-keyed fold, so uncertainty bands for
+    * any 100 TB aggregate cost one extra aggregation. The inverse-CDF
+    * thresholds are compile-time literals shared with the oracle (quoted
+    * — see benford_audit), the weighted sums are exact decimals, and
+    * each replicate mean is a single IEEE division. */
+  def poissonBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val M = 1000000007L
+    val u = pmod(col("o_orderkey") * 1000003L + col("b") * 826838831L + 12345L,
+      lit(M)).cast("double") / lit(M.toDouble)
+    val w = PoissonCum.map(c => when(col("u") > lit(c), 1).otherwise(0))
+      .reduce(_ + _)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice").cast(DecimalType(12, 2)).as("x"))
+      .withColumn("b", explode(sequence(lit(1), lit(20))))
+      .withColumn("u", u)
+      .withColumn("w", w)
+      .groupBy("b")
+      .agg(sum("w").cast("bigint").as("n_eff"),
+        (sum(col("w") * col("x")).cast("double") /
+          sum("w").cast("double")).as("mean_rev"))
+      .orderBy("b")
+  }
+
+  /** Poisson(1) CDF at k = 0..7, evaluated once so the Spark plan and
+    * the oracle SQL interpolate the SAME double literals. */
+  private val PoissonCum: Seq[Double] =
+    (0 to 7).map { k =>
+      (0 to k).map { j =>
+        var fj = 1.0; (1 to j).foreach(fj *= _); math.exp(-1.0) / fj
+      }.sum
+    }
+
+  val poissonBootstrapSql: String = {
+    val th = PoissonCum.map(c => s"CASE WHEN u > '${c}'::DOUBLE THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH r AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS x FROM orders),
+       |e AS (SELECT o_orderkey, x, unnest(range(1, 21)) AS b FROM r),
+       |u AS (SELECT b, x,
+       |        CAST((o_orderkey * 1000003 + b * 826838831 + 12345) % 1000000007 AS DOUBLE)
+       |          / 1000000007.0 AS u
+       |      FROM e),
+       |w AS (SELECT b, x, ${th} AS w FROM u)
+       |SELECT CAST(b AS INT) AS b, CAST(SUM(w) AS BIGINT) AS n_eff,
+       |  CAST(CAST(SUM(w * x) AS VARCHAR) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mean_rev
+       |FROM w GROUP BY b ORDER BY b""".stripMargin
+  }
+
+  /** Leave-one-source-out influence: how much each source shifts the
+    * corpus mean document length — the influence-function audit behind
+    * "which supplier of data is dragging quality". The leave-one-out
+    * mean for EVERY source comes from one per-source aggregate plus
+    * single-partition total windows over the ≤|sources| relation
+    * ((S−s)/(N−n) — no per-source re-scan, no join), so the audit is
+    * O(one pass) at any corpus size. Sums are exact longs; the three
+    * divisions are the only IEEE ops. */
+  def looSourceInfluence(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("s_chars"))
+      .withColumn("n_total", sum("n_docs").over(all))
+      .withColumn("s_total", sum("s_chars").over(all))
+      .select(col("source"), col("n_docs"),
+        (col("s_chars").cast("double") / col("n_docs").cast("double")).as("mean_chars"),
+        (col("s_total").cast("double") / col("n_total").cast("double")).as("overall_mean"),
+        ((col("s_total") - col("s_chars")).cast("double") /
+          (col("n_total") - col("n_docs")).cast("double")).as("loo_mean"))
+      .withColumn("influence", col("loo_mean") - col("overall_mean"))
+      .orderBy("source")
+  }
+
+  val looSourceInfluenceSql: String =
+    """WITH g AS (
+      |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS s_chars
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT source, n_docs, s_chars,
+      |        SUM(n_docs) OVER () AS n_total, SUM(s_chars) OVER () AS s_total
+      |      FROM g)
+      |SELECT source, n_docs,
+      |  CAST(s_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars,
+      |  CAST(s_total AS DOUBLE) / CAST(n_total AS DOUBLE) AS overall_mean,
+      |  CAST(s_total - s_chars AS DOUBLE) / CAST(n_total - n_docs AS DOUBLE) AS loo_mean,
+      |  CAST(s_total - s_chars AS DOUBLE) / CAST(n_total - n_docs AS DOUBLE)
+      |    - CAST(s_total AS DOUBLE) / CAST(n_total AS DOUBLE) AS influence
+      |FROM t ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "poisson_bootstrap" -> (poissonBootstrap _),
+    "loo_source_influence" -> (looSourceInfluence _),
     "benford_audit" -> (benfordAudit _),
     "growth_accounting" -> (growthAccounting _),
     "weighted_median_by_group" -> (weightedMedianByGroup _),
@@ -3734,6 +3827,8 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "poisson_bootstrap" -> poissonBootstrapSql,
+    "loo_source_influence" -> looSourceInfluenceSql,
     "benford_audit" -> benfordAuditSql,
     "growth_accounting" -> growthAccountingSql,
     "weighted_median_by_group" -> weightedMedianByGroupSql,

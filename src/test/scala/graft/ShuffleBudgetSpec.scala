@@ -207,6 +207,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "revenue_autocorr" -> 4,   // day agg + ONE single-partition window for all 7
                                // lags + 7-group moment fold + result sort
     "stream_anomaly_flags" -> 1, // transformWithState: ONE user-keyed exchange
+    "poisson_bootstrap" -> 2,  // scan-side x20 expand; ONE 20-group replicate
+                               // fold + result sort — the fact table never shuffles
+    "loo_source_influence" -> 2, // source agg + tiny single-partition total windows
+                               // + result sort; no join, no per-source re-scan
     "benford_audit" -> 2,      // 9-digit agg + tiny single-partition total window
                                // + result sort (shares are per-row divisions)
     "growth_accounting" -> 4,  // (cust,month) distinct + cust lag window + month
