@@ -658,7 +658,38 @@ object MediaStreamQueries {
       |      > 9 * (CAST(n_prior AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** Per-(customer, month) growth-accounting status
+    * ([[graft.streaming.GrowthStream]]) in one-shot batch mode: the
+    * stateful NEW/RETAINED/RESURRECTED classifier over the distinct
+    * activity relation, hash-checked against the same lag-window oracle
+    * family as the batch `growth_accounting` ledger — the
+    * online/offline-parity proof for the record-level half of that
+    * rollup. ONE customer-keyed exchange after the distinct. */
+  def streamUserStatus(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("cust"),
+        unix_micros(date_trunc("month", col("o_orderdate")).cast("timestamp")).as("m_us"))
+      .distinct()
+    graft.streaming.GrowthStream.monthStatuses(act)
+      .toDF()
+      .select(col("cust"), timestamp_micros(col("m_us")).as("m"), col("status"))
+  }
+
+  val streamUserStatusSql: String =
+    """WITH act AS (
+      |  SELECT DISTINCT o_custkey AS cust,
+      |         CAST(date_trunc('month', o_orderdate) AS DATE) AS md
+      |  FROM orders),
+      |s AS (SELECT cust, md, lag(md) OVER (PARTITION BY cust ORDER BY md) AS prev
+      |      FROM act)
+      |SELECT cust, CAST(md AS TIMESTAMP) AS m,
+      |  CASE WHEN prev IS NULL THEN 'new'
+      |       WHEN prev + INTERVAL 1 MONTH = md THEN 'retained'
+      |       ELSE 'resurrected' END AS status
+      |FROM s ORDER BY cust, m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_user_status" -> (streamUserStatus _),
     "stream_anomaly_flags" -> (streamAnomalyFlags _),
     "stream_bloom_fingerprints" -> (streamBloomFingerprints _),
     "stream_cms_terms" -> (streamCmsTerms _),
@@ -687,6 +718,7 @@ object MediaStreamQueries {
     "media_dedup" -> (mediaDedup _))
 
   val oracles: Map[String, String] = Map(
+    "stream_user_status" -> streamUserStatusSql,
     "stream_anomaly_flags" -> streamAnomalyFlagsSql,
     "stream_bloom_fingerprints" -> streamBloomFingerprintsSql,
     "stream_cms_terms" -> streamCmsTermsSql,

@@ -3724,7 +3724,76 @@ object Relational {
       |    - CAST(s_total AS DOUBLE) / CAST(n_total AS DOUBLE) AS influence
       |FROM t ORDER BY source""".stripMargin
 
+  /** k-anonymity / l-diversity audit over the customer quasi-identifiers
+    * (nation, account-balance band) with market segment as the sensitive
+    * attribute — the re-identification screen a privacy review runs
+    * before any record-level data leaves the warehouse: how many
+    * quasi-identifier groups are singletons (k = 1), how many expose a
+    * homogeneous sensitive value (l = 1), and where the row mass sits.
+    * One quasi-group aggregate (count + distinct-sensitive per group),
+    * then a 4-band fold — integers end-to-end. */
+  def kAnonymityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").as("nat"),
+        floor(col("c_acctbal") / 1000).cast("int").as("bal_band"))
+      .agg(count(lit(1)).as("k"), countDistinct(col("c_mktsegment")).as("l"))
+    q.select(
+        when(col("k") === 1, "1").when(col("k") < 5, "2-4")
+          .when(col("k") < 10, "5-9").otherwise("10+").as("k_band"),
+        col("k"), col("l"))
+      .groupBy("k_band")
+      .agg(count(lit(1)).as("n_groups"), sum("k").as("n_rows"),
+        sum(when(col("l") === 1, 1L).otherwise(0L)).as("n_homogeneous"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("k_band")
+  }
+
+  val kAnonymityAuditSql: String =
+    """WITH q AS (
+      |  SELECT c_nationkey AS nat, CAST(floor(c_acctbal / 1000) AS INT) AS bal_band,
+      |         COUNT(*) AS k, COUNT(DISTINCT c_mktsegment) AS l
+      |  FROM customer GROUP BY 1, 2),
+      |b AS (SELECT CASE WHEN k = 1 THEN '1' WHEN k < 5 THEN '2-4'
+      |                  WHEN k < 10 THEN '5-9' ELSE '10+' END AS k_band, k, l
+      |      FROM q)
+      |SELECT k_band, COUNT(*) AS n_groups, CAST(SUM(k) AS BIGINT) AS n_rows,
+      |       CAST(SUM(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_homogeneous,
+      |       MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM b GROUP BY k_band ORDER BY k_band""".stripMargin
+
+  /** Relational division ("FOR ALL"): customers whose EVERY order is
+    * high-priority — the textbook double-NOT-EXISTS shape, rewritten as
+    * the one-pass aggregate a distributed engine actually wants:
+    * count(*) = count(matching) per customer (no self-join, no
+    * anti-of-anti — ONE map-side-combined fold over orders), then a
+    * broadcast name decoration of the few survivors. */
+  def relationalDivision(spark: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(high, 1L).otherwise(0L)).as("n_high"))
+      .filter(col("n_orders") === col("n_high"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  val relationalDivisionSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey, COUNT(*) AS n_orders,
+      |         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+      |  FROM orders GROUP BY 1)
+      |SELECT c_custkey, c_name, n_orders
+      |FROM per JOIN customer ON o_custkey = c_custkey
+      |WHERE n_orders = n_high
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "relational_division" -> (relationalDivision _),
+    "k_anonymity_audit" -> (kAnonymityAudit _),
     "poisson_bootstrap" -> (poissonBootstrap _),
     "loo_source_influence" -> (looSourceInfluence _),
     "benford_audit" -> (benfordAudit _),
@@ -3827,6 +3896,8 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "relational_division" -> relationalDivisionSql,
+    "k_anonymity_audit" -> kAnonymityAuditSql,
     "poisson_bootstrap" -> poissonBootstrapSql,
     "loo_source_influence" -> looSourceInfluenceSql,
     "benford_audit" -> benfordAuditSql,

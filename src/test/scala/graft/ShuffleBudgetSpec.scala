@@ -207,6 +207,12 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "revenue_autocorr" -> 4,   // day agg + ONE single-partition window for all 7
                                // lags + 7-group moment fold + result sort
     "stream_anomaly_flags" -> 1, // transformWithState: ONE user-keyed exchange
+    "k_anonymity_audit" -> 4,  // quasi-group agg (distinct-sensitive = partial
+                               // + final pair) + 4-band fold + result sort
+    "stream_user_status" -> 2, // activity distinct + ONE cust-keyed
+                               // transformWithState exchange
+    "relational_division" -> 2,// ONE cust fold (count=count form of the double
+                               // NOT EXISTS) + result sort; customer broadcast
     "poisson_bootstrap" -> 2,  // scan-side x20 expand; ONE 20-group replicate
                                // fold + result sort — the fact table never shuffles
     "loo_source_influence" -> 2, // source agg + tiny single-partition total windows
