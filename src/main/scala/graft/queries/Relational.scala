@@ -3791,7 +3791,58 @@ object Relational {
       |WHERE n_orders = n_high
       |ORDER BY c_custkey""".stripMargin
 
+  /** Exact bitmap-index intersection: per-segment and per-nation
+    * customer bitmaps as 32-bit words keyed by custkey div 32, with
+    * |segment ∩ nation| read off popcount(AND) — the word-bitmap form
+    * of a secondary index, where predicate-combination counts cost
+    * bitwise ops over |domain|/32 words instead of row joins (the
+    * EXACT sibling of the HLL/Bloom register relations). The word join
+    * is an equi-join on word_no; every intersection count is
+    * self-audited against the direct (segment, nation) fold in the
+    * same result (`agree` must be all-true). Integers end-to-end. */
+  def bitmapIndexAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val bits = expr("shiftleft(1L, cast(c_custkey % 32 as int))")
+    val segw = cust.groupBy(col("c_mktsegment").as("seg"),
+        expr("c_custkey div 32").as("w"))
+      .agg(bit_or(bits).as("sbits"))
+    val natw = cust.groupBy(col("c_nationkey").as("nat"),
+        expr("c_custkey div 32").as("w"))
+      .agg(bit_or(bits).as("nbits"))
+    val bm = segw.join(natw, "w")
+      .groupBy("seg", "nat")
+      .agg(sum(bit_count(col("sbits").bitwiseAND(col("nbits"))))
+        .cast("bigint").as("n_bitmap"))
+    val direct = cust.groupBy(col("c_mktsegment").as("seg"),
+        col("c_nationkey").as("nat"))
+      .agg(count(lit(1)).as("n_direct"))
+    bm.join(direct, Seq("seg", "nat"))
+      .withColumn("agree", col("n_bitmap") === col("n_direct"))
+      .orderBy("seg", "nat")
+  }
+
+  val bitmapIndexAuditSql: String =
+    """WITH segw AS (
+      |  SELECT c_mktsegment AS seg, c_custkey // 32 AS w,
+      |         bit_or(1::BIGINT << CAST(c_custkey % 32 AS INT)) AS bits
+      |  FROM customer GROUP BY 1, 2),
+      |natw AS (
+      |  SELECT c_nationkey AS nat, c_custkey // 32 AS w,
+      |         bit_or(1::BIGINT << CAST(c_custkey % 32 AS INT)) AS bits
+      |  FROM customer GROUP BY 1, 2),
+      |bm AS (
+      |  SELECT seg, nat, CAST(SUM(bit_count(s.bits & n.bits)) AS BIGINT) AS n_bitmap
+      |  FROM segw s JOIN natw n ON s.w = n.w
+      |  GROUP BY 1, 2),
+      |direct AS (
+      |  SELECT c_mktsegment AS seg, c_nationkey AS nat, COUNT(*) AS n_direct
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT bm.seg, bm.nat, n_bitmap, n_direct, n_bitmap = n_direct AS agree
+      |FROM bm JOIN direct d ON bm.seg = d.seg AND bm.nat = d.nat
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bitmap_index_audit" -> (bitmapIndexAudit _),
     "relational_division" -> (relationalDivision _),
     "k_anonymity_audit" -> (kAnonymityAudit _),
     "poisson_bootstrap" -> (poissonBootstrap _),
@@ -3896,6 +3947,7 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "bitmap_index_audit" -> bitmapIndexAuditSql,
     "relational_division" -> relationalDivisionSql,
     "k_anonymity_audit" -> kAnonymityAuditSql,
     "poisson_bootstrap" -> poissonBootstrapSql,

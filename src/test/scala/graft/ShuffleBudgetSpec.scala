@@ -207,6 +207,8 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "revenue_autocorr" -> 4,   // day agg + ONE single-partition window for all 7
                                // lags + 7-group moment fold + result sort
     "stream_anomaly_flags" -> 1, // transformWithState: ONE user-keyed exchange
+    "bitmap_index_audit" -> 5, // two word-bitmap aggs + word equi-join +
+                               // (seg,nat) popcount fold + direct-count audit join
     "k_anonymity_audit" -> 4,  // quasi-group agg (distinct-sensitive = partial
                                // + final pair) + 4-band fold + result sort
     "stream_user_status" -> 2, // activity distinct + ONE cust-keyed
