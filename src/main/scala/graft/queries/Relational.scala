@@ -3841,7 +3841,68 @@ object Relational {
       |FROM bm JOIN direct d ON bm.seg = d.seg AND bm.nat = d.nat
       |ORDER BY 1, 2""".stripMargin
 
+  /** Discrete-time hazard table for view→purchase conversion with
+    * right-censoring: per whole-day horizon, users still at risk,
+    * conversions that day, and the hazard d/n — survival analysis'
+    * workhorse table, deliberately WITHOUT the Kaplan-Meier cumulative
+    * product (an ordered chain of IEEE multiplies that no distributed
+    * fold reproduces bit-stably; the hazard column carries the same
+    * information one exact division per row). Censoring = last observed
+    * event. One user fold, a ≤|horizons| day-level agg, and a reversed
+    * cumulative window over that tiny relation. */
+  def hazardTable(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = Tables.events(spark, dir).groupBy("user_id").agg(
+      min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+      min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"),
+      max("ts").as("last_seen"))
+    val converted = col("first_purchase").isNotNull &&
+      col("first_purchase") >= col("first_view")
+    val spells = u.filter(col("first_view").isNotNull)
+      .select(when(converted, 1L).otherwise(0L).as("converted"),
+        when(converted,
+          expr("(unix_micros(first_purchase) - unix_micros(first_view)) div 86400000000"))
+          .otherwise(
+            expr("(unix_micros(last_seen) - unix_micros(first_view)) div 86400000000"))
+          .as("t_days"))
+    val atRisk = Window.orderBy(col("t_days").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spells.groupBy("t_days")
+      .agg(sum("converted").as("d_events"), count(lit(1)).as("n_ending"))
+      .withColumn("n_at_risk", sum("n_ending").over(atRisk).cast("bigint"))
+      .select(col("t_days"), col("n_at_risk"), col("d_events"),
+        (col("d_events").cast("double") / col("n_at_risk").cast("double")).as("hazard"))
+      .orderBy("t_days")
+  }
+
+  val hazardTableSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase,
+      |    MAX(ts) AS last_seen
+      |  FROM events GROUP BY user_id),
+      |d AS (
+      |  SELECT CASE WHEN first_purchase IS NOT NULL AND first_purchase >= first_view
+      |              THEN 1 ELSE 0 END AS converted,
+      |    CASE WHEN first_purchase IS NOT NULL AND first_purchase >= first_view
+      |         THEN (epoch_us(first_purchase) - epoch_us(first_view)) // 86400000000
+      |         ELSE (epoch_us(last_seen) - epoch_us(first_view)) // 86400000000
+      |    END AS t_days
+      |  FROM u WHERE first_view IS NOT NULL),
+      |r AS (SELECT t_days, CAST(SUM(converted) AS BIGINT) AS d_events,
+      |             COUNT(*) AS n_ending
+      |      FROM d GROUP BY t_days),
+      |a AS (SELECT t_days, d_events, n_ending,
+      |        CAST(SUM(n_ending) OVER (ORDER BY t_days DESC
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at_risk
+      |      FROM r)
+      |SELECT t_days, n_at_risk, d_events,
+      |  CAST(d_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE) AS hazard
+      |FROM a ORDER BY t_days""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hazard_table" -> (hazardTable _),
     "bitmap_index_audit" -> (bitmapIndexAudit _),
     "relational_division" -> (relationalDivision _),
     "k_anonymity_audit" -> (kAnonymityAudit _),
@@ -3947,6 +4008,7 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "hazard_table" -> hazardTableSql,
     "bitmap_index_audit" -> bitmapIndexAuditSql,
     "relational_division" -> relationalDivisionSql,
     "k_anonymity_audit" -> kAnonymityAuditSql,

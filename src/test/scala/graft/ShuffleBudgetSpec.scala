@@ -207,6 +207,8 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "revenue_autocorr" -> 4,   // day agg + ONE single-partition window for all 7
                                // lags + 7-group moment fold + result sort
     "stream_anomaly_flags" -> 1, // transformWithState: ONE user-keyed exchange
+    "hazard_table" -> 3,       // user fold + day-level agg + reversed cumulative
+                               // window over the tiny horizon relation + sort
     "bitmap_index_audit" -> 5, // two word-bitmap aggs + word equi-join +
                                // (seg,nat) popcount fold + direct-count audit join
     "k_anonymity_audit" -> 4,  // quasi-group agg (distinct-sensitive = partial
