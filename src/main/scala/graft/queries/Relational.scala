@@ -3901,7 +3901,91 @@ object Relational {
       |  CAST(d_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE) AS hazard
       |FROM a ORDER BY t_days""".stripMargin
 
+  /** Maximum drawdown of the net cash curve (order revenue minus a
+    * fixed 250k fulfillment cost per order): the deepest peak-to-trough
+    * dip of the running balance, plus the day it bottomed — the
+    * risk-report window composition (cumulative sum → running max →
+    * max gap) that exercises three stacked frames over one ordered
+    * exchange. The curve stays in exact decimal through every window;
+    * the trough tie-breaks to the earliest day; the only IEEE op is the
+    * final output cast. */
+  def maxDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDay = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(o_totalprice AS DECIMAL(12,2)) - 250000.00")).as("net"))
+      .withColumn("cum", sum("net").over(byDay))
+      .withColumn("peak", max("cum").over(byDay))
+      .withColumn("dd", (col("peak") - col("cum")).cast(DecimalType(20, 2)))
+      .withColumn("max_dd", max("dd").over(Window.partitionBy()))
+      .filter(col("dd") === col("max_dd"))
+      .orderBy("day").limit(1)
+      .select(col("day").cast("timestamp").as("trough_day"),
+        col("dd").cast("double").as("max_drawdown"))
+  }
+
+  val maxDrawdownSql: String =
+    """WITH d AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |         SUM(CAST(o_totalprice AS DECIMAL(12,2)) - 250000.00) AS net
+      |  FROM orders GROUP BY 1),
+      |c AS (SELECT day, SUM(net) OVER w AS cum FROM d
+      |      WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |p AS (SELECT day, cum, MAX(cum) OVER w AS peak FROM c
+      |      WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |x AS (SELECT day, CAST(peak - cum AS DECIMAL(20,2)) AS dd FROM p),
+      |m AS (SELECT MAX(dd) AS max_dd FROM x)
+      |SELECT CAST(x.day AS TIMESTAMP) AS trough_day, CAST(dd AS DOUBLE) AS max_drawdown
+      |FROM x JOIN m ON x.dd = m.max_dd
+      |ORDER BY trough_day LIMIT 1""".stripMargin
+
+  /** Per-nation Gini coefficient of customer account balances — the
+    * inequality audit (who holds the wealth inside each market) via the
+    * rank-weighted closed form G = (2·Σi·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx).
+    * Ranks come from ONE nation-partitioned window (ties broken by
+    * custkey, so cross-engine identical), Σi·x and Σx are exact decimal
+    * sums, and the closed form is three IEEE ops per nation — no pair
+    * enumeration, no |n|² anything. */
+  def giniByNation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byNat = Window.partitionBy("nat")
+    val r = Tables.customer(spark, dir)
+      .select(col("c_nationkey").as("nat"),
+        col("c_acctbal").cast(DecimalType(12, 2)).as("x"),
+        col("c_custkey"), col("c_acctbal"))
+      .withColumn("i", row_number().over(byNat.orderBy("c_acctbal", "c_custkey")))
+      .withColumn("n", count(lit(1)).over(byNat))
+    val sixD = col("six").cast("double"); val sxD = col("sx").cast("double")
+    r.groupBy("nat")
+      .agg(max("n").as("n"),
+        sum(col("i").cast("long") * col("x")).as("six"),
+        sum("x").as("sx"))
+      .select(col("nat"), col("n"),
+        ((lit(2.0) * sixD - (col("n") + 1).cast("double") * sxD) /
+          (col("n").cast("double") * sxD)).as("gini"))
+      .orderBy("nat")
+  }
+
+  val giniByNationSql: String =
+    """WITH r AS (
+      |  SELECT c_nationkey AS nat, CAST(c_acctbal AS DECIMAL(12,2)) AS x,
+      |         row_number() OVER (PARTITION BY c_nationkey
+      |                            ORDER BY c_acctbal, c_custkey) AS i,
+      |         COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+      |  FROM customer),
+      |m AS (SELECT nat, MAX(n) AS n, SUM(CAST(i AS BIGINT) * x) AS six, SUM(x) AS sx
+      |      FROM r GROUP BY nat)
+      |SELECT nat, n,
+      |  (2.0 * CAST(CAST(six AS VARCHAR) AS DOUBLE)
+      |     - CAST(n + 1 AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+      |  / (CAST(n AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) AS gini
+      |FROM m ORDER BY nat""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "max_drawdown" -> (maxDrawdown _),
+    "gini_by_nation" -> (giniByNation _),
     "hazard_table" -> (hazardTable _),
     "bitmap_index_audit" -> (bitmapIndexAudit _),
     "relational_division" -> (relationalDivision _),
@@ -4008,6 +4092,8 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "max_drawdown" -> maxDrawdownSql,
+    "gini_by_nation" -> giniByNationSql,
     "hazard_table" -> hazardTableSql,
     "bitmap_index_audit" -> bitmapIndexAuditSql,
     "relational_division" -> relationalDivisionSql,

@@ -207,6 +207,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "revenue_autocorr" -> 4,   // day agg + ONE single-partition window for all 7
                                // lags + 7-group moment fold + result sort
     "stream_anomaly_flags" -> 1, // transformWithState: ONE user-keyed exchange
+    "max_drawdown" -> 3,       // day agg + ONE ordered single-partition exchange
+                               // for all three stacked windows + top-1
+    "gini_by_nation" -> 2,     // ONE nation exchange (rank + count windows +
+                               // the moment fold co-partitioned) + result sort
     "hazard_table" -> 3,       // user fold + day-level agg + reversed cumulative
                                // window over the tiny horizon relation + sort
     "bitmap_index_audit" -> 5, // two word-bitmap aggs + word equi-join +
