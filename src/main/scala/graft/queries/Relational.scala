@@ -3983,7 +3983,44 @@ object Relational {
       |  / (CAST(n AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) AS gini
       |FROM m ORDER BY nat""".stripMargin
 
+  /** Per-user burstiness: the Fano factor (variance-to-mean ratio) of
+    * daily event counts over each user's ACTIVE days — the dispersion
+    * statistic that separates steady heartbeat traffic (F < 1) from
+    * bursty campaign-driven traffic (F > 1). The cross-multiplied form
+    * F = (n·Σx² − (Σx)²) / (n·Σx) keeps every moment an exact integer;
+    * the bursty flag compares the two integers directly (no epsilon),
+    * and the ratio itself is the single IEEE division. One (user, day)
+    * fold + one user fold. */
+  def burstinessIndex(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    daily.groupBy("user_id")
+      .agg(count(lit(1)).as("n_days"), sum("x").as("n_events"),
+        sum(col("x") * col("x")).as("sx2"))
+      .select(col("user_id"), col("n_days"), col("n_events"),
+        ((col("n_days") * col("sx2") - col("n_events") * col("n_events")).cast("double") /
+          (col("n_days") * col("n_events")).cast("double")).as("fano"),
+        (col("n_days") * col("sx2") - col("n_events") * col("n_events") >
+          col("n_days") * col("n_events")).as("bursty"))
+      .orderBy("user_id")
+  }
+
+  val burstinessIndexSql: String =
+    """WITH d AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT user_id, COUNT(*) AS n_days, CAST(SUM(x) AS BIGINT) AS n_events,
+      |             CAST(SUM(x * x) AS BIGINT) AS sx2
+      |      FROM d GROUP BY user_id)
+      |SELECT user_id, n_days, n_events,
+      |  CAST(n_days * sx2 - n_events * n_events AS DOUBLE)
+      |    / CAST(n_days * n_events AS DOUBLE) AS fano,
+      |  n_days * sx2 - n_events * n_events > n_days * n_events AS bursty
+      |FROM m ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "burstiness_index" -> (burstinessIndex _),
     "max_drawdown" -> (maxDrawdown _),
     "gini_by_nation" -> (giniByNation _),
     "hazard_table" -> (hazardTable _),
@@ -4092,6 +4129,7 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "burstiness_index" -> burstinessIndexSql,
     "max_drawdown" -> maxDrawdownSql,
     "gini_by_nation" -> giniByNationSql,
     "hazard_table" -> hazardTableSql,

@@ -207,6 +207,7 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "revenue_autocorr" -> 4,   // day agg + ONE single-partition window for all 7
                                // lags + 7-group moment fold + result sort
     "stream_anomaly_flags" -> 1, // transformWithState: ONE user-keyed exchange
+    "burstiness_index" -> 3,   // (user,day) agg + user moment fold + result sort
     "max_drawdown" -> 3,       // day agg + ONE ordered single-partition exchange
                                // for all three stacked windows + top-1
     "gini_by_nation" -> 2,     // ONE nation exchange (rank + count windows +
