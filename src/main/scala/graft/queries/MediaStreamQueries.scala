@@ -688,7 +688,22 @@ object MediaStreamQueries {
       |       ELSE 'resurrected' END AS status
       |FROM s ORDER BY cust, m""".stripMargin
 
+  /** Exact streaming distinct-user counts per event type
+    * ([[graft.streaming.BitmapStream]]) in one-shot batch mode: the
+    * growable-word-bitmap state makes replays idempotent (OR), so the
+    * online counter equals DuckDB's COUNT(DISTINCT) exactly — the
+    * ground-truth companion the `stream_hll_users` estimate is judged
+    * against. ONE type-keyed exchange. */
+  def streamBitmapUsers(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.BitmapStream.distinctUsers(Tables.events(spark, dir))
+      .toDF()
+
+  val streamBitmapUsersSql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_bitmap_users" -> (streamBitmapUsers _),
     "stream_user_status" -> (streamUserStatus _),
     "stream_anomaly_flags" -> (streamAnomalyFlags _),
     "stream_bloom_fingerprints" -> (streamBloomFingerprints _),
@@ -718,6 +733,7 @@ object MediaStreamQueries {
     "media_dedup" -> (mediaDedup _))
 
   val oracles: Map[String, String] = Map(
+    "stream_bitmap_users" -> streamBitmapUsersSql,
     "stream_user_status" -> streamUserStatusSql,
     "stream_anomaly_flags" -> streamAnomalyFlagsSql,
     "stream_bloom_fingerprints" -> streamBloomFingerprintsSql,
