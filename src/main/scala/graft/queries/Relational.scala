@@ -4019,7 +4019,54 @@ object Relational {
       |  n_days * sx2 - n_events * n_events > n_days * n_events AS bursty
       |FROM m ORDER BY user_id""".stripMargin
 
+  /** Lorenz curve of customer wealth: cumulative balance share at each
+    * population decile — `gini_by_nation`'s graphical companion, the
+    * 10-point readout a fairness/concentration report plots. Deciles
+    * come from ONE globally-ordered ntile window (tie-broken by
+    * custkey; the RFM precedent — at true 100 TB population scale the
+    * rank would ride the engine's PrefixScan instead), the cumulative
+    * sums stay exact decimal over the 10-row decile relation, and the
+    * two share divisions per row are the only IEEE ops. */
+  def lorenzCurve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = Tables.customer(spark, dir)
+      .select(col("c_acctbal").cast(DecimalType(12, 2)).as("x"),
+        col("c_custkey"), col("c_acctbal"))
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy("c_acctbal", "c_custkey")))
+    val cum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    r.groupBy("decile").agg(count(lit(1)).as("n"), sum("x").as("s"))
+      .withColumn("cum_s", sum("s").over(cum))
+      .withColumn("total_s", sum("s").over(all))
+      .withColumn("cum_n", sum("n").over(cum))
+      .withColumn("total_n", sum("n").over(all))
+      .select(col("decile"), col("n"),
+        (col("cum_n").cast("double") / col("total_n").cast("double")).as("pop_share"),
+        (col("cum_s").cast("double") / col("total_s").cast("double")).as("wealth_share"))
+      .orderBy("decile")
+  }
+
+  val lorenzCurveSql: String =
+    """WITH r AS (
+      |  SELECT CAST(c_acctbal AS DECIMAL(12,2)) AS x,
+      |         ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+      |  FROM customer),
+      |g AS (SELECT decile, COUNT(*) AS n, SUM(x) AS s FROM r GROUP BY decile),
+      |c AS (SELECT decile, n, s,
+      |        SUM(s) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s,
+      |        SUM(s) OVER () AS total_s,
+      |        SUM(n) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+      |        SUM(n) OVER () AS total_n
+      |      FROM g)
+      |SELECT decile, n,
+      |  CAST(cum_n AS DOUBLE) / CAST(total_n AS DOUBLE) AS pop_share,
+      |  CAST(CAST(cum_s AS VARCHAR) AS DOUBLE) / CAST(CAST(total_s AS VARCHAR) AS DOUBLE) AS wealth_share
+      |FROM c ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lorenz_curve" -> (lorenzCurve _),
     "burstiness_index" -> (burstinessIndex _),
     "max_drawdown" -> (maxDrawdown _),
     "gini_by_nation" -> (giniByNation _),
@@ -4129,6 +4176,7 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "lorenz_curve" -> lorenzCurveSql,
     "burstiness_index" -> burstinessIndexSql,
     "max_drawdown" -> maxDrawdownSql,
     "gini_by_nation" -> giniByNationSql,

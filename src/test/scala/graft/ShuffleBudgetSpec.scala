@@ -207,6 +207,8 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "revenue_autocorr" -> 4,   // day agg + ONE single-partition window for all 7
                                // lags + 7-group moment fold + result sort
     "stream_anomaly_flags" -> 1, // transformWithState: ONE user-keyed exchange
+    "lorenz_curve" -> 3,       // global ntile exchange + 10-row decile fold +
+                               // tiny cumulative/total windows + result sort
     "burstiness_index" -> 3,   // (user,day) agg + user moment fold + result sort
     "max_drawdown" -> 3,       // day agg + ONE ordered single-partition exchange
                                // for all three stacked windows + top-1
