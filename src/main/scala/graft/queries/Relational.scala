@@ -4065,7 +4065,47 @@ object Relational {
       |  CAST(CAST(cum_s AS VARCHAR) AS DOUBLE) / CAST(CAST(total_s AS VARCHAR) AS DOUBLE) AS wealth_share
       |FROM c ORDER BY decile""".stripMargin
 
+  /** Time-weighted average value (TWAP) per user: each reading holds
+    * until the next one, so the average weights every value by the
+    * SECONDS it was in force — the metric that makes irregular
+    * telemetry comparable (a plain AVG over-counts chatty periods).
+    * ONE user-keyed exchange for the lead window; Σv·d stays exact
+    * (decimal value × integer seconds); the per-user division is the
+    * single IEEE op. Open-ended last readings carry no duration and
+    * drop out, like any TWAP over a closed observation window. */
+  def twapByUser(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").cast(DecimalType(12, 2)).as("v"))
+      .withColumn("d",
+        expr("(lead(unix_micros(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) - unix_micros(ts)) div 1000000"))
+      .filter(col("d").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("v") * col("d")).as("svd"), sum("d").cast("bigint").as("sd"))
+      .filter(col("sd") > 0)
+      .select(col("user_id"), col("n_intervals"),
+        (col("svd").cast("double") / col("sd").cast("double")).as("twap"))
+      .orderBy("user_id")
+  }
+
+  val twapByUserSql: String =
+    """WITH s AS (
+      |  SELECT user_id, CAST(value AS DECIMAL(12,2)) AS v,
+      |         (lead(epoch_us(ts)) OVER w - epoch_us(ts)) // 1000000 AS d
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |m AS (
+      |  SELECT user_id, COUNT(*) AS n_intervals,
+      |         SUM(v * d) AS svd, CAST(SUM(d) AS BIGINT) AS sd
+      |  FROM s WHERE d IS NOT NULL GROUP BY user_id)
+      |SELECT user_id, n_intervals,
+      |  CAST(CAST(svd AS VARCHAR) AS DOUBLE) / CAST(sd AS DOUBLE) AS twap
+      |FROM m WHERE sd > 0 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "twap_by_user" -> (twapByUser _),
     "lorenz_curve" -> (lorenzCurve _),
     "burstiness_index" -> (burstinessIndex _),
     "max_drawdown" -> (maxDrawdown _),
@@ -4176,6 +4216,7 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "twap_by_user" -> twapByUserSql,
     "lorenz_curve" -> lorenzCurveSql,
     "burstiness_index" -> burstinessIndexSql,
     "max_drawdown" -> maxDrawdownSql,

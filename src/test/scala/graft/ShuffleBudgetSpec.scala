@@ -207,6 +207,8 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "revenue_autocorr" -> 4,   // day agg + ONE single-partition window for all 7
                                // lags + 7-group moment fold + result sort
     "stream_anomaly_flags" -> 1, // transformWithState: ONE user-keyed exchange
+    "twap_by_user" -> 2,       // ONE user exchange (lead window + agg
+                               // co-partitioned) + result sort
     "lorenz_curve" -> 3,       // global ntile exchange + 10-row decile fold +
                                // tiny cumulative/total windows + result sort
     "burstiness_index" -> 3,   // (user,day) agg + user moment fold + result sort
