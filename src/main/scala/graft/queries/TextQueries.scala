@@ -3343,7 +3343,48 @@ object TextQueries {
       |  CAST(freq AS DOUBLE) / CAST(lag(freq) OVER (ORDER BY rank) AS DOUBLE) AS decay
       |FROM p ORDER BY rank""".stripMargin
 
+  /** SQL-only user story, end-to-end: a pure `spark.sql` query over the
+    * registered temp views composing the engine's NATIVE codegen
+    * functions (poly_hash, simhash32 over a HOF-built word-hash set,
+    * zorder_code) — proving the GraftExtensions FunctionRegistry
+    * surface gives a SQL-only client the same primitives the Scala API
+    * uses, checked against the same DuckDB register/bit replications as
+    * their host queries. Scan-local expressions: the result sort is the
+    * only exchange. */
+  def sqlNativeFunctions(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(
+      """SELECT doc_id,
+        |  poly_hash(text) AS h,
+        |  simhash32(transform(array_distinct(filter(split(text, ' '), x -> x != '')),
+        |                      w -> poly_hash(w))) AS sh,
+        |  zorder_code(doc_id, n_chars) AS z
+        |FROM documents ORDER BY doc_id""".stripMargin)
+  }
+
+  val sqlNativeFunctionsSql: String = {
+    val M = PolyHash.Mod
+    def ph(e: String) =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($e, ''), c -> ascii(c)::BIGINT)), (a,b) -> (a*31+b) % $M)"
+    s"""WITH w AS (
+       |  SELECT doc_id, n_chars, text,
+       |    list_transform(list_distinct(list_filter(string_split(text, ' '), x -> x != '')),
+       |                   w -> ${ph("w")}) AS hs
+       |  FROM documents)
+       |SELECT doc_id,
+       |  ${ph("text")} AS h,
+       |  CAST(list_sum(list_transform(range(0, 32), j -> CASE WHEN
+       |    list_sum(list_transform(hs, h -> CASE WHEN ((h // (1::BIGINT << j)) % 2) = 1 THEN 1 ELSE -1 END)) > 0
+       |    THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS sh,
+       |  list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 16), j ->
+       |      (((doc_id >> CAST(j AS INT)) & 1) << CAST(2*j AS INT))
+       |    + (((n_chars >> CAST(j AS INT)) & 1) << CAST(2*j + 1 AS INT)))),
+       |    (a,b) -> a|b) AS z
+       |FROM w ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_native_functions" -> (sqlNativeFunctions _),
     "hll_source_overlap" -> (hllSourceOverlap _),
     "zipf_profile" -> (zipfProfile _),
     "sft_render" -> (sftRender _),
@@ -3426,6 +3467,7 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "sql_native_functions" -> sqlNativeFunctionsSql,
     "hll_source_overlap" -> hllSourceOverlapSql,
     "zipf_profile" -> zipfProfileSql,
     "sft_render" -> sftRenderSql,

@@ -20,6 +20,14 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("every query is oracle-backed") {
+    // The engine's standing invariant since round 7: NO oracle-less
+    // queries — a new query without DuckDB SQL fails here loudly
+    // instead of silently downgrading to the driver's rows-only check.
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without an oracle: ${missing.toSeq.sorted}")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {
       // release per query, like Verify/Bench: leaked tracked caches from

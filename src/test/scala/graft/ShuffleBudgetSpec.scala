@@ -207,6 +207,7 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "revenue_autocorr" -> 4,   // day agg + ONE single-partition window for all 7
                                // lags + 7-group moment fold + result sort
     "stream_anomaly_flags" -> 1, // transformWithState: ONE user-keyed exchange
+    "sql_native_functions" -> 1, // scan-local codegen exprs + result sort only
     "twap_by_user" -> 2,       // ONE user exchange (lead window + agg
                                // co-partitioned) + result sort
     "lorenz_curve" -> 3,       // global ntile exchange + 10-row decile fold +
