@@ -702,7 +702,30 @@ object MediaStreamQueries {
     """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Per-user running TWAP ([[graft.streaming.TwapStream]]) in one-shot
+    * batch mode: integer cents×seconds state makes the online
+    * accumulation exact, so the stateful result hash-matches the
+    * relational lead-window oracle — the online/offline-parity pair for
+    * `twap_by_user`. ONE user-keyed exchange. */
+  def streamTwap(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.TwapStream.twap(Tables.events(spark, dir))
+      .toDF()
+
+  val streamTwapSql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+      |         (lead(epoch_us(ts)) OVER w - epoch_us(ts)) // 1000000 AS d
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |m AS (
+      |  SELECT user_id, COUNT(*) AS n_intervals,
+      |         CAST(SUM(cents * d) AS BIGINT) AS svd, CAST(SUM(d) AS BIGINT) AS sd
+      |  FROM s WHERE d IS NOT NULL GROUP BY user_id)
+      |SELECT user_id, n_intervals,
+      |  CAST(svd AS DOUBLE) / (100.0 * CAST(sd AS DOUBLE)) AS twap
+      |FROM m WHERE sd > 0 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_twap" -> (streamTwap _),
     "stream_bitmap_users" -> (streamBitmapUsers _),
     "stream_user_status" -> (streamUserStatus _),
     "stream_anomaly_flags" -> (streamAnomalyFlags _),
@@ -733,6 +756,7 @@ object MediaStreamQueries {
     "media_dedup" -> (mediaDedup _))
 
   val oracles: Map[String, String] = Map(
+    "stream_twap" -> streamTwapSql,
     "stream_bitmap_users" -> streamBitmapUsersSql,
     "stream_user_status" -> streamUserStatusSql,
     "stream_anomaly_flags" -> streamAnomalyFlagsSql,
