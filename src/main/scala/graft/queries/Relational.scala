@@ -4104,7 +4104,133 @@ object Relational {
       |  CAST(CAST(svd AS VARCHAR) AS DOUBLE) / CAST(sd AS DOUBLE) AS twap
       |FROM m WHERE sd > 0 ORDER BY user_id""".stripMargin
 
+  /** Epidemiology-style 2×2 on user-days: does an error that day change
+    * the odds of purchasing that day? One (user, day) fold to the
+    * exposed/converted flags, one 4-cell fold, then the three standard
+    * effect measures — odds ratio (a·d)/(b·c), risk ratio, and risk
+    * difference — each from exact integer cells with the divisions as
+    * the only IEEE ops (ordered identically cross-engine). The
+    * product-analytics incident-impact readout. */
+  def epiTwoByTwo(spark: SparkSession, dir: String): DataFrame = {
+    val u = Tables.events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(max(when(col("event_type") === "error", 1).otherwise(0)).as("exposed"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("converted"))
+    def cell(e: Int, c: Int) =
+      sum(when(col("exposed") === e && col("converted") === c, 1L).otherwise(0L))
+    val aD = col("a").cast("double"); val bD = col("b").cast("double")
+    val cD = col("c").cast("double"); val dD = col("d").cast("double")
+    u.agg(cell(1, 1).as("a"), cell(1, 0).as("b"),
+        cell(0, 1).as("c"), cell(0, 0).as("d"))
+      .select(col("a"), col("b"), col("c"), col("d"),
+        ((col("a") * col("d")).cast("double") /
+          (col("b") * col("c")).cast("double")).as("odds_ratio"),
+        ((aD / (aD + bD)) / (cD / (cD + dD))).as("risk_ratio"),
+        (aD / (aD + bD) - cD / (cD + dD)).as("risk_diff"))
+  }
+
+  val epiTwoByTwoSql: String =
+    """WITH u AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS exposed,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      |  FROM events GROUP BY 1, 2),
+      |x AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN exposed=1 AND converted=1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(SUM(CASE WHEN exposed=1 AND converted=0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |    CAST(SUM(CASE WHEN exposed=0 AND converted=1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |    CAST(SUM(CASE WHEN exposed=0 AND converted=0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |  FROM u)
+      |SELECT a, b, c, d,
+      |  CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE) AS odds_ratio,
+      |  (CAST(a AS DOUBLE) / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)))
+      |    / (CAST(c AS DOUBLE) / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))) AS risk_ratio,
+      |  CAST(a AS DOUBLE) / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+      |    - CAST(c AS DOUBLE) / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE)) AS risk_diff
+      |FROM x""".stripMargin
+
+  /** Ratio-to-yearly-average seasonal index per calendar month: each
+    * (year, month) revenue over its year's mean month, averaged across
+    * years — the multiplicative seasonality profile a demand planner
+    * deflates by. The per-cell ratio is ONE IEEE division quantized to
+    * 1e-9 (the lm_score discipline), so the cross-year average is an
+    * exact decimal fold — partial-agg order can't wiggle the index.
+    * Partial years contribute their observed-month mean (nmo, not 12). */
+  def seasonalIndex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byYear = Window.partitionBy("y")
+    val m = Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("mo"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(14, 2))).as("rev"))
+      .withColumn("ytotal", sum("rev").over(byYear))
+      .withColumn("nmo", count(lit(1)).over(byYear))
+    m.select(col("mo"),
+        round(col("rev").cast("double") * col("nmo") /
+          col("ytotal").cast("double") * 1e9)
+          .cast(DecimalType(38, 0)).as("ri"))
+      .groupBy("mo")
+      .agg(count(lit(1)).as("n_years"),
+        (sum("ri").cast("double") / (lit(1e9) * count(lit(1)))).as("seasonal_index"))
+      .orderBy("mo")
+  }
+
+  val seasonalIndexSql: String =
+    """WITH m AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS mo,
+      |         SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+      |  FROM orders GROUP BY 1, 2),
+      |ym AS (SELECT y, mo, rev, SUM(rev) OVER (PARTITION BY y) AS ytotal,
+      |              COUNT(*) OVER (PARTITION BY y) AS nmo
+      |       FROM m),
+      |r AS (SELECT y, mo,
+      |        CAST(round(CAST(CAST(rev AS VARCHAR) AS DOUBLE) * nmo
+      |                   / CAST(CAST(ytotal AS VARCHAR) AS DOUBLE) * 1000000000.0)
+      |             AS DECIMAL(38,0)) AS ri
+      |      FROM ym)
+      |SELECT mo, COUNT(*) AS n_years,
+      |  CAST(SUM(ri) AS DOUBLE) / (1000000000.0 * COUNT(*)) AS seasonal_index
+      |FROM r GROUP BY mo ORDER BY mo""".stripMargin
+
+  /** Pareto concentration: what share of total revenue the top customer
+    * quintile carries (the "80/20" KPI). Per-customer revenue fold, a
+    * global quintile ntile (custkey tie-break; PrefixScan at true
+    * population scale — the RFM/lorenz precedent), and exact decimal
+    * numerator/denominator with ONE IEEE division. */
+  def paretoShare(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast(DecimalType(14, 2))).as("rev"))
+      .withColumn("quintile",
+        ntile(5).over(Window.orderBy(col("rev").desc, col("o_custkey"))))
+    per.agg(
+        sum(when(col("quintile") === 1, col("rev"))).as("top_rev"),
+        sum("rev").as("total_rev"),
+        sum(when(col("quintile") === 1, 1L).otherwise(0L)).as("n_top"),
+        count(lit(1)).as("n_customers"))
+      .select(col("n_top"), col("n_customers"),
+        (col("top_rev").cast("double") / col("total_rev").cast("double"))
+          .as("top_quintile_share"))
+  }
+
+  val paretoShareSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |q AS (SELECT o_custkey, rev,
+      |        ntile(5) OVER (ORDER BY rev DESC, o_custkey) AS quintile
+      |      FROM per)
+      |SELECT CAST(SUM(CASE WHEN quintile = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+      |       COUNT(*) AS n_customers,
+      |       CAST(CAST(SUM(CASE WHEN quintile = 1 THEN rev END) AS VARCHAR) AS DOUBLE)
+      |         / CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS top_quintile_share
+      |FROM q""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "epi_two_by_two" -> (epiTwoByTwo _),
+    "seasonal_index" -> (seasonalIndex _),
+    "pareto_share" -> (paretoShare _),
     "twap_by_user" -> (twapByUser _),
     "lorenz_curve" -> (lorenzCurve _),
     "burstiness_index" -> (burstinessIndex _),
@@ -4216,6 +4342,9 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "epi_two_by_two" -> epiTwoByTwoSql,
+    "seasonal_index" -> seasonalIndexSql,
+    "pareto_share" -> paretoShareSql,
     "twap_by_user" -> twapByUserSql,
     "lorenz_curve" -> lorenzCurveSql,
     "burstiness_index" -> burstinessIndexSql,

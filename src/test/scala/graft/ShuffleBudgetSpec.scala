@@ -207,6 +207,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "revenue_autocorr" -> 4,   // day agg + ONE single-partition window for all 7
                                // lags + 7-group moment fold + result sort
     "stream_anomaly_flags" -> 1, // transformWithState: ONE user-keyed exchange
+    "epi_two_by_two" -> 3,     // (user,day) fold + 4-cell SinglePartition fold
+    "seasonal_index" -> 4,     // (year,month) agg + ONE year exchange for both
+                               // windows + month fold + result sort
+    "pareto_share" -> 3,       // customer fold + global ntile exchange + 1-row fold
     "sql_native_functions" -> 1, // scan-local codegen exprs + result sort only
     "twap_by_user" -> 2,       // ONE user exchange (lead window + agg
                                // co-partitioned) + result sort
