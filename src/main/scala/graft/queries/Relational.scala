@@ -4227,7 +4227,246 @@ object Relational {
       |         / CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS top_quintile_share
       |FROM q""".stripMargin
 
+  /** Market-basket association over order line items: for every pair of
+    * parts bought together in one order, support (co-occurrence count)
+    * and lift against the parts' independent order frequencies — the
+    * classic co-purchase screen. The per-order pair expansion is bounded
+    * by the order's item count (≤7 at TPC-H shape), so the orderkey
+    * self-join can never quadratic-blow a hot key; ONE tracked distinct
+    * relation feeds the pair join, the per-part frequencies, and the
+    * order total (the 1-row scalar cross-broadcast, whitelisted); lift's
+    * division is the single IEEE op. TakeOrdered keeps the top 20. */
+  def basketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val op = graft.GraftCaches.track(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct())
+    val cnt = op.groupBy("pk").agg(count(lit(1)).as("c"))
+    val nOrders = op.select(countDistinct("ok").as("n_orders"))
+    op.as("a").join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .join(cnt.select(col("pk").as("p1"), col("c").as("c1")), "p1")
+      .join(cnt.select(col("pk").as("p2"), col("c").as("c2")), "p2")
+      .crossJoin(nOrders)
+      .select(col("p1"), col("p2"), col("pair_cnt"), col("c1"), col("c2"),
+        ((col("pair_cnt") * col("n_orders")).cast("double") /
+          (col("c1") * col("c2")).cast("double")).as("lift"))
+      .orderBy(col("pair_cnt").desc, col("p1"), col("p2"))
+      .limit(20)
+  }
+
+  val basketPairsSql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |cnt AS (SELECT pk, COUNT(*) AS c FROM op GROUP BY pk),
+      |n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM op),
+      |pairs AS (
+      |  SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS pair_cnt
+      |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2)
+      |SELECT p1, p2, pair_cnt, c1.c AS c1, c2.c AS c2,
+      |  CAST(pair_cnt * n_orders AS DOUBLE) / CAST(c1.c * c2.c AS DOUBLE) AS lift
+      |FROM pairs CROSS JOIN n
+      |JOIN cnt c1 ON c1.pk = pairs.p1
+      |JOIN cnt c2 ON c2.pk = pairs.p2
+      |ORDER BY pair_cnt DESC, p1, p2 LIMIT 20""".stripMargin
+
+  /** Order-to-ship lag in BUSINESS DAYS (weekends excluded) — the SLA
+    * histogram a fulfilment report needs; calendar days over-penalize
+    * Friday orders. No calendar UDF: each date maps to its Monday-aligned
+    * epoch index m (1970-01-01 is a Thursday → +3), the weekday count
+    * below m is the closed form 5·(m div 7) + min(m mod 7, 5), and the
+    * lag is one subtraction — pure integer arithmetic both engines
+    * reproduce bit-for-bit. ONE orderkey equi-join (AQE picks the
+    * build side), then a histogram fold whose level count is bounded
+    * by the calendar span, never the fact count. */
+  def businessDayLag(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate").cast("date").as("ship"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("ord"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("mo", datediff(col("ord"), lit("1970-01-01").cast("date")) + lit(3))
+      .withColumn("ms", datediff(col("ship"), lit("1970-01-01").cast("date")) + lit(3))
+      .select(((lit(5) * expr("ms div 7") + least(col("ms") % 7, lit(5))) -
+        (lit(5) * expr("mo div 7") + least(col("mo") % 7, lit(5)))).as("bus_days"))
+      .groupBy("bus_days").agg(count(lit(1)).as("n_items"))
+      .orderBy("bus_days")
+  }
+
+  val businessDayLagSql: String =
+    """WITH j AS (
+      |  SELECT datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) + 3 AS mo,
+      |         datediff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE)) + 3 AS ms
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      |SELECT (5 * (ms // 7) + least(ms % 7, 5))
+      |     - (5 * (mo // 7) + least(mo % 7, 5)) AS bus_days,
+      |       COUNT(*) AS n_items
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Leave-one-out target encoding of order priority against the
+    * 'fulfilled' flag — the standard high-cardinality categorical
+    * feature prep for tabular training, LOO-smoothed so a row never
+    * sees its own label (the leakage `leakage_audit` screens for).
+    * Per category the LOO encoding takes exactly TWO values —
+    * (pos−1)/(n−1) for positive rows, pos/(n−1) for negatives — so the
+    * audit relation is category-sized with NO per-row expansion; the
+    * two divisions are the only IEEE ops. ONE 5-level fold. */
+  def targetEncodeLoo(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("priority"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+      .select(col("priority"), col("n"), col("pos"),
+        ((col("pos") - 1).cast("double") / (col("n") - 1).cast("double")).as("enc_pos"),
+        (col("pos").cast("double") / (col("n") - 1).cast("double")).as("enc_neg"))
+      .orderBy("priority")
+
+  val targetEncodeLooSql: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS priority,
+      |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      |  FROM orders),
+      |g AS (SELECT priority, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+      |      FROM o GROUP BY priority)
+      |SELECT priority, n, pos,
+      |  CAST(pos - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS enc_pos,
+      |  CAST(pos AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS enc_neg
+      |FROM g ORDER BY priority""".stripMargin
+
+  /** Normalized window-rank readout: percent_rank and cume_dist of the
+    * three priciest parts per container — the two rank-normalizing
+    * window functions, both exact rationals of integer ranks
+    * ((r−1)/(n−1) and r/n under a tie-free ordering) so the doubles
+    * match bit-for-bit. ONE brand-keyed exchange serves all three
+    * window functions (same spec → same sort). */
+  def percentRankParts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(spark, dir)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("p_brand").as("brand"), col("rn"),
+        col("p_partkey").as("partkey"), col("p_retailprice").as("price"),
+        col("pr"), col("cd"))
+      .orderBy("brand", "rn")
+  }
+
+  val percentRankPartsSql: String =
+    """WITH r AS (
+      |  SELECT p_brand AS brand, p_partkey AS partkey,
+      |         p_retailprice AS price,
+      |         percent_rank() OVER w AS pr, cume_dist() OVER w AS cd,
+      |         row_number() OVER w AS rn
+      |  FROM part
+      |  WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey))
+      |SELECT brand, rn, partkey, price, pr, cd
+      |FROM r WHERE rn <= 3 ORDER BY brand, rn""".stripMargin
+
+  /** Single-split changepoint scan over the daily revenue series — the
+    * first step of binary segmentation: for every split point the
+    * |mean-before − mean-after| gap, maximized. Cumulative decimal sums
+    * come off ONE date-ordered window over the calendar-bounded daily
+    * relation (≤ |days| rows regardless of fact scale, the
+    * seasonal_index precedent); the two means and their gap are the
+    * only IEEE ops; TakeOrdered picks the winner deterministically
+    * (date tie-break). */
+  def changepointScan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(14, 2))).as("rev"))
+    val cum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    daily
+      .withColumn("k", row_number().over(Window.orderBy("day")))
+      .withColumn("s", sum("rev").over(cum))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("t", sum("rev").over(all))
+      .filter(col("k") < col("n"))
+      .select(col("day").cast("timestamp").as("split_day"), col("k").as("n_before"),
+        (col("s").cast("double") / col("k")).as("mean_before"),
+        ((col("t") - col("s")).cast("double") / (col("n") - col("k"))).as("mean_after"))
+      .withColumn("gap", abs(col("mean_before") - col("mean_after")))
+      .orderBy(col("gap").desc, col("split_day"))
+      .limit(1)
+  }
+
+  val changepointScanSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |         SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |c AS (
+      |  SELECT day, row_number() OVER (ORDER BY day) AS k,
+      |         SUM(rev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+      |         COUNT(*) OVER () AS n, SUM(rev) OVER () AS t
+      |  FROM daily),
+      |m AS (
+      |  SELECT CAST(day AS TIMESTAMP) AS split_day, k AS n_before,
+      |    CAST(CAST(s AS VARCHAR) AS DOUBLE) / k AS mean_before,
+      |    CAST(CAST(t - s AS VARCHAR) AS DOUBLE) / (n - k) AS mean_after
+      |  FROM c WHERE k < n)
+      |SELECT split_day, n_before, mean_before, mean_after,
+      |       abs(mean_before - mean_after) AS gap
+      |FROM m ORDER BY gap DESC, split_day LIMIT 1""".stripMargin
+
+  /** Full-outer reconciliation of the customer master against the order
+    * fact — the data-quality join that catalogs BOTH orphan directions
+    * in one pass (an anti-join audits one direction at a time; this is
+    * the bidirectional ledger). Classifies every key as matched /
+    * customer-only / order-only and folds to a ≤3-row audit; ONE keyed
+    * exchange at any scale, the fk_integrity_audit's two-sided sibling. */
+  def fullOuterReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"))
+    val ords = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(14, 2))).as("rev"))
+    cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, "matched")
+          .when(col("c_custkey").isNotNull, "customer_only")
+          .otherwise("order_only").as("status"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        col("rev"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_keys"),
+        sum("n_orders").as("total_orders"),
+        coalesce(sum("rev").cast("double"), lit(0.0)).as("total_rev"))
+      .orderBy("status")
+  }
+
+  val fullOuterReconcileSql: String =
+    """WITH ords AS (
+      |  SELECT o_custkey, COUNT(*) AS n_orders,
+      |         SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |j AS (
+      |  SELECT CASE WHEN c.c_custkey IS NOT NULL AND o.o_custkey IS NOT NULL THEN 'matched'
+      |              WHEN c.c_custkey IS NOT NULL THEN 'customer_only'
+      |              ELSE 'order_only' END AS status,
+      |         COALESCE(o.n_orders, 0) AS n_orders, o.rev AS rev
+      |  FROM customer c FULL OUTER JOIN ords o ON c.c_custkey = o.o_custkey)
+      |SELECT status, COUNT(*) AS n_keys,
+      |       CAST(SUM(n_orders) AS BIGINT) AS total_orders,
+      |       COALESCE(CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE), 0.0) AS total_rev
+      |FROM j GROUP BY status ORDER BY status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "basket_pairs" -> (basketPairs _),
+    "business_day_lag" -> (businessDayLag _),
+    "target_encode_loo" -> (targetEncodeLoo _),
+    "percent_rank_parts" -> (percentRankParts _),
+    "changepoint_scan" -> (changepointScan _),
+    "full_outer_reconcile" -> (fullOuterReconcile _),
     "epi_two_by_two" -> (epiTwoByTwo _),
     "seasonal_index" -> (seasonalIndex _),
     "pareto_share" -> (paretoShare _),
@@ -4342,6 +4581,12 @@ object Relational {
     "revenue_by_nation" -> (revenueByNation _))
 
   val oracles: Map[String, String] = Map(
+    "basket_pairs" -> basketPairsSql,
+    "business_day_lag" -> businessDayLagSql,
+    "target_encode_loo" -> targetEncodeLooSql,
+    "percent_rank_parts" -> percentRankPartsSql,
+    "changepoint_scan" -> changepointScanSql,
+    "full_outer_reconcile" -> fullOuterReconcileSql,
     "epi_two_by_two" -> epiTwoByTwoSql,
     "seasonal_index" -> seasonalIndexSql,
     "pareto_share" -> paretoShareSql,

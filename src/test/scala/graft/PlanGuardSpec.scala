@@ -124,7 +124,10 @@ class PlanGuardSpec extends AnyFunSuite {
       // hll_source_overlap: the s1 < s2 pair inventory over the
       // ≤|sources|-row estimate relation (both BNLJ sides tiny by
       // construction); the register joins themselves are equi-joins.
-      "hll_source_overlap")
+      "hll_source_overlap",
+      // basket_pairs: the 1-row order-total scalar cross-broadcast
+      // onto the pair relation; the pair/count joins are equi-joins.
+      "basket_pairs")
 
   private def planOf(name: String): String =
     try SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
