@@ -71,6 +71,47 @@ object PrefixScan {
       .drop("_pid", "_off")
   }
 
+  /** Distributed exact `ntile(k)` over the total order `order` — value-
+    * identical to `ntile(k).over(Window.orderBy(order: _*))` (the
+    * SQL-standard bucketing: the first `n % k` buckets carry ⌈n/k⌉
+    * rows, the rest ⌊n/k⌋) but with no single-partition WindowExec:
+    *
+    *   1. the two-phase scan above with COUNT as the value gives every
+    *      row its global rank (per-range `row_number` + broadcast
+    *      per-partition row-count offsets), every stage parallel;
+    *   2. the bucket is then pure integer arithmetic on
+    *      (rank, n, k) — `q = n DIV k`, `rem = n MOD k`,
+    *      rank ≤ (q+1)·rem ⇒ ⌈rank/(q+1)⌉, else
+    *      rem + ⌈(rank − (q+1)·rem)/q⌉ — with q/rem driver-side
+    *      literals (n comes from the already-collected partition
+    *      counts) and `DIV` keeping the division exact at any n.
+    *
+    * `order` MUST be a total order (tie-break with a unique id), same
+    * as every scan here. Returns `outCol` as BIGINT — cast at the call
+    * site if the window being replaced emitted INT. */
+  def ntile(df: DataFrame, k: Int, outCol: String, order: Column*): DataFrame = {
+    require(k >= 1, s"ntile k must be >= 1, got $k")
+    val parted = pinned(
+      df.repartitionByRange(order: _*).withColumn("_pid", spark_partition_id()))
+    val counts = parted.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val offsetRows = counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _)).toSeq
+    val offDf = df.sparkSession.createDataFrame(offsetRows).toDF("_pid", "_off")
+    val w = Window.partitionBy("_pid").orderBy(order: _*)
+    val ranked = parted.join(broadcast(offDf), "_pid")
+      .withColumn("_rnk", col("_off") + row_number().over(w).cast("long"))
+      .drop("_pid", "_off")
+    val q = n / k
+    val rem = n % k
+    val bucket =
+      if (q == 0L) col("_rnk") // n < k: every row its own bucket, bucket = rank
+      else expr(
+        s"CASE WHEN _rnk <= ${(q + 1) * rem} THEN (_rnk + $q) DIV ${q + 1} " +
+        s"ELSE $rem + (_rnk - ${(q + 1) * rem} + ${q - 1}) DIV $q END")
+    ranked.withColumn(outCol, bucket.cast("bigint")).drop("_rnk")
+  }
+
   /** Structural fix for the cache-as-correctness hazard (round-4
     * VERDICT): `spark_partition_id()` is nondeterministic across
     * executions, so an operator that collects per-partition state in one

@@ -1,8 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.PolyHash
 import graft.operators.{Dedup, TextOps}
 import graft.sources.Tables
 
@@ -423,70 +424,182 @@ object DedupQueries {
     * granularity curation actually reasons about ("how much does crawl
     * A duplicate crawl B?"). At 100 TB the signature side is the only
     * viable one (8 longs per source on the wire vs the full gram set);
-    * the exact side here exists to hash-check its error column. Exact
-    * machinery is the lang_gram_overlap shape keyed by source: distinct
-    * (source, gram) posting lists bounded by |sources|. */
+    * the audit side lives in its own query, [[sourceOverlapAudit]]
+    * (round-7 VERDICT item 5 — the documented split, so this query
+    * benches at its production cost).
+    *
+    * The production plan never explodes and never shuffles the corpus:
+    * signature MINs are duplicate-insensitive, so each document folds
+    * its shingle array to 8 longs scan-side (array_min over the HOF-
+    * permuted array) and the per-source fold is a map-side-combined MIN
+    * — |sources|×8 longs per task on the wire. min over per-doc mins =
+    * min over the source's gram-set union, so est_jaccard is
+    * bit-identical to the old distinct-then-min form. */
   def sourceMinhashOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val ws = TextOps.words(col("text"))
-    val grams = graft.GraftCaches.track(
-      Tables.documents(spark, dir)
-        .filter(size(ws) >= 3)
-        .select(col("source"), explode(TextOps.shingleHashes(ws)).as("h"))
-        .distinct())
-    val sigAggs = count(lit(1)).as("n_grams") +: (0 until 8).map(j =>
-      min((col("h") * A(j) + B(j)) % M).as(s"m$j"))
-    val sigs = grams.groupBy("source").agg(sigAggs.head, sigAggs.tail: _*)
+    val sigs = sourceSignatures(spark, dir)
     val a = sigs.columns.foldLeft(sigs)((d, c) => d.withColumnRenamed(c, s"a_$c"))
     val b = sigs.columns.foldLeft(sigs)((d, c) => d.withColumnRenamed(c, s"b_$c"))
-    val agree = (0 until 8).map(j =>
-      when(col(s"a_m$j") === col(s"b_m$j"), 1L).otherwise(0L)).reduce(_ + _)
-    val inter = grams.select(col("source").as("sa"), col("h"))
-      .join(grams.select(col("source").as("sb"), col("h")), "h")
+    a.crossJoin(b).filter(col("a_source") < col("b_source"))
+      .select(col("a_source").as("source_a"), col("b_source").as("source_b"),
+        col("a_n_docs").as("n_docs_a"), col("b_n_docs").as("n_docs_b"),
+        (sigAgree.cast("double") / 8.0).as("est_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Per-source (n_docs, 8 MinHash mins) — shared by
+    * [[sourceMinhashOverlap]] and [[sourceOverlapAudit]]. */
+  /** 3-gram fingerprints for the source-overlap pair: hash each WORD
+    * once (native PolyHash — one pass over the characters), then
+    * combine consecutive word-hash triples arithmetically
+    * (`((h1*31 + h2) % M * 31 + h3) % M`). Hash-equivalent in role to
+    * the dedup family's string-concat shingle (`shingleCte`) but ~3
+    * char-passes and two string allocations cheaper per gram — the
+    * right fingerprint when the gram set is only ever consumed as
+    * hashes (signatures + sampled Jaccard), never re-read as text.
+    * Stays in int64: h < 1e9+7, so h*31 + h' < 3.2e10. */
+  private def wordTriGrams: Column =
+    array_distinct(transform(sequence(lit(1), size(col("whs")) - 2), i =>
+      ((element_at(col("whs"), i) * 31 + element_at(col("whs"), i + 1)) % M * 31 +
+        element_at(col("whs"), i + 2)) % M))
+
+  /** (source, hs) per document — word-hash array materialized once per
+    * row, THEN the gram combine, THEN the consumers: inlining a
+    * multiply-referenced non-cheap alias would recompute it per use
+    * (the first cut of this query recomputed the shingle set 8×, once
+    * per permutation — 34 s at sf0.1 instead of 5). */
+  private def sourceGramSets(spark: SparkSession, dir: String): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    Tables.documents(spark, dir)
+      .filter(size(ws) >= 3)
+      .select(col("source"), transform(ws, w => PolyHash.hash(w)).as("whs"))
+      .select(col("source"), wordTriGrams.as("hs"))
+  }
+
+  private def sourceSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = sourceGramSets(spark, dir)
+      .select(col("source") +: (0 until 8).map(j =>
+        TextOps.minhash(col("hs"), A(j), B(j)).as(s"m$j")): _*)
+    val aggs = count(lit(1)).as("n_docs") +:
+      (0 until 8).map(j => min(col(s"m$j")).as(s"m$j"))
+    perDoc.groupBy("source").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Number of agreeing permutations between the a_/b_ renamed sides. */
+  private def sigAgree: Column = (0 until 8).map(j =>
+    when(col(s"a_m$j") === col(s"b_m$j"), 1L).otherwise(0L)).reduce(_ + _)
+
+  /** Estimator-quality audit for [[sourceMinhashOverlap]]: the 8-perm
+    * Jaccard estimate next to a ground-truth-shaped exact Jaccard
+    * computed on a DETERMINISTIC 1/4 hash-Bernoulli subsample of the
+    * gram space (h % 4 == 0; round-7 VERDICT item 5). A fixed-slice
+    * sampled Jaccard is an exact Jaccard OF the sampled gram universe —
+    * identical on both engines (no RNG), concentrating tightly at these
+    * set sizes — and only the sample pays the dedup shuffle and the
+    * inverted-index self-join (posting lists still bounded by
+    * |sources|). Split from the production query so each benches at its
+    * own cost. */
+  def sourceOverlapAudit(spark: SparkSession, dir: String): DataFrame = {
+    val sampled = graft.GraftCaches.track(
+      sourceGramSets(spark, dir)
+        .select(col("source"),
+          explode(filter(col("hs"), h => h % 4 === 0)).as("h"))
+        .distinct())
+    val sigs = sourceSignatures(spark, dir)
+      .join(sampled.groupBy("source").agg(count(lit(1)).as("n_sample")), "source")
+      .drop("n_docs")
+    val a = sigs.columns.foldLeft(sigs)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+    val b = sigs.columns.foldLeft(sigs)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+    val inter = sampled.select(col("source").as("sa"), col("h"))
+      .join(sampled.select(col("source").as("sb"), col("h")), "h")
       .filter(col("sa") < col("sb"))
       .groupBy("sa", "sb").agg(count(lit(1)).as("n_inter"))
+    val ni = coalesce(col("n_inter"), lit(0L))
+    val denom = col("a_n_sample") + col("b_n_sample") - ni
+    val sampledJ = when(denom > 0L, ni.cast("double") / denom.cast("double"))
+      .otherwise(lit(0.0))
     a.crossJoin(b).filter(col("a_source") < col("b_source"))
       .join(inter, col("a_source") === col("sa") && col("b_source") === col("sb"), "left")
       .select(col("a_source").as("source_a"), col("b_source").as("source_b"),
-        col("a_n_grams").as("n_a"), col("b_n_grams").as("n_b"),
-        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
-        (agree.cast("double") / 8.0).as("est_jaccard"),
-        (coalesce(col("n_inter"), lit(0L)).cast("double") /
-          (col("a_n_grams") + col("b_n_grams") - coalesce(col("n_inter"), lit(0L)))
-            .cast("double")).as("jaccard"))
-      .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+        col("a_n_sample").as("n_sample_a"), col("b_n_sample").as("n_sample_b"),
+        ni.as("n_inter_sampled"),
+        (sigAgree.cast("double") / 8.0).as("est_jaccard"),
+        sampledJ.as("jaccard_sampled"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard_sampled")))
       .orderBy("source_a", "source_b")
   }
 
   val sourceMinhashOverlapSql: String = {
     val minSigs = (0 until 8).map(j =>
-      s"MIN((h * ${A(j)} + ${B(j)}) % $M) AS m$j").mkString(", ")
+      s"MIN(list_min(list_transform(hs, h -> (h * ${A(j)} + ${B(j)}) % $M))) AS m$j")
+      .mkString(", ")
     val agree = (0 until 8).map(j =>
       s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH d AS (
        |  SELECT source, list_filter(string_split(text, ' '), x -> x != '') AS ws
        |  FROM documents),
-       |g AS (SELECT DISTINCT source, h FROM (
-       |        SELECT source,
-       |          unnest(list_transform(
-       |            list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
-       |            s -> list_reduce(list_prepend(0::BIGINT,
-       |                   list_transform(string_split(s, ''), c -> ascii(c)::BIGINT)),
-       |                 (a,b) -> (a*31+b) % $M))) AS h
-       |        FROM d WHERE len(ws) >= 3) t),
-       |sig AS (SELECT source, COUNT(*) AS n_grams, $minSigs FROM g GROUP BY source),
+       |wd AS (
+       |  SELECT source,
+       |    list_transform(ws, w ->
+       |      list_reduce(list_prepend(0::BIGINT, list_transform(string_split(w,''), c -> ascii(c)::BIGINT)),
+       |                  (a,b) -> (a*31+b) % $M)) AS whs
+       |  FROM d WHERE len(ws) >= 3),
+       |hd AS (
+       |  SELECT source,
+       |    list_distinct(list_transform(range(1, len(whs)-1),
+       |      i -> ((whs[i]*31 + whs[i+1]) % $M * 31 + whs[i+2]) % $M)) AS hs
+       |  FROM wd),
+       |sig AS (SELECT source, COUNT(*) AS n_docs, $minSigs FROM hd GROUP BY source)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  a.n_docs AS n_docs_a, b.n_docs AS n_docs_b,
+       |  CAST($agree AS DOUBLE) / 8.0 AS est_jaccard
+       |FROM sig a CROSS JOIN sig b
+       |WHERE a.source < b.source
+       |ORDER BY source_a, source_b""".stripMargin
+  }
+
+  val sourceOverlapAuditSql: String = {
+    val minSigs = (0 until 8).map(j =>
+      s"MIN(list_min(list_transform(hs, h -> (h * ${A(j)} + ${B(j)}) % $M))) AS m$j")
+      .mkString(", ")
+    val agree = (0 until 8).map(j =>
+      s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT source, list_filter(string_split(text, ' '), x -> x != '') AS ws
+       |  FROM documents),
+       |wd AS (
+       |  SELECT source,
+       |    list_transform(ws, w ->
+       |      list_reduce(list_prepend(0::BIGINT, list_transform(string_split(w,''), c -> ascii(c)::BIGINT)),
+       |                  (a,b) -> (a*31+b) % $M)) AS whs
+       |  FROM d WHERE len(ws) >= 3),
+       |hd AS (
+       |  SELECT source,
+       |    list_distinct(list_transform(range(1, len(whs)-1),
+       |      i -> ((whs[i]*31 + whs[i+1]) % $M * 31 + whs[i+2]) % $M)) AS hs
+       |  FROM wd),
+       |gs AS (SELECT DISTINCT source, h
+       |       FROM (SELECT source, unnest(list_filter(hs, x -> x % 4 = 0)) AS h FROM hd)),
+       |sc AS (SELECT source, COUNT(*) AS n_sample FROM gs GROUP BY source),
+       |sig AS (SELECT hd.source, sc.n_sample, $minSigs
+       |        FROM hd JOIN sc ON sc.source = hd.source
+       |        GROUP BY hd.source, sc.n_sample),
        |inter AS (
        |  SELECT ga.source AS sa, gb.source AS sb, COUNT(*) AS n_inter
-       |  FROM g ga JOIN g gb ON ga.h = gb.h AND ga.source < gb.source
+       |  FROM gs ga JOIN gs gb ON ga.h = gb.h AND ga.source < gb.source
        |  GROUP BY ga.source, gb.source)
        |SELECT a.source AS source_a, b.source AS source_b,
-       |  a.n_grams AS n_a, b.n_grams AS n_b,
-       |  CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+       |  a.n_sample AS n_sample_a, b.n_sample AS n_sample_b,
+       |  CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter_sampled,
        |  CAST($agree AS DOUBLE) / 8.0 AS est_jaccard,
-       |  CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
-       |    CAST(a.n_grams + b.n_grams - COALESCE(i.n_inter, 0) AS DOUBLE) AS jaccard,
+       |  CASE WHEN a.n_sample + b.n_sample - COALESCE(i.n_inter, 0) > 0
+       |       THEN CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+       |            CAST(a.n_sample + b.n_sample - COALESCE(i.n_inter, 0) AS DOUBLE)
+       |       ELSE 0.0 END AS jaccard_sampled,
        |  abs(CAST($agree AS DOUBLE) / 8.0 -
-       |      CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
-       |        CAST(a.n_grams + b.n_grams - COALESCE(i.n_inter, 0) AS DOUBLE)) AS abs_err
+       |      CASE WHEN a.n_sample + b.n_sample - COALESCE(i.n_inter, 0) > 0
+       |           THEN CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+       |                CAST(a.n_sample + b.n_sample - COALESCE(i.n_inter, 0) AS DOUBLE)
+       |           ELSE 0.0 END) AS abs_err
        |FROM sig a CROSS JOIN sig b
        |LEFT JOIN inter i ON i.sa = a.source AND i.sb = b.source
        |WHERE a.source < b.source
@@ -1135,6 +1248,7 @@ object DedupQueries {
     "graph_triangles" -> (graphTriangles _),
     "graph_degree_hist" -> (graphDegreeHist _),
     "source_minhash_overlap" -> (sourceMinhashOverlap _),
+    "source_overlap_audit" -> (sourceOverlapAudit _),
     "graph_edge_support" -> (graphEdgeSupport _),
     "dedup_components" -> (dedupComponents _),
     "dedup_components_converged" -> (dedupComponentsConverged _),
@@ -1169,6 +1283,7 @@ object DedupQueries {
     "graph_triangles" -> graphTrianglesSql,
     "graph_degree_hist" -> graphDegreeHistSql,
     "source_minhash_overlap" -> sourceMinhashOverlapSql,
+    "source_overlap_audit" -> sourceOverlapAuditSql,
     "graph_edge_support" -> graphEdgeSupportSql,
     "dedup_components" -> dedupComponentsSql,
     "dedup_components_converged" -> dedupComponentsConvergedSql,

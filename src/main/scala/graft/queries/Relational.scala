@@ -354,15 +354,16 @@ object Relational {
   /** RFM segmentation — the canonical customer-value model: per user,
     * Recency (days since last event vs the corpus max date), Frequency
     * (purchase count), Monetary (micro-rounded exact decimal purchase
-    * value), each cut into terciles (ntile over the aggregated USER
-    * relation — one row per user, not per event — with (metric, user)
-    * total order so ties are deterministic; recency ntile is ordered
-    * DESC so tercile 3 is always the "best" band) and concatenated into
-    * the familiar "R-F-M" segment label. ONE user-keyed aggregate over
-    * events + the 1-row max-date broadcast; the tercile windows run on
-    * the |users|-sized relation. */
+    * value), each cut into terciles with (metric, user) total order so
+    * ties are deterministic (recency ordered DESC so tercile 3 is
+    * always the "best" band) and concatenated into the familiar
+    * "R-F-M" segment label. ONE user-keyed aggregate over events + the
+    * 1-row max-date broadcast; the three tercile cuts ride
+    * [[graft.operators.PrefixScan.ntile]] — value-identical to the
+    * global ntile window but partition-parallel, so the |users|-sized
+    * relation never lands in a single task at population scale. */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.operators.PrefixScan
     val maxTs = Tables.events(spark, dir).agg(max(to_date(col("ts"))).as("d0"))
     val isP = col("event_type") === "purchase"
     val base = Tables.events(spark, dir)
@@ -373,13 +374,14 @@ object Relational {
         (sum(when(isP, round(col("value") * lit(1e6)).cast("decimal(38,0)"))
           .otherwise(lit(0).cast("decimal(38,0)"))).cast("double") / 1e6)
           .as("monetary"))
-    val r = ntile(3).over(Window.orderBy(col("recency_days").desc, col("user_id"))).cast("bigint")
-    val f = ntile(3).over(Window.orderBy(col("frequency"), col("user_id"))).cast("bigint")
-    val m = ntile(3).over(Window.orderBy(col("monetary"), col("user_id"))).cast("bigint")
-    base
-      .withColumn("r_band", r).withColumn("f_band", f).withColumn("m_band", m)
-      .withColumn("segment",
-        concat_ws("-", col("r_band"), col("f_band"), col("m_band")))
+    val withR = PrefixScan.ntile(base, 3, "r_band",
+      col("recency_days").desc, col("user_id"))
+    val withF = PrefixScan.ntile(withR, 3, "f_band",
+      col("frequency"), col("user_id"))
+    val withM = PrefixScan.ntile(withF, 3, "m_band",
+      col("monetary"), col("user_id"))
+    withM.withColumn("segment",
+      concat_ws("-", col("r_band"), col("f_band"), col("m_band")))
   }
 
   val rfmSegmentsSql: String =
@@ -2461,15 +2463,18 @@ object Relational {
     * the exact DECIMAL sums, never on doubles. Supplier names attach by
     * broadcast at the end, after the 1-or-few-row survivor filter. */
   def topSupplier(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val revenue = col("l_extendedprice").cast(DecimalType(12, 2)) *
       (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
-    val perSupp = Tables.lineitem(spark, dir)
-      .groupBy("l_suppkey")
-      .agg(sum(revenue).as("rev_dec"))
+    val perSupp = graft.GraftCaches.track(
+      Tables.lineitem(spark, dir)
+        .groupBy("l_suppkey")
+        .agg(sum(revenue).as("rev_dec")))
+    // The argmax rides a 1-row MAX aggregate broadcast back as an
+    // equi-join on the revenue value — NOT a partition-less max window,
+    // which would drag the whole |suppliers| relation into one task.
+    val maxRev = perSupp.agg(max("rev_dec").as("max_rev"))
     perSupp
-      .withColumn("max_rev", max("rev_dec").over(Window.partitionBy()))
-      .filter(col("rev_dec") === col("max_rev"))
+      .join(broadcast(maxRev), col("rev_dec") === col("max_rev"))
       .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("rev_dec").cast("double").as("total_revenue"))
   }
@@ -4022,18 +4027,18 @@ object Relational {
   /** Lorenz curve of customer wealth: cumulative balance share at each
     * population decile — `gini_by_nation`'s graphical companion, the
     * 10-point readout a fairness/concentration report plots. Deciles
-    * come from ONE globally-ordered ntile window (tie-broken by
-    * custkey; the RFM precedent — at true 100 TB population scale the
-    * rank would ride the engine's PrefixScan instead), the cumulative
-    * sums stay exact decimal over the 10-row decile relation, and the
-    * two share divisions per row are the only IEEE ops. */
+    * ride [[graft.operators.PrefixScan.ntile]] (tie-broken by custkey)
+    * so the population-sized rank is partition-parallel, the
+    * cumulative sums stay exact decimal over the 10-row decile
+    * relation (a bounded global window, whitelisted), and the two
+    * share divisions per row are the only IEEE ops. */
   def lorenzCurve(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val r = Tables.customer(spark, dir)
-      .select(col("c_acctbal").cast(DecimalType(12, 2)).as("x"),
-        col("c_custkey"), col("c_acctbal"))
-      .withColumn("decile",
-        ntile(10).over(Window.orderBy("c_acctbal", "c_custkey")))
+    val r = graft.operators.PrefixScan.ntile(
+      Tables.customer(spark, dir)
+        .select(col("c_acctbal").cast(DecimalType(12, 2)).as("x"),
+          col("c_custkey"), col("c_acctbal")),
+      10, "decile", col("c_acctbal"), col("c_custkey"))
     val cum = Window.orderBy("decile")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy()
@@ -4194,16 +4199,15 @@ object Relational {
 
   /** Pareto concentration: what share of total revenue the top customer
     * quintile carries (the "80/20" KPI). Per-customer revenue fold, a
-    * global quintile ntile (custkey tie-break; PrefixScan at true
-    * population scale — the RFM/lorenz precedent), and exact decimal
-    * numerator/denominator with ONE IEEE division. */
+    * [[graft.operators.PrefixScan.ntile]] quintile cut (custkey
+    * tie-break; partition-parallel at population scale), and exact
+    * decimal numerator/denominator with ONE IEEE division. */
   def paretoShare(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val per = Tables.orders(spark, dir)
-      .groupBy("o_custkey")
-      .agg(sum(col("o_totalprice").cast(DecimalType(14, 2))).as("rev"))
-      .withColumn("quintile",
-        ntile(5).over(Window.orderBy(col("rev").desc, col("o_custkey"))))
+    val per = graft.operators.PrefixScan.ntile(
+      Tables.orders(spark, dir)
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast(DecimalType(14, 2))).as("rev")),
+      5, "quintile", col("rev").desc, col("o_custkey"))
     per.agg(
         sum(when(col("quintile") === 1, col("rev"))).as("top_rev"),
         sum("rev").as("total_rev"),
@@ -4289,8 +4293,14 @@ object Relational {
     li.join(o, col("l_orderkey") === col("o_orderkey"))
       .withColumn("mo", datediff(col("ord"), lit("1970-01-01").cast("date")) + lit(3))
       .withColumn("ms", datediff(col("ship"), lit("1970-01-01").cast("date")) + lit(3))
-      .select(((lit(5) * expr("ms div 7") + least(col("ms") % 7, lit(5))) -
-        (lit(5) * expr("mo div 7") + least(col("mo") % 7, lit(5)))).as("bus_days"))
+      // FLOOR division (via pmod the numerator is exactly divisible, so
+      // DIV is exact): Spark's bare `div` truncates toward zero while the
+      // oracle's DuckDB `//` floors — they diverge on Monday-aligned
+      // indexes that go negative (dates before 1970-01-01). `%` is
+      // truncated (C-style) on BOTH engines, so the remainder term needs
+      // no mirror.
+      .select(((lit(5) * expr("(ms - pmod(ms, 7)) div 7") + least(col("ms") % 7, lit(5))) -
+        (lit(5) * expr("(mo - pmod(mo, 7)) div 7") + least(col("mo") % 7, lit(5)))).as("bus_days"))
       .groupBy("bus_days").agg(count(lit(1)).as("n_items"))
       .orderBy("bus_days")
   }

@@ -44,7 +44,11 @@ object AnomalyStream {
       val out = Vector.newBuilder[GapFlag]
       sorted.foreach { case (_, ts, id) =>
         if (state == null) state = GapState(ts, 0L, 0L, 0L)
-        else {
+        // A row older than the carried last event (late arrival across
+        // micro-batches; in-batch rows are sorted) would fold a NEGATIVE
+        // gap into (n, S, SS) and skew every later flag — drop it, the
+        // streaming analogue of a watermark discard (TwapStream twin).
+        else if (ts >= state.lastTs) {
           val gap = java.lang.Math.floorDiv(ts - state.lastTs, 1000000L)
           if (state.n >= 5) {
             val lhs = BigInt(state.n) * gap - state.s

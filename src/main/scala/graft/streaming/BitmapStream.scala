@@ -19,6 +19,13 @@ object BitmapStream {
 
   final case class DistinctCount(event_type: String, n_distinct: Long)
 
+  /** Bitmap state is linear in max(uid), so the id domain must be the
+    * dense-and-bounded kind the operator is for: one malformed id would
+    * otherwise corrupt the word index (negative uid → truncated/negative
+    * array index) or attempt a multi-GB allocation (uid ≈ 2^36+). Ids
+    * outside [0, MaxId) fail loudly instead. */
+  val MaxId: Long = 1L << 31 // 2^31 ids = 256 MiB/key worst case
+
   /** K = event_type, I = (event_type, user_id). */
   final class BitmapProcessor extends StatefulProcessor[String, (String, Long), DistinctCount] {
     @transient private var words: ValueState[Array[Long]] = _
@@ -31,6 +38,9 @@ object BitmapStream {
         timers: TimerValues): Iterator[DistinctCount] = {
       var arr = if (words.exists()) words.get() else new Array[Long](8)
       rows.foreach { case (_, uid) =>
+        require(uid >= 0L && uid < MaxId,
+          s"BitmapStream id out of dense domain [0, $MaxId): $uid (key=$key); " +
+            "use the HLL sketch stream for unbounded/sparse id spaces")
         val w = (uid >>> 6).toInt
         if (w >= arr.length) {
           val grown = new Array[Long](Integer.highestOneBit(w) * 2 max 8)

@@ -46,12 +46,18 @@ object GrowthStream {
       val out = Vector.newBuilder[MonthStatus]
       var prev = if (last.exists()) last.get() else -1L
       months.foreach { mUs =>
-        val status =
-          if (prev < 0L) "new"
-          else if (monthStart(prev).plusMonths(1) == monthStart(mUs)) "retained"
-          else "resurrected"
-        out += MonthStatus(key, mUs, status)
-        prev = mUs
+        // Replay idempotence: a month at or before the carried last one
+        // (a cross-batch duplicate — per-batch .distinct() can't see it)
+        // is already classified; re-emitting it would label it
+        // "resurrected" spuriously. Skip, like the OR/MAX-merge siblings.
+        if (prev < 0L || mUs > prev) {
+          val status =
+            if (prev < 0L) "new"
+            else if (monthStart(prev).plusMonths(1) == monthStart(mUs)) "retained"
+            else "resurrected"
+          out += MonthStatus(key, mUs, status)
+          prev = mUs
+        }
       }
       if (prev >= 0L) last.update(prev)
       out.result().iterator

@@ -38,7 +38,11 @@ object TwapStream {
       var state = if (st.exists()) st.get() else null
       sorted.foreach { case (_, ts, _, cents) =>
         if (state == null) state = TwapState(ts, cents, 0L, 0L, 0L)
-        else {
+        // A reading older than the carried last one (late arrival across
+        // micro-batches; in-batch rows are sorted) would close a NEGATIVE
+        // interval and silently corrupt the exact accumulators — drop it,
+        // the streaming analogue of a watermark discard.
+        else if (ts >= state.lastTs) {
           val d = java.lang.Math.floorDiv(ts - state.lastTs, 1000000L)
           state = TwapState(ts, cents,
             state.svd + state.lastCents * d, state.sd + d, state.n + 1)

@@ -63,4 +63,30 @@ class AnomalyStreamSpec extends AnyFunSuite {
     val minPrior = a.agg(min("n_prior")).collect()(0).getLong(0)
     assert(minPrior >= 5)
   }
+
+  test("a cross-batch late event never folds a negative gap into the running stats") {
+    import java.sql.Timestamp
+    val t0 = 1704067200000L
+    def ev(id: Long, offSec: Long) = Ev(id, new Timestamp(t0 + offSec * 1000), 1L, "view", 1.0)
+    // Steady 10 s cadence, then a late straggler from before the carried
+    // last ts, then more steady events. With the guard the stats stay
+    // (n grows by on-time gaps only) and the steady events never flag;
+    // an unguarded fold would push S negative and skew every later test.
+    val stream = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
+    val ckpt = Files.createTempDirectory("graft-anomaly-late-ckpt").toString
+    val q = AnomalyStream.gapAnomalies(stream.toDF())
+      .writeStream.format("memory").queryName("anomaly_late_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      stream.addData((1L to 8L).map(i => ev(i, i * 10)))
+      q.processAllAvailable()
+      stream.addData(Seq(ev(100L, 5L))) // late: before the carried t=80 event
+      q.processAllAvailable()
+      stream.addData((9L to 12L).map(i => ev(i, i * 10)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // All gaps that were folded are exactly 10 s → nothing deviates 3σ.
+    assert(spark.table("anomaly_late_out").count() === 0)
+  }
 }

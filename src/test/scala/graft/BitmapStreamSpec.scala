@@ -60,4 +60,22 @@ class BitmapStreamSpec extends AnyFunSuite {
     val b = run(scala.util.Random.javaRandomToRandom(new java.util.Random(3)).shuffle(events))
     assert(a === b)
   }
+
+  test("an id outside the dense domain fails loudly instead of corrupting state") {
+    import java.sql.Timestamp
+    // Bitmap state is linear in max(uid): a negative id would index
+    // negative, and a 2^36-ish id would attempt a multi-GB allocation.
+    // Both must be a clear error, not a crash deep in the array code.
+    for (bad <- Seq(-1L, BitmapStream.MaxId, 1L << 40)) {
+      val events = Seq(Ev(1L, new Timestamp(0L), bad, "view", 1.0))
+      val ex = intercept[Exception] {
+        BitmapStream.distinctUsers(
+          spark.createDataset(events)(Encoders.product[Ev]).toDF()).toDF().collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(_.contains("dense domain")),
+        s"uid=$bad should fail the domain check, got: ${ex.getMessage}")
+    }
+  }
 }

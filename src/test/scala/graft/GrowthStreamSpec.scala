@@ -54,6 +54,30 @@ class GrowthStreamSpec extends AnyFunSuite {
     assert(streamed.filter(col("status") === "retained").count() > 0)
   }
 
+  test("cross-batch replay of an already-seen month is idempotent (no spurious resurrection)") {
+    val jan = Act(1L, 1704067200000000L)  // 2024-01-01
+    val feb = Act(1L, 1706745600000000L)  // 2024-02-01
+    val stream = MemoryStream[Act](Encoders.product[Act], spark.sqlContext)
+    val ckpt = Files.createTempDirectory("graft-growth-replay-ckpt").toString
+    val q = GrowthStream.monthStatuses(stream.toDF())
+      .writeStream.format("memory").queryName("growth_replay_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    try {
+      stream.addData(Seq(jan, feb))
+      q.processAllAvailable()
+      stream.addData(Seq(jan, feb)) // upstream replay: per-batch distinct can't see batch 1
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("growth_replay_out")
+    // Exactly the two original classifications; the replayed months must
+    // NOT re-emit (the old else-branch labeled a replayed month 'resurrected').
+    assert(out.count() === 2)
+    assert(out.filter(col("status") === "resurrected").count() === 0)
+    assert(out.filter(col("status") === "new").count() === 1)
+    assert(out.filter(col("status") === "retained").count() === 1)
+  }
+
   test("batch fold is row-order insensitive") {
     val acts = activity()
     def run(as: Seq[Act]) = GrowthStream.monthStatuses(

@@ -47,10 +47,11 @@ class PlanGuardSpec extends AnyFunSuite {
       // token_coverage: the 1-row (total, n_types) cross-broadcast onto
       // the <=5 cutoff rows.
       "token_coverage",
-      // source_minhash_overlap: the |sources|x|sources| signature pair
-      // enumeration is a deliberate tiny-relation cross (<=20 rows per
-      // side, 8 longs each); the gram-level work is all equi-joined.
-      "source_minhash_overlap",
+      // source_minhash_overlap / source_overlap_audit: the
+      // |sources|x|sources| signature pair enumeration is a deliberate
+      // tiny-relation cross (<=20 rows per side, 8 longs each); the
+      // audit's gram-level work is all equi-joined.
+      "source_minhash_overlap", "source_overlap_audit",
       "cms_heavy_hitters", "zorder_cluster", "hist_quantiles",
       "corpus_overlap", "corpus_card", "type_cooccurrence",
       "decayed_engagement", "key_skew_profile", "mix_apply",
@@ -133,6 +134,61 @@ class PlanGuardSpec extends AnyFunSuite {
     try SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
     finally GraftCaches.releaseAll() // tracked caches would leak into sibling
                                      // suites' plan shapes (round-6 flake class)
+
+  // Partition-less WindowExec whitelist (round-7 VERDICT item 2): a global
+  // window moves its ENTIRE input into one task, so it is only acceptable
+  // over a relation whose size is bounded by construction — never by the
+  // corpus/population. Every entry below names that bound. Anything else
+  // must ride PrefixScan (running sums / ranks / ntile) instead.
+  private val bareWindowAllowed: Set[String] = Set(
+    "benford_audit",          // 9-row leading-digit relation
+    "calibration_bins",       // <=11 confidence bins (qmicro div 100000, q in [0,1])
+    "changepoint_scan",       // |days|-bounded daily-revenue relation
+    "chi2_independence",      // |langs| x |sources| contingency cells
+    "curriculum_schedule",    // |sources|-bounded quality-mass relation
+    "dedup_method_agreement", // <=3-row method-status relation
+    "encode_tokens",          // vocab_build's 100-row vocab (post-limit)
+    "event_rate_anomaly",     // |days|-bounded daily-count relation
+    "group_kfold",            // 5-row fold relation
+    "growth_accounting",      // |months|-bounded cohort relation (per-cust lag IS partitioned)
+    "hazard_table",           // duration-level relation (<=|distinct t_days|)
+    "interleave_sources",     // |sources|-row index relation (per-source ranks ARE partitioned)
+    "loo_source_influence",   // |sources|-bounded source-stats relation
+    "lorenz_curve",           // 10-row decile relation (deciles themselves ride PrefixScan.ntile)
+    "max_drawdown",           // |days|-bounded daily-net relation
+    "monthly_growth",         // |months|-bounded monthly-revenue relation
+    "pareto_frontier",        // <=1001 quality-level rows (post rn=1 filter)
+    "retrieve_rerank",        // <=30-row rerank candidate set
+    "revenue_autocorr",       // |days|-bounded daily-revenue relation
+    "rrf_fusion",             // <=30-row fused candidate set
+    "vocab_build",            // 100-row vocab (post TakeOrdered limit)
+    "zipf_profile")           // 1024-row rank probe (post TakeOrdered limit)
+
+  private def bareWindows(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    p match {
+      case a: AdaptiveSparkPlanExec => bareWindows(a.inputPlan)
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        Seq(w) ++ w.children.flatMap(bareWindows)
+      case other => other.children.flatMap(bareWindows) ++
+        other.subqueries.flatMap(bareWindows)
+    }
+  }
+
+  test("no partition-less WindowExec outside the bounded-relation whitelist") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan =
+        try SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+        finally GraftCaches.releaseAll()
+      val n = bareWindows(plan).size
+      if (n > 0 && !bareWindowAllowed(name)) Some(s"$name($n)") else None
+    }
+    assert(offenders.isEmpty,
+      s"partition-less WindowExec (single-task at scale) in non-whitelisted " +
+        s"queries: ${offenders.mkString(", ")}")
+  }
 
   test("no CartesianProduct; BroadcastNestedLoopJoin only where whitelisted") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>

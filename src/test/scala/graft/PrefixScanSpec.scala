@@ -89,4 +89,46 @@ class PrefixScanSpec extends AnyFunSuite {
     val df = Seq.empty[(Long, Long)].toDF("id", "v")
     assert(PrefixScan.runningSumLong(df, "v", "cum", col("id")).count() == 0)
   }
+
+  test("distributed ntile equals the global ntile window (uneven n, ties, desc)") {
+    import spark.implicits._
+    // n=103 deliberately not divisible by most k; key collisions force the
+    // id tie-break to carry the order, matching every call site's shape.
+    val df = (1 to 103).map(i => (i.toLong, (i % 9).toLong)).toDF("id", "k")
+    for (k <- Seq(1, 2, 3, 5, 7, 10, 32)) {
+      val order = Seq(col("k").desc, col("id"))
+      val got = PrefixScan.ntile(df, k, "b", order: _*)
+        .orderBy("id").select("id", "b").collect().toSeq
+      val want = df
+        .withColumn("b", ntile(k).over(Window.orderBy(order: _*)).cast("bigint"))
+        .orderBy("id").select("id", "b").collect().toSeq
+      assert(got == want, s"ntile($k) diverged from the global window")
+      GraftCaches.releaseAll()
+    }
+  }
+
+  test("ntile with n < k gives every row its own bucket (= rank)") {
+    import spark.implicits._
+    val df = Seq(10L, 20L, 30L).toDF("id")
+    val got = PrefixScan.ntile(df, 7, "b", col("id"))
+      .orderBy("id").select("b").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 3L))
+    GraftCaches.releaseAll()
+  }
+
+  test("ntile runs over MULTIPLE range partitions (no single-task window)") {
+    import spark.implicits._
+    val df = (1 to 4000).map(i => (i.toLong, 1L)).toDF("id", "v")
+    val out = PrefixScan.ntile(df, 4, "b", col("id"))
+    // The executed plan must carry NO partition-less window: every
+    // WindowExec here is _pid-partitioned by construction.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val bare = out.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(bare.isEmpty, "ntile plan must not contain an unpartitioned window")
+    val got = out.orderBy("id").select("b").as[Long].collect()
+    assert(got.toSeq == (1 to 4000).map(i => ((i - 1) / 1000 + 1).toLong))
+    GraftCaches.releaseAll()
+  }
 }

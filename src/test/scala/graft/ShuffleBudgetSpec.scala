@@ -146,10 +146,15 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "matryoshka_audit" -> 1,   // id-aligned pair join broadcasts at fixture scale
     "pca_power" -> 6,          // 3 power iterations x (per-dim decimal agg +
                                // 1-row iterate collect); corpus never re-shuffles
-    "source_minhash_overlap" -> 9, // tracked (source,gram) distinct inlined per ref
-                               // (sig agg + both self-join sides) + pair agg + sort
-    "rfm_segments" -> 4,       // user agg (1-row max-date broadcast) + tercile
-                               // windows over the |users| relation
+    "source_minhash_overlap" -> 3, // production-only since r8: per-doc scan-side
+                               // signature fold + |sources|-row agg + pair sort
+    "source_overlap_audit" -> 11,  // tracked sampled-gram distinct inlined per ref
+                               // (count + both self-join sides) + sig fold +
+                               // pair agg + result sort
+    "rfm_segments" -> 2,       // final-plan exchanges only: the user agg and
+                               // the three PrefixScan.ntile range exchanges run
+                               // at construction (checkpointed); what remains is
+                               // the last ntile's _pid window exchange
     "ranking_eval" -> 8,       // bm25's 5 + candidate embedding join + per-term
                                // grade agg + result sort (eval windows <=30 rows)
     "query_expansion" -> 8,    // bm25's 5 + (term,w) tf agg + bounded per-term
@@ -161,7 +166,8 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "promo_revenue" -> 1,      // part broadcast into the pruned scan + 1-row fold
     "or_predicate_revenue" -> 1, // same shape; OR factored into both scans
     "avg_qty_threshold" -> 2,  // ONE partkey exchange (window avg) + 1-row fold
-    "top_supplier" -> 3,       // suppkey agg + |suppliers|-row max window + survivor join
+    "top_supplier" -> 3,       // tracked suppkey agg (inlined) + 1-row max fold
+                               // broadcast back as an equi-join (no global window)
     "idle_customers" -> 3,     // anti-join key exchange (both sides) + nation agg + sort
     "incremental_agg_merge" -> 3, // base partial + delta partial + merge re-agg/sort
     "dpo_pairs" -> 1,          // quality is scan-local; pair join broadcasts + result sort
@@ -210,12 +216,13 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "epi_two_by_two" -> 3,     // (user,day) fold + 4-cell SinglePartition fold
     "seasonal_index" -> 4,     // (year,month) agg + ONE year exchange for both
                                // windows + month fold + result sort
-    "pareto_share" -> 3,       // customer fold + global ntile exchange + 1-row fold
+    "pareto_share" -> 2,       // ntile's _pid window exchange + 1-row fold
+                               // (customer fold runs at construction, checkpointed)
     "sql_native_functions" -> 1, // scan-local codegen exprs + result sort only
     "twap_by_user" -> 2,       // ONE user exchange (lead window + agg
                                // co-partitioned) + result sort
-    "lorenz_curve" -> 3,       // global ntile exchange + 10-row decile fold +
-                               // tiny cumulative/total windows + result sort
+    "lorenz_curve" -> 3,       // ntile's _pid window exchange + 10-row decile
+                               // fold + tiny cumulative/total windows + result sort
     "burstiness_index" -> 3,   // (user,day) agg + user moment fold + result sort
     "max_drawdown" -> 3,       // day agg + ONE ordered single-partition exchange
                                // for all three stacked windows + top-1

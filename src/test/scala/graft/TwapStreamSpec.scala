@@ -52,6 +52,34 @@ class TwapStreamSpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("a cross-batch late event (ts before the carried last reading) is dropped, not folded negative") {
+    import java.sql.Timestamp
+    val t0 = 1704067200000L // 2024-01-01 00:00:00
+    def ev(id: Long, offSec: Long, v: Double) =
+      Ev(id, new Timestamp(t0 + offSec * 1000), 1L, "view", v)
+    val stream = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
+    val ckpt = Files.createTempDirectory("graft-twap-late-ckpt").toString
+    val q = TwapStream.twap(stream.toDF())
+      .writeStream.format("memory").queryName("twap_late_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    try {
+      stream.addData(Seq(ev(1, 0, 10.0), ev(2, 100, 20.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(ev(3, 50, 99.0)))  // late: before the carried t=100 reading
+      q.processAllAvailable()
+      stream.addData(Seq(ev(4, 200, 30.0))) // on-time: closes the t=100 interval
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("twap_late_out")
+      .orderBy(col("n_intervals").desc).collect()
+    // Final state: intervals [0,100)@10 and [100,200)@20 — the late event
+    // contributed nothing (no negative duration, no accumulator corruption).
+    val top = rows.head
+    assert(top.getAs[Long]("n_intervals") === 2L)
+    assert(math.abs(top.getAs[Double]("twap") - 15.0) < 1e-12)
+  }
+
   test("batch fold is row-order insensitive") {
     val events = fixtureEvents(500)
     def run(es: Seq[Ev]) = TwapStream.twap(
