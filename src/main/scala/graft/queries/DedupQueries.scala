@@ -18,16 +18,21 @@ object DedupQueries {
   private val A = TextOps.MinhashSeeds.map(_._1)
   private val B = TextOps.MinhashSeeds.map(_._2)
 
-  /** Shared oracle CTE: distinct 3-shingle poly-hashes per doc. */
+  /** Shared oracle CTE: distinct 3-shingle fingerprints per doc —
+    * word poly-hashes combined arithmetically per triple, mirroring
+    * [[graft.operators.TextOps.shingleHashes]]'s round-8 fingerprint. */
   private[queries] val shingleCte: String =
     s"""w AS MATERIALIZED (
        |  SELECT doc_id,
-       |    list_distinct(list_transform(
-       |      list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
-       |      g -> list_reduce(list_prepend(0::BIGINT, list_transform(string_split(g,''), c -> ascii(c)::BIGINT)),
-       |                       (a,b) -> (a*31+b) % $M))) AS hs
-       |  FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x != '') AS ws FROM documents)
-       |  WHERE len(ws) >= 3)""".stripMargin
+       |    list_distinct(list_transform(range(1, len(whs)-1),
+       |      i -> ((whs[i]*31 + whs[i+1]) % $M * 31 + whs[i+2]) % $M)) AS hs
+       |  FROM (
+       |    SELECT doc_id,
+       |      list_transform(ws, w ->
+       |        list_reduce(list_prepend(0::BIGINT, list_transform(string_split(w,''), c -> ascii(c)::BIGINT)),
+       |                    (a,b) -> (a*31+b) % $M)) AS whs
+       |    FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x != '') AS ws FROM documents)
+       |    WHERE len(ws) >= 3))""".stripMargin
 
   private def mhSql(i: Int): String =
     s"list_min(list_transform(hs, h -> (h*${A(i)} + ${B(i)}) % $M))"
@@ -448,31 +453,17 @@ object DedupQueries {
 
   /** Per-source (n_docs, 8 MinHash mins) — shared by
     * [[sourceMinhashOverlap]] and [[sourceOverlapAudit]]. */
-  /** 3-gram fingerprints for the source-overlap pair: hash each WORD
-    * once (native PolyHash — one pass over the characters), then
-    * combine consecutive word-hash triples arithmetically
-    * (`((h1*31 + h2) % M * 31 + h3) % M`). Hash-equivalent in role to
-    * the dedup family's string-concat shingle (`shingleCte`) but ~3
-    * char-passes and two string allocations cheaper per gram — the
-    * right fingerprint when the gram set is only ever consumed as
-    * hashes (signatures + sampled Jaccard), never re-read as text.
-    * Stays in int64: h < 1e9+7, so h*31 + h' < 3.2e10. */
-  private def wordTriGrams: Column =
-    array_distinct(transform(sequence(lit(1), size(col("whs")) - 2), i =>
-      ((element_at(col("whs"), i) * 31 + element_at(col("whs"), i + 1)) % M * 31 +
-        element_at(col("whs"), i + 2)) % M))
-
-  /** (source, hs) per document — word-hash array materialized once per
-    * row, THEN the gram combine, THEN the consumers: inlining a
-    * multiply-referenced non-cheap alias would recompute it per use
-    * (the first cut of this query recomputed the shingle set 8×, once
-    * per permutation — 34 s at sf0.1 instead of 5). */
+  /** (source, hs) per document — the fleet shingle fingerprint
+    * ([[graft.operators.TextOps.shingleHashes]]: word poly-hashes
+    * combined per triple, the word-hash array lambda-bound once per
+    * row — an inlined multi-reference would recompute it per use; the
+    * first cut of this query recomputed the gram set 8×, once per
+    * permutation — 34 s at sf0.1 instead of 1). */
   private def sourceGramSets(spark: SparkSession, dir: String): DataFrame = {
     val ws = TextOps.words(col("text"))
     Tables.documents(spark, dir)
       .filter(size(ws) >= 3)
-      .select(col("source"), transform(ws, w => PolyHash.hash(w)).as("whs"))
-      .select(col("source"), wordTriGrams.as("hs"))
+      .select(col("source"), TextOps.shingleHashes(ws).as("hs"))
   }
 
   private def sourceSignatures(spark: SparkSession, dir: String): DataFrame = {

@@ -2301,13 +2301,17 @@ object TextQueries {
     s"""WITH t AS (
        |  SELECT lang, list_filter(string_split(text, ' '), x -> x != '') AS ws
        |  FROM documents),
+       |wt AS (
+       |  SELECT lang,
+       |    list_transform(ws, w ->
+       |      list_reduce(list_prepend(0::BIGINT, list_transform(string_split(w,''), c -> ascii(c)::BIGINT)),
+       |                  (a,b) -> (a*31+b) % $m)) AS whs
+       |  FROM t WHERE len(ws) >= 3),
        |lg AS MATERIALIZED (
        |  SELECT DISTINCT lang,
-       |    unnest(list_transform(
-       |      list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
-       |      g -> list_reduce(list_prepend(0::BIGINT, list_transform(string_split(g,''), c -> ascii(c)::BIGINT)),
-       |                       (a,b) -> (a*31+b) % $m))) AS g
-       |  FROM t WHERE len(ws) >= 3),
+       |    unnest(list_transform(range(1, len(whs)-1),
+       |      i -> ((whs[i]*31 + whs[i+1]) % $m * 31 + whs[i+2]) % $m)) AS g
+       |  FROM wt),
        |per AS (SELECT lang, COUNT(*) AS n_grams FROM lg GROUP BY lang),
        |sh AS (SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS n_shared
        |       FROM lg a JOIN lg b ON a.g = b.g AND a.lang < b.lang
