@@ -595,12 +595,20 @@ object Dedup {
         .withColumn("n", size(col("l"))))
     // Window starts are 1-based; guarded by n >= w (sequence would run
     // descending otherwise — the shingleHashes discipline).
+    // Window fingerprint (round 8, the shingleHashes discipline): hash
+    // each word once, fold the w word-hashes arithmetically per window
+    // — vs concat+re-char-hash, ~w char-passes saved per window. The
+    // word-hash array is lambda-bound once per row via the single-
+    // element-array transform; inlined it would recompute per window.
     val wins = graft.GraftCaches.track(
       toks.filter(col("n") >= w)
-        .select(col(id), explode(transform(
-          sequence(lit(1), col("n") - (w - 1)),
-          i => struct(i.as("i"),
-            PolyHash.hash(concat_ws(" ", slice(col("l"), i, lit(w)))).as("h")))).as("s"))
+        .select(col(id), explode(element_at(
+          transform(array(transform(col("l"), t => PolyHash.hash(t))), whs =>
+            transform(sequence(lit(1), size(whs) - (w - 1)), i =>
+              struct(i.as("i"),
+                aggregate(slice(whs, i, lit(w)), lit(0L),
+                  (acc, x) => (acc * 31 + x) % PolyHash.Mod).as("h")))),
+          1)).as("s"))
         .select(col(id), col("s.i").as("i"), col("s.h").as("h")))
     val dup = wins.groupBy("h")
       .agg(count_distinct(col(id)).as("nd"))

@@ -986,13 +986,15 @@ object DedupQueries {
     s"""WITH tok AS (
        |  SELECT doc_id, list_filter(string_split(text,' '), x -> x != '') AS l FROM documents),
        |t2 AS MATERIALIZED (SELECT doc_id, l, len(l) AS n FROM tok),
+       |wh AS (SELECT doc_id, n,
+       |         list_transform(l, w ->
+       |           list_reduce(list_prepend(0::BIGINT, list_transform(string_split(w,''), c -> ascii(c)::BIGINT)),
+       |                       (a,b) -> (a*31+b) % $M)) AS whs
+       |       FROM t2 WHERE n >= 8),
        |wins AS MATERIALIZED (
        |  SELECT doc_id, i,
-       |    list_reduce(list_prepend(0::BIGINT,
-       |      list_transform(string_split(array_to_string(l[i:i+7], ' '), ''), c -> ascii(c)::BIGINT)),
-       |      (a,b) -> (a*31+b) % $M) AS h
-       |  FROM t2, LATERAL (SELECT unnest(range(1, n - 6)) AS i) u
-       |  WHERE n >= 8),
+       |    list_reduce(list_prepend(0::BIGINT, whs[i:i+7]), (a,b) -> (a*31+b) % $M) AS h
+       |  FROM wh, LATERAL (SELECT unnest(range(1, n - 6)) AS i) u),
        |dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
        |ds AS (SELECT doc_id, list_distinct(flatten(list(range(i, i + 8)))) AS cov
        |       FROM wins JOIN dup USING (h) GROUP BY doc_id)
