@@ -1220,6 +1220,52 @@ object DedupQueries {
        |FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
        |GROUP BY source ORDER BY source""".stripMargin
 
+
+  /** Sorted-neighborhood blocking — the entity-resolution candidate
+    * generator for FUZZY KEYS (names, titles, addresses) where hash
+    * blocking fails (one typo changes the hash): sort the population on
+    * the fuzzy key, compare each record only to its w nearest neighbors
+    * in the global sort order. The global rank rides
+    * [[graft.operators.PrefixScan]] (running count over the
+    * (name, custkey) total order — never a single-task window at
+    * population scale), the neighbor pairing is an EQUI-join on
+    * rank + d = rank (d exploded from 1..w), and the survivor screen is
+    * a per-pair edit distance — O(n·w) comparisons total instead of
+    * O(n²). Emits every window pair with its distance plus the
+    * candidate flag (lev ≤ 4 here: TPC-H name stems differ only in the
+    * 9-digit suffix). */
+  def sortedNeighborhoodPairs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixScan
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), lit(1L).as("one"))
+    val ranked = graft.GraftCaches.track(
+      PrefixScan.runningSumLong(c, "one", "rnk",
+        col("c_name"), col("c_custkey")).drop("one"))
+    val right = ranked.select(col("rnk").as("rnk_b"),
+      col("c_custkey").as("custkey_b"), col("c_name").as("name_b"))
+    ranked
+      .select(explode(array(lit(1L), lit(2L))).as("d"), col("rnk"),
+        col("c_custkey").as("custkey_a"), col("c_name").as("name_a"))
+      .join(right, col("rnk") + col("d") === col("rnk_b"))
+      .select(col("custkey_a"), col("custkey_b"), col("d"),
+        levenshtein(col("name_a"), col("name_b")).cast("bigint").as("lev"))
+      .withColumn("candidate", col("lev") <= 4)
+      .orderBy("custkey_a", "custkey_b")
+  }
+
+  val sortedNeighborhoodPairsSql: String =
+    """WITH r AS (
+      |  SELECT c_custkey, c_name,
+      |         CAST(row_number() OVER (ORDER BY c_name, c_custkey) AS BIGINT) AS rnk
+      |  FROM customer),
+      |d AS (SELECT unnest([1, 2]) AS d)
+      |SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+      |       CAST(d.d AS BIGINT) AS d,
+      |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev,
+      |       levenshtein(a.c_name, b.c_name) <= 4 AS candidate
+      |FROM r a CROSS JOIN d JOIN r b ON a.rnk + d.d = b.rnk
+      |ORDER BY custkey_a, custkey_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_rate_by_source" -> (dedupRateBySource _),
     "source_copy_matrix" -> (sourceCopyMatrix _),
@@ -1253,6 +1299,7 @@ object DedupQueries {
     "dedup_simhash" -> (simhash _),
     "dedup_simhash_neardup" -> (simhashNearDup _),
     "dedup_edit_distance" -> (editDistance _),
+    "sorted_neighborhood_pairs" -> (sortedNeighborhoodPairs _),
     "dedup_ngram_jaccard" -> (ngramJaccard _))
 
   val oracles: Map[String, String] = Map(
@@ -1288,5 +1335,6 @@ object DedupQueries {
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_neardup" -> simhashNearDupSql,
     "dedup_edit_distance" -> editDistanceSql,
+    "sorted_neighborhood_pairs" -> sortedNeighborhoodPairsSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql)
 }

@@ -4470,7 +4470,53 @@ object Relational {
       |       COALESCE(CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE), 0.0) AS total_rev
       |FROM j GROUP BY status ORDER BY status""".stripMargin
 
+  /** Exact global order statistics of a population-sized column with no
+    * single-task window: the classic p25/p50/p75/p90/p99 readout of the
+    * event value distribution, exact (value micro-rounded to int64 so
+    * engines can't disagree on a tie). The global rank rides
+    * [[graft.operators.PrefixScan]] (running count over the (value, id)
+    * total order — partition-parallel at any population), n comes from
+    * the same two-phase pass's 1-row count, and each quantile is the row
+    * whose rank equals ⌈p·n⌉ (exact integer arithmetic:
+    * (n·pq + 99) DIV 100), picked by a 5-row broadcast equi-join. The
+    * scale story `hist_quantiles` (bucketed) and
+    * `weighted_median_by_group` (per-group window) don't cover: EXACT
+    * population quantiles, distributed. */
+  def exactQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixScan
+    val base = Tables.events(spark, dir)
+      .select(round(col("value") * 1e6).cast("bigint").as("vmicro"),
+        col("event_id"), lit(1L).as("one"))
+    val ranked = PrefixScan.runningSumLong(base, "one", "rnk",
+      col("vmicro"), col("event_id"))
+    // Bounded driver scalar (the PrefixScan discipline: its own offsets
+    // are the same shape); the scan is cheap — one column, no shuffle.
+    val n = base.count()
+    val pqs = Seq(25L, 50L, 75L, 90L, 99L)
+    val kDf = spark.createDataFrame(
+      pqs.map(pq => (pq / 100.0, (n * pq + 99L) / 100L)))
+      .toDF("pct", "k")
+    ranked.join(broadcast(kDf), col("rnk") === col("k"))
+      .select(col("pct"), (col("vmicro").cast("double") / 1e6).as("value"))
+      .orderBy("pct")
+  }
+
+  val exactQuantilesSql: String =
+    """WITH v AS (
+      |  SELECT CAST(round(value * 1000000.0) AS BIGINT) AS vmicro, event_id
+      |  FROM events),
+      |r AS (SELECT vmicro,
+      |        row_number() OVER (ORDER BY vmicro, event_id) AS rnk,
+      |        COUNT(*) OVER () AS n
+      |      FROM v),
+      |p AS (SELECT unnest([25, 50, 75, 90, 99]) AS pq)
+      |SELECT CAST(pq AS DOUBLE) / 100.0 AS pct,
+      |       CAST(vmicro AS DOUBLE) / 1000000.0 AS value
+      |FROM r JOIN p ON rnk = (n * pq + 99) // 100
+      |ORDER BY pct""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "exact_quantiles" -> (exactQuantiles _),
     "basket_pairs" -> (basketPairs _),
     "business_day_lag" -> (businessDayLag _),
     "target_encode_loo" -> (targetEncodeLoo _),
@@ -4596,6 +4642,7 @@ object Relational {
     "target_encode_loo" -> targetEncodeLooSql,
     "percent_rank_parts" -> percentRankPartsSql,
     "changepoint_scan" -> changepointScanSql,
+    "exact_quantiles" -> exactQuantilesSql,
     "full_outer_reconcile" -> fullOuterReconcileSql,
     "epi_two_by_two" -> epiTwoByTwoSql,
     "seasonal_index" -> seasonalIndexSql,
