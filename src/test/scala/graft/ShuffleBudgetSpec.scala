@@ -221,6 +221,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "sql_native_functions" -> 1, // scan-local codegen exprs + result sort only
     "twap_by_user" -> 2,       // ONE user exchange (lead window + agg
                                // co-partitioned) + result sort
+    "exact_quantiles" -> 2,    // ntile-style _pid window exchange + result sort
+                               // (rank scan itself runs at construction, checkpointed)
+    "sorted_neighborhood_pairs" -> 3, // tracked rank relation inlined per join
+                               // side + result sort; neighbor join broadcasts
     "lorenz_curve" -> 3,       // ntile's _pid window exchange + 10-row decile
                                // fold + tiny cumulative/total windows + result sort
     "burstiness_index" -> 3,   // (user,day) agg + user moment fold + result sort
