@@ -112,6 +112,87 @@ object PrefixScan {
     ranked.withColumn(outCol, bucket.cast("bigint")).drop("_rnk")
   }
 
+  /** PER-GROUP running sum at population scale — for the low-
+    * cardinality-group case where `Window.partitionBy(grp)` is the
+    * scale trap: 25 nations over a billion customers puts 40M rows in
+    * ONE task per nation. Range-partitioning on (grp, order) keeps each
+    * group's rows in contiguous, ordered partition ranges, so the same
+    * two-phase scan works per group: per-(partition, group) totals —
+    * bounded by #partitions + #groups rows when groups are contiguous —
+    * prefix-scanned per group on the driver, broadcast back, added to a
+    * (pid, grp)-partitioned window. Every stage partition-parallel; the
+    * per-task row count is |relation| / #partitions regardless of group
+    * cardinality. `order` must be total WITHIN each group (id
+    * tie-break), same as every scan here. */
+  def groupedRunningSumLong(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      outCol: String, order: Column*): DataFrame = {
+    val full = groupCols.map(col) ++ order
+    val parted = pinned(
+      df.repartitionByRange(full: _*).withColumn("_pid", spark_partition_id()))
+    val totals = parted.groupBy(col("_pid") +: groupCols.map(col): _*)
+      .agg(sum(col(valueCol)).as("_tot"))
+      .collect()
+      .map(r => (r.getInt(0), groupCols.map(c => r.get(r.fieldIndex(c))), r.getLong(r.fieldIndex("_tot"))))
+    // Exclusive per-group prefix over ascending pid.
+    val offsets = totals.groupBy(_._2).iterator.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(_._1)
+      sorted.map(_._1).zip(sorted.map(_._3).scanLeft(0L)(_ + _))
+        .map { case (pid, off) => (pid, sorted.head._2, off) }
+    }.toSeq
+    val spark = df.sparkSession
+    val offRows = offsets.map { case (pid, g, off) =>
+      org.apache.spark.sql.Row.fromSeq(pid +: g :+ off) }
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("_pid", org.apache.spark.sql.types.IntegerType) +:
+        groupCols.map(c => parted.schema(c)) :+
+        org.apache.spark.sql.types.StructField("_off", org.apache.spark.sql.types.LongType))
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1), offSchema)
+    val w = Window.partitionBy(col("_pid") +: groupCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted.join(broadcast(offDf), "_pid" +: groupCols)
+      .withColumn(outCol, col("_off") + sum(col(valueCol)).over(w))
+      .drop("_pid", "_off")
+  }
+
+  /** [[groupedRunningSumLong]] for exact DECIMAL values (per-group money
+    * running totals): per-(partition, group) totals prefix-added exactly
+    * as BigDecimal on the driver, offsets rejoined cast to the window
+    * sum's own decimal type — bit-equal to a per-group decimal window at
+    * any partitioning. */
+  def groupedRunningSumDecimal(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      outCol: String, order: Column*): DataFrame = {
+    val full = groupCols.map(col) ++ order
+    val parted = pinned(
+      df.repartitionByRange(full: _*).withColumn("_pid", spark_partition_id()))
+    val sumType = parted.select(sum(col(valueCol)).as("s")).schema.head.dataType
+    val totals = parted.groupBy(col("_pid") +: groupCols.map(col): _*)
+      .agg(sum(col(valueCol)).cast(sumType).as("_tot"))
+      .collect()
+      .map(r => (r.getInt(0), groupCols.map(c => r.get(r.fieldIndex(c))), r.getDecimal(r.fieldIndex("_tot"))))
+    val offsets = totals.groupBy(_._2).iterator.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(_._1)
+      sorted.map(_._1).zip(sorted.map(_._3)
+          .scanLeft(java.math.BigDecimal.ZERO)((a, b) => a.add(b)))
+        .map { case (pid, off) => (pid, sorted.head._2, off) }
+    }.toSeq
+    val spark = df.sparkSession
+    val offRows = offsets.map { case (pid, g, off) =>
+      org.apache.spark.sql.Row.fromSeq(pid +: g :+ off) }
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("_pid", org.apache.spark.sql.types.IntegerType) +:
+        groupCols.map(c => parted.schema(c)) :+
+        org.apache.spark.sql.types.StructField("_off", org.apache.spark.sql.types.DecimalType(38, 18)))
+    val offDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(offRows, 1), offSchema)
+      .withColumn("_off", col("_off").cast(sumType))
+    val w = Window.partitionBy(col("_pid") +: groupCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted.join(broadcast(offDf), "_pid" +: groupCols)
+      .withColumn(outCol, (col("_off") + sum(col(valueCol)).over(w)).cast(sumType))
+      .drop("_pid", "_off")
+  }
+
   /** Structural fix for the cache-as-correctness hazard (round-4
     * VERDICT): `spark_partition_id()` is nondeterministic across
     * executions, so an operator that collects per-partition state in one

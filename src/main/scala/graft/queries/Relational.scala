@@ -3471,16 +3471,22 @@ object Relational {
     * IEEE ordering hazards — ties are resolved by the level collapse
     * itself. */
   def weightedMedianByGroup(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byFlag = Window.partitionBy("l_returnflag")
-    val cum = byFlag.orderBy("price")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"), col("l_extendedprice")
-        .cast(DecimalType(12, 2)).as("price"))
-      .agg(sum(col("l_quantity").cast(DecimalType(12, 2))).as("w"))
-      .withColumn("cumw", sum("w").over(cum))
-      .withColumn("total", sum("w").over(byFlag))
+    import graft.operators.PrefixScan
+    // The per-flag cumulative weight rides the GROUPED decimal
+    // PrefixScan (round 8): with 3 return flags, the flag-partitioned
+    // window put a third of all price LEVELS in one task — levels grow
+    // with the fact table, so that is the per-group single-task class.
+    // Totals come from a plain per-flag fold broadcast back (exact
+    // decimal both ways, so the cumw*2 >= total screen is unchanged).
+    val lv = graft.GraftCaches.track(
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"), col("l_extendedprice")
+          .cast(DecimalType(12, 2)).as("price"))
+        .agg(sum(col("l_quantity").cast(DecimalType(12, 2))).as("w")))
+    val cum = PrefixScan.groupedRunningSumDecimal(
+      lv, Seq("l_returnflag"), "w", "cumw", col("price"))
+    val tot = lv.groupBy("l_returnflag").agg(sum("w").as("total"))
+    cum.join(broadcast(tot), "l_returnflag")
       .filter(col("cumw") * 2 >= col("total"))
       .groupBy("l_returnflag")
       .agg(min("price").cast("double").as("weighted_median_price"))
@@ -3954,17 +3960,21 @@ object Relational {
     * sums, and the closed form is three IEEE ops per nation — no pair
     * enumeration, no |n|² anything. */
   def giniByNation(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byNat = Window.partitionBy("nat")
-    val r = Tables.customer(spark, dir)
-      .select(col("c_nationkey").as("nat"),
-        col("c_acctbal").cast(DecimalType(12, 2)).as("x"),
-        col("c_custkey"), col("c_acctbal"))
-      .withColumn("i", row_number().over(byNat.orderBy("c_acctbal", "c_custkey")))
-      .withColumn("n", count(lit(1)).over(byNat))
+    import graft.operators.PrefixScan
+    // Per-nation ranks ride the GROUPED PrefixScan (round 8): the
+    // nation-partitioned rank window is |customers|/25 rows in ONE task
+    // at population scale. The grouped two-phase scan keeps every task
+    // at |relation|/#partitions regardless of group cardinality; n per
+    // nation comes from the same fold it always came from (the groupBy).
+    val r = PrefixScan.groupedRunningSumLong(
+      Tables.customer(spark, dir)
+        .select(col("c_nationkey").as("nat"),
+          col("c_acctbal").cast(DecimalType(12, 2)).as("x"),
+          col("c_custkey"), col("c_acctbal"), lit(1L).as("one")),
+      Seq("nat"), "one", "i", col("c_acctbal"), col("c_custkey"))
     val sixD = col("six").cast("double"); val sxD = col("sx").cast("double")
     r.groupBy("nat")
-      .agg(max("n").as("n"),
+      .agg(count(lit(1)).as("n"),
         sum(col("i").cast("long") * col("x")).as("six"),
         sum("x").as("sx"))
       .select(col("nat"), col("n"),
@@ -4353,18 +4363,30 @@ object Relational {
     * match bit-for-bit. ONE brand-keyed exchange serves all three
     * window functions (same spec → same sort). */
   def percentRankParts(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("p_brand")
-      .orderBy(col("p_retailprice").desc, col("p_partkey"))
-    Tables.part(spark, dir)
-      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
-      .withColumn("pr", percent_rank().over(w))
-      .withColumn("cd", cume_dist().over(w))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+    import graft.operators.PrefixScan
+    // Per-brand ranks ride the GROUPED PrefixScan: Window.partitionBy
+    // over 25 brands is |parts|/25 rows in ONE task at population scale
+    // — the same single-task class the global-window guard screens for,
+    // per-group edition. The ordering is tie-free, so
+    // percent_rank = (rn−1)/(n−1) and cume_dist = rn/n exactly (one
+    // IEEE division each, matching the builtin window functions'
+    // arithmetic bit-for-bit; n>1 guard mirrors percent_rank's n=1
+    // definition).
+    val ranked = PrefixScan.groupedRunningSumLong(
+      Tables.part(spark, dir)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          lit(1L).as("one")),
+      Seq("p_brand"), "one", "rn",
+      col("p_retailprice").desc, col("p_partkey"))
+    val n = Tables.part(spark, dir)
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n_g"))
+    ranked.filter(col("rn") <= 3)
+      .join(broadcast(n), "p_brand")
       .select(col("p_brand").as("brand"), col("rn"),
         col("p_partkey").as("partkey"), col("p_retailprice").as("price"),
-        col("pr"), col("cd"))
+        when(col("n_g") > 1, (col("rn") - 1).cast("double") /
+          (col("n_g") - 1).cast("double")).otherwise(lit(0.0)).as("pr"),
+        (col("rn").cast("double") / col("n_g").cast("double")).as("cd"))
       .orderBy("brand", "rn")
   }
 

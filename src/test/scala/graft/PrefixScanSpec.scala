@@ -90,6 +90,54 @@ class PrefixScanSpec extends AnyFunSuite {
     assert(PrefixScan.runningSumLong(df, "v", "cum", col("id")).count() == 0)
   }
 
+  test("grouped scan equals the per-group window cumsum (groups crossing partitions)") {
+    import spark.implicits._
+    // 3 groups x ~1700 rows each, forced through 8 range partitions so
+    // every group spans multiple partition boundaries — the offsets must
+    // stitch each group's ranges back into one exact running sum.
+    val df = (1 to 5000).map(i => (i % 3, i.toLong, ((i * 37) % 101 + 1).toLong))
+      .toDF("g", "id", "v")
+      .repartition(8)
+    val got = PrefixScan.groupedRunningSumLong(df, Seq("g"), "v", "cum", col("id"))
+      .orderBy("g", "id").select("g", "id", "cum").collect().toSeq
+    val w = Window.partitionBy("g").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("cum", sum("v").over(w))
+      .orderBy("g", "id").select("g", "id", "cum").collect().toSeq
+    assert(got == want)
+    GraftCaches.releaseAll()
+  }
+
+  test("grouped decimal scan equals the per-group decimal window bit-for-bit") {
+    import spark.implicits._
+    val df = (1 to 4000).map(i => (i % 4, i.toLong, BigDecimal((i * 13 % 997) + 1).setScale(2)))
+      .toDF("g", "id", "v")
+      .select(col("g"), col("id"),
+        col("v").cast(org.apache.spark.sql.types.DecimalType(14, 2)).as("v"))
+    val got = PrefixScan.groupedRunningSumDecimal(df, Seq("g"), "v", "cum", col("id"))
+      .orderBy("g", "id").select("g", "id", "cum").collect().toSeq
+    val w = Window.partitionBy("g").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("cum", sum("v").over(w))
+      .orderBy("g", "id").select("g", "id", "cum").collect().toSeq
+    assert(got == want)
+    GraftCaches.releaseAll()
+  }
+
+  test("grouped scan running count reproduces per-group row_number (desc order, ties)") {
+    import spark.implicits._
+    val df = (1 to 999).map(i => (i % 5, (i % 11).toLong, i.toLong, 1L))
+      .toDF("g", "k", "id", "one")
+    val order = Seq(col("k").desc, col("id"))
+    val got = PrefixScan.groupedRunningSumLong(df, Seq("g"), "one", "rn", order: _*)
+      .orderBy("g", "id").select("g", "id", "rn").collect().toSeq
+    val w = Window.partitionBy("g").orderBy(order: _*)
+    val want = df.withColumn("rn", row_number().over(w).cast("long"))
+      .orderBy("g", "id").select("g", "id", "rn").collect().toSeq
+    assert(got == want)
+    GraftCaches.releaseAll()
+  }
+
   test("distributed ntile equals the global ntile window (uneven n, ties, desc)") {
     import spark.implicits._
     // n=103 deliberately not divisible by most k; key collisions force the

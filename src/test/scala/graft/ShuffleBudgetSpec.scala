@@ -230,8 +230,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "burstiness_index" -> 3,   // (user,day) agg + user moment fold + result sort
     "max_drawdown" -> 3,       // day agg + ONE ordered single-partition exchange
                                // for all three stacked windows + top-1
-    "gini_by_nation" -> 2,     // ONE nation exchange (rank + count windows +
-                               // the moment fold co-partitioned) + result sort
+    "gini_by_nation" -> 3,     // grouped-PrefixScan (pid,nat) window exchange +
+                               // moment fold + result sort (range exchange runs
+                               // at construction, checkpointed)
     "hazard_table" -> 3,       // user fold + day-level agg + reversed cumulative
                                // window over the tiny horizon relation + sort
     "bitmap_index_audit" -> 5, // two word-bitmap aggs + word equi-join +
@@ -252,8 +253,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
                                // + result sort (shares are per-row divisions)
     "growth_accounting" -> 4,  // (cust,month) distinct + cust lag window + month
                                // agg + <=|months|-row churn lag + result sort
-    "weighted_median_by_group" -> 3, // price-level agg + ONE flag exchange for both
-                               // windows + qualifying-level min fold + sort
+    "weighted_median_by_group" -> 6, // tracked level agg inlined per ref (cum scan
+                               // + totals fold) + grouped-scan (pid,flag) window
+                               // exchange + qualifying-level min fold + sort
     "mode_by_group" -> 3,      // value-level agg + per-flag max window + argmax fold
     "hll_source_overlap" -> 12, // static count inlines the tracked register agg
                                // per est reference (pair inventory + est_a/est_b
