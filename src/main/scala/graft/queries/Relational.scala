@@ -745,18 +745,41 @@ object Relational {
       |FROM events""".stripMargin
 
   /** Ranking-function breadth in one pass: dense_rank / percent_rank /
-    * cume_dist over the same window. All three are rank-based (tie rows
-    * get identical outputs), so the result is deterministic without a
-    * unique tiebreak — the property that makes them safe on real data
-    * where the order key repeats. */
+    * cume_dist, all tie-aware (tie rows get identical outputs), so the
+    * result is deterministic without a unique tiebreak — the property
+    * that makes them safe on real data where the order key repeats.
+    * Computed from the (class, value) level relation via grouped
+    * PrefixScan + a fact rejoin — never a per-class population window
+    * (round 8). */
   def rankMetrics(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice"))
-    Tables.orders(spark, dir)
+    import graft.operators.PrefixScan
+    // Tie-aware ranks WITHOUT the per-class population window (round 8):
+    // all three functions are pure arithmetic over the (class, value)
+    // LEVEL relation — rank = rows strictly below + 1, dense_rank =
+    // level index, cume_dist = inclusive level count / n — so the
+    // cumulative counts ride the grouped PrefixScan over levels (far
+    // smaller than the fact table) and rejoin the facts by an equi-join
+    // on (class, value). Division trees match the builtin window
+    // functions bit-for-bit ((rank−1)/(n−1), cum/n — one IEEE division
+    // each).
+    val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-      .withColumn("drank", dense_rank().over(w).cast("bigint"))
-      .withColumn("prank", percent_rank().over(w))
-      .withColumn("cdist", cume_dist().over(w))
+    val lv = o.groupBy("o_orderpriority", "o_totalprice")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("one", lit(1L))
+    val cum = PrefixScan.groupedRunningSumLong(
+      lv, Seq("o_orderpriority"), "c", "cum_incl", col("o_totalprice"))
+    val dense = PrefixScan.groupedRunningSumLong(
+      cum, Seq("o_orderpriority"), "one", "drank", col("o_totalprice"))
+    val n = o.groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    val levels = dense.join(broadcast(n), "o_orderpriority")
+      .select(col("o_orderpriority"), col("o_totalprice"), col("drank"),
+        when(col("n") > 1L, (col("cum_incl") - col("c")).cast("double") /
+          (col("n") - 1L).cast("double")).otherwise(lit(0.0)).as("prank"),
+        (col("cum_incl").cast("double") / col("n").cast("double")).as("cdist"))
+    o.join(levels, Seq("o_orderpriority", "o_totalprice"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        col("drank"), col("prank"), col("cdist"))
   }
 
   val rankMetricsSql: String =
@@ -824,21 +847,27 @@ object Relational {
       |ORDER BY event_type, bucket""".stripMargin
 
   /** Running share within a partition: each order's cumulative fraction
-    * of its priority class's total — one window sort per class, exact
-    * decimal running sum and class total, a single double division per
+    * of its priority class's total — the per-class running sum rides the
+    * grouped decimal PrefixScan (exact at any partitioning), class
+    * totals fold once and broadcast back, a single double division per
     * row. */
   def runningShare(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ord = Window.partitionBy("o_orderpriority")
-      .orderBy(col("o_orderkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.partitionBy("o_orderpriority")
-    val p = col("o_totalprice").cast(DecimalType(14, 2))
-    Tables.orders(spark, dir)
-      .filter(col("o_totalprice") > 400000)
+    // The per-class running decimal sum rides the GROUPED PrefixScan
+    // (round 8): a 5-priority partitioned window is |orders|/5 rows in
+    // one task at population scale. Class totals come from a plain
+    // per-class fold broadcast back — exact decimal both ways.
+    val base = graft.GraftCaches.track(
+      Tables.orders(spark, dir)
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice").cast(DecimalType(14, 2)).as("p")))
+    val cum = graft.operators.PrefixScan.groupedRunningSumDecimal(
+      base, Seq("o_orderpriority"), "p", "running_dec", col("o_orderkey"))
+    val tot = base.groupBy("o_orderpriority").agg(sum("p").as("total_dec"))
+    cum.join(broadcast(tot), "o_orderpriority")
       .select(col("o_orderpriority"), col("o_orderkey"),
-        sum(p).over(ord).cast("double").as("running"),
-        sum(p).over(all).cast("double").as("class_total"))
+        col("running_dec").cast("double").as("running"),
+        col("total_dec").cast("double").as("class_total"))
       .withColumn("running_share", col("running") / col("class_total"))
       .orderBy("o_orderpriority", "o_orderkey")
   }
@@ -986,15 +1015,20 @@ object Relational {
   /** Exact lower median per group by rank arithmetic — deterministic
     * (value ties break on event_id) and cross-engine exact, unlike
     * interpolating percentile functions whose float math differs between
-    * engines. Window partitions are single groups, so the cost profile is
-    * that of a sort-based groupBy. */
+    * engines. Ranks ride the grouped PrefixScan, so no task ever holds
+    * a whole event type (round 8). */
   def medianByGroup(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
-    Tables.events(spark, dir)
-      .select(col("event_type"), col("value"), col("event_id"))
-      .withColumn("rn", row_number().over(w).cast("bigint"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    // Per-type rank rides the GROUPED PrefixScan (round 8): the
+    // type-partitioned window put |events|/|types| rows in one task —
+    // the per-group single-task class with a handful of event types.
+    val ranked = graft.operators.PrefixScan.groupedRunningSumLong(
+      Tables.events(spark, dir)
+        .select(col("event_type"), col("value"), col("event_id"),
+          lit(1L).as("one")),
+      Seq("event_type"), "one", "rn", col("value"), col("event_id"))
+    val n = Tables.events(spark, dir)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(n), "event_type")
       .filter(expr("rn = (n + 1) div 2"))
       .select(col("event_type"), col("value").as("median_value"), col("n"))
       .orderBy("event_type")
@@ -2186,17 +2220,22 @@ object Relational {
     * (n+1) div 2 over a total order) — no interpolation, so the values
     * are exact row values and the engines can't disagree on averaging;
     * deviations are one IEEE subtraction each. Flag = dev > 3·1.4826·MAD
-    * (the Gaussian-consistency constant), counted per type. Windows are
-    * per-type — partition-parallel; the exact-median sort is the price,
-    * hist_quantiles is the approximate path at 100 TB. */
+    * (the Gaussian-consistency constant), counted per type. Ranks ride the
+    * grouped PrefixScan (no task holds a whole type); the exact-median
+    * sort is the price, hist_quantiles is the approximate path at
+    * 100 TB. */
   def robustOutliers(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), col("value"), col("event_id"))
+    // lowerMedian rides the GROUPED PrefixScan (round 8): each call's
+    // type-partitioned rank window was |events|/|types| rows per task.
     def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
-      val w = Window.partitionBy("event_type").orderBy(col(valueCol), col("event_id"))
-      df.withColumn("rn", row_number().over(w).cast("bigint"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      val ranked = graft.operators.PrefixScan.groupedRunningSumLong(
+        df.withColumn("one", lit(1L)),
+        Seq("event_type"), "one", "rn", col(valueCol), col("event_id"))
+      val n = df.groupBy("event_type").agg(count(lit(1)).as("n"))
+      ranked.join(broadcast(n), "event_type")
         .filter(expr("rn = (n + 1) div 2"))
         .select(col("event_type"), col(valueCol).as(out))
     }

@@ -1891,9 +1891,12 @@ object TextQueries {
     val m = PolyHash.Mod
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), ((col("doc_id") * a + b) % m).as("skey"))
-    val ranked = d.withColumn("r",
-      row_number().over(Window.partitionBy("source")
-        .orderBy(col("skey"), col("doc_id"))).cast("bigint") - 1)
+    // Per-source shuffle ranks ride the GROUPED PrefixScan (round 8):
+    // the source-partitioned row_number was |docs|/|sources| in one task.
+    val ranked = graft.operators.PrefixScan.groupedRunningSumLong(
+        d.withColumn("one", lit(1L)), Seq("source"), "one", "r0",
+        col("skey"), col("doc_id"))
+      .withColumn("r", col("r0") - 1).drop("r0", "one")
     val idx = d.select("source").distinct()
       .select(col("source"),
         (row_number().over(Window.orderBy("source")) - 1).cast("bigint").as("si"),
@@ -2708,23 +2711,27 @@ object TextQueries {
     * scores are not comparable across sources (different length/stopword
     * regimes), but each doc's within-source quantile is. Emits
     * q_uniform = (2·rank − 1) / (2·n) ∈ (0,1) (the midpoint convention),
-    * deterministic via the (score, doc_id) total order. ONE source-keyed
-    * exchange shared by the rank window and the count; a single
+    * deterministic via the (score, doc_id) total order. Ranks ride the
+    * grouped PrefixScan (no task holds a whole source); a single
     * end-stage division. Feeds source-balanced threshold filters where
     * a global cut would silently drop whole sources. */
   def quantileTransform(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // Per-source ranks ride the GROUPED PrefixScan (round 8): the
+    // source-partitioned window was |docs|/|sources| rows in one task.
     val nTokens = size(graft.operators.TextOps.words(col("text"))).cast("bigint")
     val quality = least(col("n_tokens") / lit(50.0), lit(1.0)) * 0.5 +
       (col("n_stop").cast("double") / col("n_tokens")) * 0.5
-    val w = Window.partitionBy("source").orderBy(col("qmicro"), col("doc_id"))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), nTokens.as("n_tokens"),
-        regexp_count(col("text"), lit(enRx)).as("n_stop"))
-      .select(col("doc_id"), col("source"),
-        floor(quality * 1000000.0).cast("bigint").as("qmicro"))
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+    val scored = graft.GraftCaches.track(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), nTokens.as("n_tokens"),
+          regexp_count(col("text"), lit(enRx)).as("n_stop"))
+        .select(col("doc_id"), col("source"),
+          floor(quality * 1000000.0).cast("bigint").as("qmicro"),
+          lit(1L).as("one")))
+    val ranked = graft.operators.PrefixScan.groupedRunningSumLong(
+      scored, Seq("source"), "one", "rank", col("qmicro"), col("doc_id"))
+    val n = scored.groupBy("source").agg(count(lit(1)).as("n"))
+    ranked.drop("one").join(broadcast(n), "source")
       .withColumn("q_uniform",
         (lit(2L) * col("rank") - 1L).cast("double") / (lit(2L) * col("n")).cast("double"))
   }

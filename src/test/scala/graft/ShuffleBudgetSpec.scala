@@ -61,7 +61,8 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "dedup_containment" -> 3,  // band self-join + gram rejoin on capped candidates
     "threshold_sweep" -> 5,    // one candidate-verify pass + threshold agg (explode is free)
     "feature_normalize" -> 1,  // group stats broadcast back onto the fact — scan-shaped
-    "robust_outliers" -> 4,    // two per-type median windows + broadcast joins + final agg
+    "robust_outliers" -> 7,    // two grouped-scan (pid,type) window exchanges +
+                               // two per-type count folds + broadcast joins + final agg
     "decayed_engagement" -> 2, // 1-row max-date broadcast + user agg
     "tfidf_top_terms" -> 4,    // (doc,term) tf agg + term df agg + join + per-doc window
     "stream_type_stats" -> 1,  // transformWithState: ONE user-keyed exchange, no result sort
@@ -90,7 +91,7 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "pq_recall" -> 8,          // exact-truth heap + PQ assign/LUT joins + recall agg
     "sft_loss_mask" -> 1,      // pure array-HOF map: scan + result sort only
     "shard_plan" -> 3,         // PrefixScan range exchange + shard agg + result sort
-    "interleave_sources" -> 4, // per-source rank window + tiny idx window x2 (distinct
+    "interleave_sources" -> 4, // grouped-scan rank + tiny idx window x2 (distinct
                                // + global count on <=|sources| rows) + result sort
     "media_dedup" -> 4,        // mapPartitions repartition + (modality,checksum) agg
                                // + modality agg + result sort
@@ -130,7 +131,8 @@ class ShuffleBudgetSpec extends AnyFunSuite {
                                // own work is per-id agg + degree agg + result sort
     "rrf_fusion" -> 8,         // bm25's 5 + candidate-set lex/sem/fused rank windows
                                // (all over <=30 rows)
-    "quantile_transform" -> 1, // ONE source exchange shared by rank window + count
+    "quantile_transform" -> 2, // grouped-scan (pid,source) window exchange +
+                               // per-source count fold (rank scan at construction)
     "curriculum_schedule" -> 3,// source agg + tiny totals window + result sort
     "stream_attribution" -> 1, // transformWithState: ONE user-keyed exchange
     "ivfpq_topk" -> 7,         // cell-assign argmin + probe windows + candidate code
@@ -256,6 +258,12 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "weighted_median_by_group" -> 6, // tracked level agg inlined per ref (cum scan
                                // + totals fold) + grouped-scan (pid,flag) window
                                // exchange + qualifying-level min fold + sort
+    "median_by_group" -> 3,    // grouped-scan (pid,type) window exchange +
+                               // per-type count fold + result sort
+    "running_share" -> 3,      // grouped-scan (pid,class) window exchange +
+                               // class-total fold + result sort
+    "rank_metrics" -> 2,       // level agg feeds construction-time grouped scans;
+                               // final plan: level rejoin + per-class n fold
     "mode_by_group" -> 3,      // value-level agg + per-flag max window + argmax fold
     "hll_source_overlap" -> 12, // static count inlines the tracked register agg
                                // per est reference (pair inventory + est_a/est_b
