@@ -1266,6 +1266,104 @@ object DedupQueries {
       |FROM r a CROSS JOIN d JOIN r b ON a.rnk + d.d = b.rnk
       |ORDER BY custkey_a, custkey_b""".stripMargin
 
+
+  /** KMV (k-minimum-values, the theta-sketch core) source-overlap
+    * estimator — the DISTINCT-INTERSECTION sketch the HLL pair can't do
+    * well (HLL intersections go through inclusion–exclusion and inherit
+    * both unions' error): keep each source's k=64 smallest distinct
+    * word hashes — 64 longs of mergeable state per source at ANY corpus
+    * size (union sketch = k smallest of the concatenation) — then for
+    * every pair read (a) the union cardinality from the k-th smallest
+    * of the union (est = (k−1)·M/τ, the uniform-order-statistic
+    * estimator) and (b) the Jaccard from the fraction of the union
+    * sketch present in both sides. The exact Jaccard over the
+    * vocab-sized word-hash relation rides one equi-join next to it, so
+    * the estimator error itself is hash-checked (the
+    * source_overlap_audit discipline). Sketch build uses the
+    * rank-window + WindowGroupLimit shape (partial per-partition top-k
+    * before the shuffle, the topk_per_group precedent) over the
+    * vocab-bounded relation. */
+  def kmvSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 64
+    val wh = graft.GraftCaches.track(
+      Tables.documents(spark, dir)
+        .select(col("source"), explode(TextOps.wordHashes(col("text"))).as("h"))
+        .distinct())
+    val sk = wh
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("h")))
+      .filter(col("rn") <= k)
+      .groupBy("source")
+      .agg(sort_array(collect_list("h")).as("mins"), count(lit(1)).as("n_sk"))
+    val cnt = wh.groupBy("source").agg(count(lit(1)).as("n"))
+    val sides = sk.join(cnt, "source")
+    val a = sides.columns.foldLeft(sides)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+    val b = sides.columns.foldLeft(sides)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+    val inter = wh.select(col("source").as("sa"), col("h"))
+      .join(wh.select(col("source").as("sb"), col("h")), "h")
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("n_inter"))
+    val u = slice(array_sort(array_distinct(
+      concat(col("a_mins"), col("b_mins")))), 1, k)
+    val kEff = size(col("u")).cast("long")
+    val tau = element_at(col("u"), size(col("u")))
+    val inBoth = size(filter(col("u"), h =>
+      array_contains(col("a_mins"), h) && array_contains(col("b_mins"), h))).cast("long")
+    val ni = coalesce(col("n_inter"), lit(0L))
+    a.crossJoin(b).filter(col("a_source") < col("b_source"))
+      .join(inter, col("a_source") === col("sa") && col("b_source") === col("sb"), "left")
+      .withColumn("u", u)
+      .select(col("a_source").as("source_a"), col("b_source").as("source_b"),
+        col("a_n").as("n_a"), col("b_n").as("n_b"), ni.as("n_inter"),
+        ((kEff - 1L).cast("double") * lit(M.toDouble) /
+          tau.cast("double")).as("est_union"),
+        (inBoth.cast("double") / kEff.cast("double")).as("est_jaccard"),
+        (ni.cast("double") /
+          (col("a_n") + col("b_n") - ni).cast("double")).as("jaccard"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+      .orderBy("source_a", "source_b")
+  }
+
+  val kmvSourceOverlapSql: String =
+    s"""WITH wh AS (
+       |  SELECT DISTINCT source, h FROM (
+       |    SELECT source,
+       |      unnest(list_transform(list_distinct(list_filter(string_split(text,' '), x -> x != '')),
+       |        w -> list_reduce(list_prepend(0::BIGINT, list_transform(string_split(w,''), c -> ascii(c)::BIGINT)),
+       |                         (a,b) -> (a*31+b) % $M))) AS h
+       |    FROM documents)),
+       |sk AS (
+       |  SELECT source, list_sort(list(h)) AS mins FROM (
+       |    SELECT source, h,
+       |           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |    FROM wh) t WHERE rn <= 64 GROUP BY source),
+       |cnt AS (SELECT source, COUNT(*) AS n FROM wh GROUP BY source),
+       |sides AS (SELECT sk.source, sk.mins, cnt.n FROM sk JOIN cnt USING (source)),
+       |inter AS (
+       |  SELECT wa.source AS sa, wb.source AS sb, COUNT(*) AS n_inter
+       |  FROM wh wa JOIN wh wb ON wa.h = wb.h AND wa.source < wb.source
+       |  GROUP BY wa.source, wb.source),
+       |pairs AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |         a.n AS n_a, b.n AS n_b,
+       |         COALESCE(i.n_inter, 0) AS n_inter,
+       |         list_sort(list_distinct(list_concat(a.mins, b.mins)))[1:64] AS u,
+       |         a.mins AS am, b.mins AS bm
+       |  FROM sides a CROSS JOIN sides b
+       |  LEFT JOIN inter i ON i.sa = a.source AND i.sb = b.source
+       |  WHERE a.source < b.source)
+       |SELECT source_a, source_b, CAST(n_a AS BIGINT) AS n_a,
+       |  CAST(n_b AS BIGINT) AS n_b, CAST(n_inter AS BIGINT) AS n_inter,
+       |  CAST(len(u) - 1 AS DOUBLE) * ${M}.0 / CAST(u[len(u)] AS DOUBLE) AS est_union,
+       |  CAST(len(list_filter(u, h -> list_contains(am, h) AND list_contains(bm, h))) AS DOUBLE)
+       |    / CAST(len(u) AS DOUBLE) AS est_jaccard,
+       |  CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard,
+       |  abs(CAST(len(list_filter(u, h -> list_contains(am, h) AND list_contains(bm, h))) AS DOUBLE)
+       |        / CAST(len(u) AS DOUBLE)
+       |      - CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE)) AS abs_err
+       |FROM pairs ORDER BY source_a, source_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_rate_by_source" -> (dedupRateBySource _),
     "source_copy_matrix" -> (sourceCopyMatrix _),
@@ -1300,6 +1398,7 @@ object DedupQueries {
     "dedup_simhash_neardup" -> (simhashNearDup _),
     "dedup_edit_distance" -> (editDistance _),
     "sorted_neighborhood_pairs" -> (sortedNeighborhoodPairs _),
+    "kmv_source_overlap" -> (kmvSourceOverlap _),
     "dedup_ngram_jaccard" -> (ngramJaccard _))
 
   val oracles: Map[String, String] = Map(
@@ -1336,5 +1435,6 @@ object DedupQueries {
     "dedup_simhash_neardup" -> simhashNearDupSql,
     "dedup_edit_distance" -> editDistanceSql,
     "sorted_neighborhood_pairs" -> sortedNeighborhoodPairsSql,
+    "kmv_source_overlap" -> kmvSourceOverlapSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql)
 }

@@ -122,10 +122,11 @@ class PlanGuardSpec extends AnyFunSuite {
       // query-vector bag cross-broadcast onto the corpus (the
       // embed_cosine_topk shape, multi-vector edition).
       "colbert_maxsim_topk",
-      // hll_source_overlap: the s1 < s2 pair inventory over the
-      // ≤|sources|-row estimate relation (both BNLJ sides tiny by
-      // construction); the register joins themselves are equi-joins.
-      "hll_source_overlap",
+      // hll_source_overlap / kmv_source_overlap: the s1 < s2 pair
+      // inventory over the ≤|sources|-row sketch relation (both BNLJ
+      // sides tiny by construction — 64 longs per source for KMV); the
+      // register/word-hash joins themselves are equi-joins.
+      "hll_source_overlap", "kmv_source_overlap",
       // basket_pairs: the 1-row order-total scalar cross-broadcast
       // onto the pair relation; the pair/count joins are equi-joins.
       "basket_pairs")

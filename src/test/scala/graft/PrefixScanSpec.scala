@@ -138,6 +138,26 @@ class PrefixScanSpec extends AnyFunSuite {
     GraftCaches.releaseAll()
   }
 
+  test("grouped scan: empty input, single group, and single-row groups") {
+    import spark.implicits._
+    val empty = Seq.empty[(Int, Long, Long)].toDF("g", "id", "v")
+    assert(PrefixScan.groupedRunningSumLong(empty, Seq("g"), "v", "cum", col("id")).count() == 0)
+    GraftCaches.releaseAll()
+    // One group == the global scan.
+    val one = (1 to 300).map(i => (7, i.toLong, (i % 13 + 1).toLong)).toDF("g", "id", "v")
+    val gotOne = PrefixScan.groupedRunningSumLong(one, Seq("g"), "v", "cum", col("id"))
+      .orderBy("id").select("cum").as[Long].collect().toSeq
+    val wantOne = (1 to 300).map(i => (1 to i).map(j => (j % 13 + 1).toLong).sum)
+    assert(gotOne == wantOne)
+    GraftCaches.releaseAll()
+    // Every row its own group: cum == v everywhere.
+    val singletons = (1 to 200).map(i => (i, i.toLong, (i * 3 % 17 + 1).toLong)).toDF("g", "id", "v")
+    val gotS = PrefixScan.groupedRunningSumLong(singletons, Seq("g"), "v", "cum", col("id"))
+      .filter(col("cum") =!= col("v")).count()
+    assert(gotS == 0)
+    GraftCaches.releaseAll()
+  }
+
   test("distributed ntile equals the global ntile window (uneven n, ties, desc)") {
     import spark.implicits._
     // n=103 deliberately not divisible by most k; key collisions force the
