@@ -724,9 +724,39 @@ object MediaStreamQueries {
       |  CAST(svd AS DOUBLE) / (100.0 * CAST(sd AS DOUBLE)) AS twap
       |FROM m WHERE sd > 0 ORDER BY user_id""".stripMargin
 
+
+  /** Streaming KMV distinct estimate ([[graft.streaming.KmvStream]]) in
+    * one-shot batch mode: k=64 minimum distinct affine-permuted user
+    * hashes per event type — k longs of idempotent, mergeable state —
+    * read out as the uniform-order-statistic estimate (k−1)·M/τ (exact
+    * count while the sketch is under-full). Hash-matches the
+    * rank-arithmetic DuckDB oracle; the sketch whose pairwise
+    * intersection stays readable, completing the
+    * bitmap-exact / HLL-registers / KMV triangle. */
+  def streamKmvUsers(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.KmvStream.distinctUsers(Tables.events(spark, dir))
+      .toDF()
+
+  val streamKmvUsersSql: String = {
+    val (a, b) = graft.operators.TextOps.MinhashSeeds(0)
+    val m = graft.functions.PolyHash.Mod
+    s"""WITH h AS (
+       |  SELECT DISTINCT event_type, (user_id * ${a} + ${b}) % ${m} AS h FROM events),
+       |r AS (SELECT event_type, h,
+       |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |      FROM h),
+       |s AS (SELECT event_type, COUNT(*) AS k_eff, MAX(h) AS tau
+       |      FROM r WHERE rn <= 64 GROUP BY event_type)
+       |SELECT event_type, CAST(k_eff AS BIGINT) AS k_eff,
+       |  CASE WHEN k_eff < 64 THEN CAST(k_eff AS DOUBLE)
+       |       ELSE 63.0 * ${m}.0 / CAST(tau AS DOUBLE) END AS est_distinct
+       |FROM s ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_twap" -> (streamTwap _),
     "stream_bitmap_users" -> (streamBitmapUsers _),
+    "stream_kmv_users" -> (streamKmvUsers _),
     "stream_user_status" -> (streamUserStatus _),
     "stream_anomaly_flags" -> (streamAnomalyFlags _),
     "stream_bloom_fingerprints" -> (streamBloomFingerprints _),
@@ -758,6 +788,7 @@ object MediaStreamQueries {
   val oracles: Map[String, String] = Map(
     "stream_twap" -> streamTwapSql,
     "stream_bitmap_users" -> streamBitmapUsersSql,
+    "stream_kmv_users" -> streamKmvUsersSql,
     "stream_user_status" -> streamUserStatusSql,
     "stream_anomaly_flags" -> streamAnomalyFlagsSql,
     "stream_bloom_fingerprints" -> streamBloomFingerprintsSql,
