@@ -65,6 +65,20 @@ object TextOps {
         ((element_at(whs, i) * 31 + element_at(whs, i + 1)) % PolyHash.Mod * 31 +
           element_at(whs, i + 2)) % PolyHash.Mod))), 1)
 
+  /** Distinct fold-hashes of overlapping w-word windows — the
+    * generalized shingle fingerprint (shingleHashes is w=3 with
+    * pairwise combine; this is the arbitrary-w form used by the 13-gram
+    * decontamination standard): hash each word once, fold each window's
+    * w word-hashes as `h = (h·31 + wh) mod M`. The word-hash array is
+    * lambda-bound once per row (the single-element-array transform —
+    * inlined it would recompute per window). Caller must guarantee
+    * >= w words. */
+  def windowHashes(ws: Column, w: Int): Column =
+    element_at(transform(array(transform(ws, t => PolyHash.hash(t))), whs =>
+      array_distinct(transform(sequence(lit(1), size(whs) - (w - 1)), i =>
+        aggregate(slice(whs, i, lit(w)), lit(0L),
+          (acc, x) => (acc * 31 + x) % PolyHash.Mod)))), 1)
+
   /** Seeded MinHash permutations: (a, b) pairs with a, b < 1e9 so
     * `a*h + b` stays in int64 (h < 1e9+7). Fixed constants — the DuckDB
     * oracles embed the same literals. */

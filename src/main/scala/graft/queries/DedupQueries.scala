@@ -1364,6 +1364,62 @@ object DedupQueries {
        |      - CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE)) AS abs_err
        |FROM pairs ORDER BY source_a, source_b""".stripMargin
 
+
+  /** 13-gram exact-window decontamination — the GPT-3/Llama-style
+    * benchmark screen: flag every corpus document sharing ANY 13-token
+    * window with the benchmark set (doc_id < 10, the
+    * benchmark_overlap convention). Window fingerprints ride
+    * [[graft.operators.TextOps.windowHashes]] (word-hash fold, one char
+    * pass per word); the benchmark gram set is tiny by construction and
+    * BROADCASTS into the corpus-side probe — the corpus never shuffles,
+    * the at-scale decontamination shape (the 3-gram
+    * `benchmark_overlap` and bloom/embedding variants are the softer
+    * screens; 13-gram exact-window is the published standard for "did
+    * the eval set leak verbatim"). */
+  def decontam13gram(spark: SparkSession, dir: String): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    val d = graft.GraftCaches.track(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), ws.as("l"))
+        .filter(size(col("l")) >= 13)
+        .select(col("doc_id"), TextOps.windowHashes(col("l"), 13).as("hs")))
+    val bench = d.filter(col("doc_id") < 10)
+      .select(explode(col("hs")).as("h")).distinct()
+      .withColumn("hit", lit(1))
+    d.filter(col("doc_id") >= 10)
+      .select(col("doc_id"), size(col("hs")).cast("bigint").as("n_grams"),
+        explode(col("hs")).as("h"))
+      .join(broadcast(bench), Seq("h"), "left")
+      .groupBy("doc_id", "n_grams")
+      .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+      .orderBy("doc_id")
+  }
+
+  val decontam13gramSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, list_filter(string_split(text,' '), x -> x != '') AS l
+       |  FROM documents),
+       |wd AS (
+       |  SELECT doc_id,
+       |    list_transform(l, w ->
+       |      list_reduce(list_prepend(0::BIGINT, list_transform(string_split(w,''), c -> ascii(c)::BIGINT)),
+       |                  (a,b) -> (a*31+b) % $M)) AS whs
+       |  FROM d WHERE len(l) >= 13),
+       |hd AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(whs)-11),
+       |      i -> list_reduce(list_prepend(0::BIGINT, whs[i:i+12]), (a,b) -> (a*31+b) % $M))) AS hs
+       |  FROM wd),
+       |bench AS (SELECT DISTINCT unnest(hs) AS h FROM hd WHERE doc_id < 10),
+       |corp AS (SELECT doc_id, len(hs) AS n_grams, unnest(hs) AS h FROM hd WHERE doc_id >= 10),
+       |m AS (SELECT c.doc_id, c.n_grams, COUNT(b.h) AS n_hits
+       |      FROM corp c LEFT JOIN bench b ON b.h = c.h
+       |      GROUP BY c.doc_id, c.n_grams)
+       |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       |       CAST(n_hits AS BIGINT) AS n_hits, n_hits > 0 AS contaminated
+       |FROM m ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_rate_by_source" -> (dedupRateBySource _),
     "source_copy_matrix" -> (sourceCopyMatrix _),
@@ -1399,6 +1455,7 @@ object DedupQueries {
     "dedup_edit_distance" -> (editDistance _),
     "sorted_neighborhood_pairs" -> (sortedNeighborhoodPairs _),
     "kmv_source_overlap" -> (kmvSourceOverlap _),
+    "decontam_13gram" -> (decontam13gram _),
     "dedup_ngram_jaccard" -> (ngramJaccard _))
 
   val oracles: Map[String, String] = Map(
@@ -1436,5 +1493,6 @@ object DedupQueries {
     "dedup_edit_distance" -> editDistanceSql,
     "sorted_neighborhood_pairs" -> sortedNeighborhoodPairsSql,
     "kmv_source_overlap" -> kmvSourceOverlapSql,
+    "decontam_13gram" -> decontam13gramSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql)
 }
