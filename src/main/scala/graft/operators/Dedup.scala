@@ -597,19 +597,14 @@ object Dedup {
     // descending otherwise — the shingleHashes discipline).
     // Window fingerprint (round 8, the shingleHashes discipline): hash
     // each word once, fold the w word-hashes arithmetically per window
-    // — vs concat+re-char-hash, ~w char-passes saved per window. The
-    // word-hash array is lambda-bound once per row via the single-
-    // element-array transform; inlined it would recompute per window.
+    // in the native WindowFoldHashes codegen expression (the array is
+    // emitted in window order, so posexplode's 0-based pos + 1 IS the
+    // 1-based window start).
     val wins = graft.GraftCaches.track(
       toks.filter(col("n") >= w)
-        .select(col(id), explode(element_at(
-          transform(array(transform(col("l"), t => PolyHash.hash(t))), whs =>
-            transform(sequence(lit(1), size(whs) - (w - 1)), i =>
-              struct(i.as("i"),
-                aggregate(slice(whs, i, lit(w)), lit(0L),
-                  (acc, x) => (acc * 31 + x) % PolyHash.Mod).as("h")))),
-          1)).as("s"))
-        .select(col(id), col("s.i").as("i"), col("s.h").as("h")))
+        .select(col(id),
+          posexplode(graft.functions.WindowFoldHashes.of(col("l"), w)).as(Seq("p", "h")))
+        .select(col(id), (col("p") + 1).cast("int").as("i"), col("h")))
     val dup = wins.groupBy("h")
       .agg(count_distinct(col(id)).as("nd"))
       .filter(col("nd") > 1)

@@ -55,29 +55,22 @@ object TextOps {
     * deterministic int64 fingerprint of the 3-gram, cross-engine
     * reproducible in plain SQL), ~3 char-passes and two string
     * allocations cheaper per gram; everything stays in int64
-    * (h < 1e9+7 ⇒ h*31 + h' < 3.3e10). The word-hash array binds ONCE
-    * per row via the single-element-array transform (a lambda-bound
-    * variable) — inlining it into the gram lambda would recompute the
-    * whole array per gram. */
+    * (h < 1e9+7 ⇒ h*31 + h' < 3.3e10). Since round 8 the fold runs in
+    * the native [[graft.functions.WindowFoldHashes]] codegen expression
+    * (one tight double loop, two flat arrays — no per-window slice or
+    * lambda interpretation). */
   def shingleHashes(ws: Column): Column =
-    element_at(transform(array(transform(ws, w => PolyHash.hash(w))), whs =>
-      array_distinct(transform(sequence(lit(1), size(whs) - 2), i =>
-        ((element_at(whs, i) * 31 + element_at(whs, i + 1)) % PolyHash.Mod * 31 +
-          element_at(whs, i + 2)) % PolyHash.Mod))), 1)
+    array_distinct(graft.functions.WindowFoldHashes.of(ws, 3))
 
   /** Distinct fold-hashes of overlapping w-word windows — the
     * generalized shingle fingerprint (shingleHashes is w=3 with
     * pairwise combine; this is the arbitrary-w form used by the 13-gram
     * decontamination standard): hash each word once, fold each window's
-    * w word-hashes as `h = (h·31 + wh) mod M`. The word-hash array is
-    * lambda-bound once per row (the single-element-array transform —
-    * inlined it would recompute per window). Caller must guarantee
-    * >= w words. */
+    * w word-hashes as `h = (h·31 + wh) mod M`, in the native
+    * [[graft.functions.WindowFoldHashes]] codegen expression. Caller
+    * must guarantee >= w words. */
   def windowHashes(ws: Column, w: Int): Column =
-    element_at(transform(array(transform(ws, t => PolyHash.hash(t))), whs =>
-      array_distinct(transform(sequence(lit(1), size(whs) - (w - 1)), i =>
-        aggregate(slice(whs, i, lit(w)), lit(0L),
-          (acc, x) => (acc * 31 + x) % PolyHash.Mod)))), 1)
+    array_distinct(graft.functions.WindowFoldHashes.of(ws, w))
 
   /** Seeded MinHash permutations: (a, b) pairs with a, b < 1e9 so
     * `a*h + b` stays in int64 (h < 1e9+7). Fixed constants — the DuckDB

@@ -62,6 +62,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(children.length == 2, "vec_dot(a, b) takes exactly 2 arguments")
       graft.functions.VecDot(children(0), children(1))
     }
+    reg(extensions, "window_fold_hashes", classOf[graft.functions.WindowFoldHashes]) { children =>
+      require(children.length == 2, "window_fold_hashes(ws, w) takes exactly 2 arguments")
+      graft.functions.WindowFoldHashes(children(0),
+        litInt("window_fold_hashes w", children(1)))
+    }
     reg(extensions, "lsh_band_key", classOf[graft.functions.LshBandKey]) { children =>
       require(children.length == 2 || children.length == 3,
         "lsh_band_key(v, band[, bits]) takes 2 or 3 arguments")

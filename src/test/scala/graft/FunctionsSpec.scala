@@ -96,4 +96,34 @@ class FunctionsSpec extends AnyFunSuite {
       .count()
     assert(mismatches === 0)
   }
+
+  test("codegen WindowFoldHashes equals the HOF word-hash fold for w in {3, 8, 13}") {
+    // The reference formulation: per-word poly-hash then a slice-fold per
+    // window — exactly what the DuckDB oracles rebuild with list_reduce.
+    def hofWindows(ws: org.apache.spark.sql.Column, w: Int) =
+      element_at(transform(array(transform(ws, t => graft.functions.PolyHash.hash(t))), whs =>
+        transform(sequence(lit(1), size(whs) - (w - 1)), i =>
+          aggregate(slice(whs, i, lit(w)), lit(0L),
+            (acc, x) => (acc * 31 + x) % graft.functions.PolyHash.Mod))), 1)
+    val ws = TextOps.words(col("text"))
+    for (w <- Seq(3, 8, 13)) {
+      val mismatches = Tables.documents(spark, "/root/testdata/sf0.001")
+        .filter(size(ws) >= w)
+        .select(graft.functions.WindowFoldHashes.of(ws, w).as("a"),
+          hofWindows(ws, w).as("b"))
+        .filter(not(col("a") <=> col("b")))
+        .count()
+      assert(mismatches === 0, s"w=$w fold diverged from the HOF reference")
+    }
+  }
+
+  test("window_fold_hashes is SQL-callable and empty below w") {
+    graft.sources.Tables.registerViews(spark, "/root/testdata/sf0.001")
+    val r = spark.sql(
+      """SELECT size(window_fold_hashes(array('a','b','c','d'), 3)) AS n3,
+        |       size(window_fold_hashes(array('a','b'), 3)) AS n0""".stripMargin)
+      .collect()(0)
+    assert(r.getInt(0) === 2)
+    assert(r.getInt(1) === 0)
+  }
 }
