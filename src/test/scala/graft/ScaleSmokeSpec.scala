@@ -264,6 +264,40 @@ class ScaleSmokeSpec extends AnyFunSuite {
     GraftCaches.releaseAll()
   }
 
+  test(s"grouped PrefixScan + ntile complete at ${nDocs * 40} rows with no single-task window") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val n = nDocs * 40 // 2M rows at the default smoke size
+    // 5 groups — the per-group single-task trap shape (n/5 rows per task
+    // under a plain Window.partitionBy) — ranked per group, then a global
+    // quartile ntile on top.
+    val df = spark.range(n).select(
+      pmod(col("id"), lit(5)).as("g"), col("id"),
+      pmod(hash(col("id")), lit(100000)).cast("long").as("v"))
+    val ranked = graft.operators.PrefixScan.groupedRunningSumLong(
+      df.withColumn("one", lit(1L)), Seq("g"), "one", "rn", col("v"), col("id"))
+    def bare(p: org.apache.spark.sql.execution.SparkPlan): Seq[WindowExec] = p match {
+      case a: AdaptiveSparkPlanExec => bare(a.inputPlan)
+      case w: WindowExec if w.partitionSpec.isEmpty => Seq(w) ++ w.children.flatMap(bare)
+      case other => other.children.flatMap(bare)
+    }
+    assert(bare(ranked.queryExecution.executedPlan).isEmpty,
+      "grouped scan must not plan a partition-less window")
+    val maxRn = timed(s"groupedRunningSumLong over $n rows x 5 groups")(
+      ranked.agg(max("rn")).collect()(0).getLong(0))
+    assert(maxRn === n / 5, "each group's top rank must equal the group size")
+    GraftCaches.releaseAll()
+    val tiled = graft.operators.PrefixScan.ntile(
+      df, 4, "q", col("v"), col("id"))
+    assert(bare(tiled.queryExecution.executedPlan).isEmpty,
+      "distributed ntile must not plan a partition-less window")
+    val counts = timed(s"PrefixScan.ntile(4) over $n rows")(
+      tiled.groupBy("q").count().orderBy("q").collect())
+    assert(counts.map(_.getLong(1)).toSeq === Seq.fill(4)(n / 4),
+      "quartiles of a 4-divisible population must be equal-sized")
+    GraftCaches.releaseAll()
+  }
+
   test(s"media shard packing completes at $nDocs docs") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-scale-docs").toString
     synthDocs(nDocs).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
