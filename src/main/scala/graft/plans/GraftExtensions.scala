@@ -67,6 +67,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.WindowFoldHashes(children(0),
         litInt("window_fold_hashes w", children(1)))
     }
+    reg(extensions, "jaro_winkler", classOf[graft.functions.JaroWinkler]) { children =>
+      require(children.length == 2, "jaro_winkler(a, b) takes exactly 2 arguments")
+      graft.functions.JaroWinkler(children(0), children(1))
+    }
     reg(extensions, "lsh_band_key", classOf[graft.functions.LshBandKey]) { children =>
       require(children.length == 2 || children.length == 3,
         "lsh_band_key(v, band[, bits]) takes 2 or 3 arguments")

@@ -1420,7 +1420,141 @@ object DedupQueries {
        |       CAST(n_hits AS BIGINT) AS n_hits, n_hits > 0 AS contaminated
        |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Fuzzy product-name matching via the native [[graft.functions.JaroWinkler]]
+    * codegen expression over sorted-neighborhood blocked pairs — the
+    * record-linkage comparator Levenshtein is too coarse for (JW weighs
+    * shared prefixes and forgives transpositions, the dominant typo
+    * classes in name fields). Candidate generation is the same O(n·w)
+    * PrefixScan rank + rank+d equi-join as `sorted_neighborhood_pairs`
+    * (never an all-pairs product); the JW screen itself fuses into the
+    * join's whole-stage codegen as one static call. Two scores per pair
+    * (bare name, name+type label) — the oracle recomputes both with
+    * DuckDB's independent `jaro_winkler_similarity` implementation, so
+    * the hash check proves the native expression bit-equal to a second
+    * engine's algorithm on real data (pure rational arithmetic, no
+    * transcendentals — see the expression's scaladoc). */
+  def nameMatchJw(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixScan
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"), lower(col("p_type")).as("ptype"),
+        lit(1L).as("one"))
+    val ranked = graft.GraftCaches.track(
+      PrefixScan.runningSumLong(p, "one", "rnk",
+        col("p_name"), col("p_partkey")).drop("one"))
+    val right = ranked.select(col("rnk").as("rnk_b"),
+      col("p_partkey").as("partkey_b"), col("p_name").as("name_b"),
+      col("ptype").as("ptype_b"))
+    ranked
+      .select(explode(array(lit(1L), lit(2L), lit(3L))).as("d"), col("rnk"),
+        col("p_partkey").as("partkey_a"), col("p_name").as("name_a"),
+        col("ptype").as("ptype_a"))
+      .join(right, col("rnk") + col("d") === col("rnk_b"))
+      .select(col("partkey_a"), col("partkey_b"), col("d"),
+        graft.functions.JaroWinkler.of(col("name_a"), col("name_b")).as("jw_name"),
+        graft.functions.JaroWinkler.of(
+          concat_ws(" ", col("name_a"), col("ptype_a")),
+          concat_ws(" ", col("name_b"), col("ptype_b"))).as("jw_label"))
+      .withColumn("candidate", col("jw_name") >= 0.8)
+      .orderBy("partkey_a", "partkey_b")
+  }
+
+  val nameMatchJwSql: String =
+    """WITH r AS (
+      |  SELECT p_partkey, p_name, lower(p_type) AS ptype,
+      |         CAST(row_number() OVER (ORDER BY p_name, p_partkey) AS BIGINT) AS rnk
+      |  FROM part),
+      |d AS (SELECT unnest([1, 2, 3]) AS d)
+      |SELECT a.p_partkey AS partkey_a, b.p_partkey AS partkey_b,
+      |       CAST(d.d AS BIGINT) AS d,
+      |       jaro_winkler_similarity(a.p_name, b.p_name) AS jw_name,
+      |       jaro_winkler_similarity(a.p_name || ' ' || a.ptype,
+      |                               b.p_name || ' ' || b.ptype) AS jw_label,
+      |       jaro_winkler_similarity(a.p_name, b.p_name) >= 0.8 AS candidate
+      |FROM r a CROSS JOIN d JOIN r b ON a.rnk + d.d = b.rnk
+      |ORDER BY partkey_a, partkey_b""".stripMargin
+
+
+  /** Fellegi–Sunter probabilistic record linkage over the blocked part
+    * pairs: each field comparison (JW-name ≥ 0.9, brand equal, type
+    * equal, size within ±2) contributes its log₂(m/u) agreement weight
+    * or log₂((1−m)/(1−u)) disagreement weight, and the summed match
+    * weight classifies the pair link / possible / non_link — the
+    * classical (1969) linkage decision rule, still the core of modern
+    * ER systems. The m/u probabilities are MODEL constants, so the
+    * weights are compile-time double literals embedded identically in
+    * both engines (the repo's no-runtime-transcendentals discipline:
+    * log₂ never executes in either engine; the per-pair math is four
+    * literal adds in fixed order). Candidate pairs ride the same
+    * PrefixScan sorted-neighborhood block as `name_match_jw` — O(n·w)
+    * pairs, population never self-joined. */
+  def recordLinkageFs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixScan
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+        col("p_size"), lit(1L).as("one"))
+    val ranked = graft.GraftCaches.track(
+      PrefixScan.runningSumLong(p, "one", "rnk",
+        col("p_name"), col("p_partkey")).drop("one"))
+    val right = ranked.columns.foldLeft(ranked)((d, c) =>
+      d.withColumnRenamed(c, s"b_$c"))
+    val jwName = graft.functions.JaroWinkler.of(col("p_name"), col("b_p_name"))
+    val agrName  = jwName >= 0.9
+    val agrBrand = col("p_brand") === col("b_p_brand")
+    val agrType  = col("p_type") === col("b_p_type")
+    val agrSize  = abs(col("p_size") - col("b_p_size")) <= 2
+    // log2(m/u) / log2((1-m)/(1-u)) for (m,u): name (.95,.3),
+    // brand (.9,.04), type (.85,.2), size (.8,.1).
+    val wName  = when(agrName,  lit(1.6629650127224291)).otherwise(lit(-3.807354922057603))
+    val wBrand = when(agrBrand, lit(4.491853096329675)).otherwise(lit(-3.2630344058337943))
+    val wType  = when(agrType,  lit(2.0874628412503395)).otherwise(lit(-2.4150374992788435))
+    val wSize  = when(agrSize,  lit(3.0)).otherwise(lit(-2.1699250014423126))
+    val total = wName + wBrand + wType + wSize
+    ranked
+      .select(explode(array(lit(1L), lit(2L))).as("d"), col("rnk"),
+        col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"), col("p_size"))
+      .join(right, col("rnk") + col("d") === col("b_rnk"))
+      .select(col("p_partkey").as("partkey_a"), col("b_p_partkey").as("partkey_b"),
+        agrName.as("agr_name"), agrBrand.as("agr_brand"),
+        agrType.as("agr_type"), agrSize.as("agr_size"),
+        total.as("match_weight"),
+        when(total >= 5.0, "link").when(total >= 0.0, "possible")
+          .otherwise("non_link").as("decision"))
+      .orderBy("partkey_a", "partkey_b")
+  }
+
+  val recordLinkageFsSql: String =
+    """WITH r AS (
+      |  SELECT p_partkey, p_name, p_brand, p_type, p_size,
+      |         CAST(row_number() OVER (ORDER BY p_name, p_partkey) AS BIGINT) AS rnk
+      |  FROM part),
+      |d AS (SELECT unnest([1, 2]) AS d),
+      |pairs AS (
+      |  SELECT a.p_partkey AS partkey_a, b.p_partkey AS partkey_b,
+      |         jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9 AS agr_name,
+      |         a.p_brand = b.p_brand AS agr_brand,
+      |         a.p_type = b.p_type AS agr_type,
+      |         abs(a.p_size - b.p_size) <= 2 AS agr_size
+      |  FROM r a CROSS JOIN d JOIN r b ON a.rnk + d.d = b.rnk),
+      |w AS (
+      |  -- every literal ::DOUBLE: DuckDB parses bare decimal literals as
+      |  -- DECIMAL and would sum with decimal rounding, one ulp off the
+      |  -- engine's IEEE left-assoc double sum
+      |  SELECT *,
+      |    (CASE WHEN agr_name THEN 1.6629650127224291::DOUBLE ELSE -3.807354922057603::DOUBLE END
+      |     + CASE WHEN agr_brand THEN 4.491853096329675::DOUBLE ELSE -3.2630344058337943::DOUBLE END
+      |     + CASE WHEN agr_type THEN 2.0874628412503395::DOUBLE ELSE -2.4150374992788435::DOUBLE END
+      |     + CASE WHEN agr_size THEN 3.0::DOUBLE ELSE -2.1699250014423126::DOUBLE END) AS match_weight
+      |  FROM pairs)
+      |SELECT partkey_a, partkey_b, agr_name, agr_brand, agr_type, agr_size,
+      |       match_weight,
+      |       CASE WHEN match_weight >= 5.0 THEN 'link'
+      |            WHEN match_weight >= 0.0 THEN 'possible'
+      |            ELSE 'non_link' END AS decision
+      |FROM w ORDER BY partkey_a, partkey_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "name_match_jw" -> (nameMatchJw _),
+    "record_linkage_fs" -> (recordLinkageFs _),
     "dedup_rate_by_source" -> (dedupRateBySource _),
     "source_copy_matrix" -> (sourceCopyMatrix _),
     "dedup_cluster_stats" -> (dedupClusterStats _),
@@ -1459,6 +1593,8 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> (ngramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "name_match_jw" -> nameMatchJwSql,
+    "record_linkage_fs" -> recordLinkageFsSql,
     "dedup_rate_by_source" -> dedupRateBySourceSql,
     "source_copy_matrix" -> sourceCopyMatrixSql,
     "dedup_cluster_stats" -> dedupClusterStatsSql,

@@ -117,6 +117,45 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("JaroWinkler matches DuckDB jaro_winkler_similarity on pinned pairs") {
+    // Expected values computed by DuckDB 1.0's independent implementation
+    // (the oracle side of name_match_jw / record_linkage_fs); exact double
+    // equality is the contract — JW is pure rational arithmetic.
+    val pinned = Seq(
+      ("martha", "marhta") -> 0.9611111111111111, // transposition + boost
+      ("dixon", "dicksonx") -> 0.8133333333333332,
+      ("jellyfish", "smellyfish") -> 0.8962962962962964,
+      ("abcdef", "abxxxx") -> 0.5555555555555555, // jaro <= 0.7: no boost
+      ("crate", "trace") -> 0.7333333333333334, // boost branch, prefix 0
+      ("small ring", "small rivet") -> 0.9054545454545454,
+      ("a", "") -> 0.0, // either side empty -> 0
+      ("", "") -> 0.0, // DuckDB: empty-empty is 0, not 1
+      ("xy", "yx") -> 0.0, // window 0: no cross-position matches
+      ("same", "same") -> 1.0)
+    pinned.foreach { case ((a, b), expected) =>
+      assert(graft.functions.JaroWinkler.jwString(a, b) === expected, s"($a, $b)")
+    }
+    // and through the codegen path (both argument orders — JW is symmetric)
+    import spark.implicits._
+    val df = pinned.map { case ((a, b), e) => (a, b, e) }.toDF("a", "b", "e")
+    val viaExpr = df.select(
+      graft.functions.JaroWinkler.of(col("a"), col("b")).as("f"),
+      graft.functions.JaroWinkler.of(col("b"), col("a")).as("r"), col("e"))
+    assert(viaExpr.filter(col("f") =!= col("e") || col("r") =!= col("e")).count() === 0)
+  }
+
+  test("jaro_winkler is SQL-callable and in [0,1] over real name pairs") {
+    graft.sources.Tables.registerViews(spark, "/root/testdata/sf0.001")
+    val r = spark.sql("SELECT jaro_winkler('martha', 'marhta') AS jw").collect()(0)
+    assert(r.getDouble(0) === 0.9611111111111111)
+    val bad = spark.sql(
+      """SELECT jaro_winkler(a.p_name, b.p_name) AS jw
+        |FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1""".stripMargin)
+      .filter(col("jw") < 0.0 || col("jw") > 1.0 || col("jw").isNull)
+      .count()
+    assert(bad === 0)
+  }
+
   test("window_fold_hashes is SQL-callable and empty below w") {
     graft.sources.Tables.registerViews(spark, "/root/testdata/sf0.001")
     val r = spark.sql(

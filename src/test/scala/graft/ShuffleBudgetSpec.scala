@@ -227,6 +227,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
                                // (rank scan itself runs at construction, checkpointed)
     "sorted_neighborhood_pairs" -> 3, // tracked rank relation inlined per join
                                // side + result sort; neighbor join broadcasts
+    "name_match_jw" -> 3,      // same sorted-neighborhood shape over part names;
+                               // JW screens fuse into the join's codegen stage
+    "record_linkage_fs" -> 3,  // same blocked pairs + literal-weight sum; the
+                               // FS classifier adds no exchange
     "lorenz_curve" -> 3,       // ntile's _pid window exchange + 10-row decile
                                // fold + tiny cumulative/total windows + result sort
     "burstiness_index" -> 3,   // (user,day) agg + user moment fold + result sort
