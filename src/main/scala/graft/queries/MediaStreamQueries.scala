@@ -702,6 +702,33 @@ object MediaStreamQueries {
     """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Streaming strict ordered funnel ([[graft.streaming.FunnelStream]])
+    * in one-shot batch mode: per-user pending-frontier state (open views
+    * awaiting their first click, open stage-1s awaiting their first
+    * purchase, both horizon-pruned) folded online, then the per-user
+    * counts aggregated into the same 3-row stage table as the batch
+    * `window_funnel` — and hash-checked against the SAME row_number
+    * oracle, the online/offline-parity discipline. ONE user-keyed
+    * transformWithState exchange + a 1-row fold; integer state only. */
+  def streamFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val per = graft.streaming.FunnelStream
+      .funnel(Tables.events(spark, dir), tolUs = 86400000000L).toDF()
+    per
+      .agg(sum("n_views").as("v_rows"),
+        sum(when(col("n_views") > 0, 1L).otherwise(0L)).as("v_users"),
+        sum("n_s1").as("c_rows"),
+        sum(when(col("n_s1") > 0, 1L).otherwise(0L)).as("c_users"),
+        sum("n_s2").as("p_rows"),
+        sum(when(col("n_s2") > 0, 1L).otherwise(0L)).as("p_users"))
+      .select(expr(
+        """stack(3, '1_view', v_rows, v_users,
+          |         '2_click', c_rows, c_users,
+          |         '3_purchase', p_rows, p_users) AS (stage, n_rows, n_users)""".stripMargin))
+      .orderBy("stage")
+  }
+
+  val streamFunnelSql: String = Relational.windowFunnelSql
+
   /** Per-user running TWAP ([[graft.streaming.TwapStream]]) in one-shot
     * batch mode: integer cents×seconds state makes the online
     * accumulation exact, so the stateful result hash-matches the
@@ -755,6 +782,7 @@ object MediaStreamQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_twap" -> (streamTwap _),
+    "stream_funnel" -> (streamFunnel _),
     "stream_bitmap_users" -> (streamBitmapUsers _),
     "stream_kmv_users" -> (streamKmvUsers _),
     "stream_user_status" -> (streamUserStatus _),
@@ -787,6 +815,7 @@ object MediaStreamQueries {
 
   val oracles: Map[String, String] = Map(
     "stream_twap" -> streamTwapSql,
+    "stream_funnel" -> streamFunnelSql,
     "stream_bitmap_users" -> streamBitmapUsersSql,
     "stream_kmv_users" -> streamKmvUsersSql,
     "stream_user_status" -> streamUserStatusSql,

@@ -245,6 +245,8 @@ class ShuffleBudgetSpec extends AnyFunSuite {
                                // (seg,nat) popcount fold + direct-count audit join
     "k_anonymity_audit" -> 4,  // quasi-group agg (distinct-sensitive = partial
                                // + final pair) + 4-band fold + result sort
+    "stream_funnel" -> 2,      // ONE user-keyed transformWithState exchange
+                               // + 1-row stage fold (stack is scan-local)
     "stream_twap" -> 1,        // ONE user-keyed transformWithState exchange
     "stream_bitmap_users" -> 2,// ONE type-keyed transformWithState exchange + sort
     "stream_user_status" -> 2, // activity distinct + ONE cust-keyed
