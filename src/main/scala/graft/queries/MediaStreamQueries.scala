@@ -702,6 +702,48 @@ object MediaStreamQueries {
     """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Streaming CDC apply ([[graft.streaming.CdcStream]]) in one-shot
+    * batch mode: a deterministic change log derived from the orders
+    * fixture (seq 0 insert-all, seq 1 re-price every 10th key, seq 2
+    * delete every 7th) materializes through keyed last-writer-wins
+    * state with tombstones, and the surviving rows hash-match the
+    * relational merge the batch `upsert_snapshot` family computes — the
+    * online/offline-parity pair for the lake-compaction job. ONE
+    * key-keyed transformWithState exchange; money as exact integer
+    * cents, the emitted price one IEEE division. */
+  def streamCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("key"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val inserts = base
+      .select(col("key"), lit(0L).as("seq"), lit("I").as("op"), col("status"), col("cents"))
+    val updates = base.filter(col("key") % 10 === 0)
+      .select(col("key"), lit(1L).as("seq"), lit("U").as("op"),
+        lit("R").as("status"), (col("cents") * 2).as("cents"))
+    val deletes = base.filter(col("key") % 7 === 0)
+      .select(col("key"), lit(2L).as("seq"), lit("D").as("op"),
+        lit("").as("status"), lit(0L).as("cents"))
+    graft.streaming.CdcStream
+      .materialize(inserts.unionByName(updates).unionByName(deletes))
+      .toDF()
+      .filter(!col("deleted"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("cents").cast("double") / 100.0).as("price"))
+      .orderBy("o_orderkey")
+  }
+
+  val streamCdcApplySql: String =
+    """WITH base AS (SELECT o_orderkey, o_orderstatus,
+      |                     CAST(o_totalprice AS DECIMAL(14,2)) AS price
+      |              FROM orders)
+      |SELECT o_orderkey,
+      |       CASE WHEN o_orderkey % 10 = 0 THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+      |       CAST(CASE WHEN o_orderkey % 10 = 0 THEN CAST(price * 2 AS DECIMAL(14,2))
+      |                 ELSE price END AS DOUBLE) AS price
+      |FROM base WHERE o_orderkey % 7 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Streaming strict ordered funnel ([[graft.streaming.FunnelStream]])
     * in one-shot batch mode: per-user pending-frontier state (open views
     * awaiting their first click, open stage-1s awaiting their first
@@ -783,6 +825,7 @@ object MediaStreamQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_twap" -> (streamTwap _),
     "stream_funnel" -> (streamFunnel _),
+    "stream_cdc_apply" -> (streamCdcApply _),
     "stream_bitmap_users" -> (streamBitmapUsers _),
     "stream_kmv_users" -> (streamKmvUsers _),
     "stream_user_status" -> (streamUserStatus _),
@@ -816,6 +859,7 @@ object MediaStreamQueries {
   val oracles: Map[String, String] = Map(
     "stream_twap" -> streamTwapSql,
     "stream_funnel" -> streamFunnelSql,
+    "stream_cdc_apply" -> streamCdcApplySql,
     "stream_bitmap_users" -> streamBitmapUsersSql,
     "stream_kmv_users" -> streamKmvUsersSql,
     "stream_user_status" -> streamUserStatusSql,
