@@ -702,6 +702,25 @@ object MediaStreamQueries {
     """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Streaming SCD2 history build ([[graft.streaming.Scd2Stream]]) in
+    * one-shot batch mode: O(1) per-key state (the single open validity
+    * interval) replaces the batch lag/lead window pair, closed intervals
+    * emit exactly once, and the result hash-matches the SAME relational
+    * oracle as `scd2_history` — completing the CDC family's third leg
+    * (LWW snapshot, strict funnel, versioned history). ONE user-keyed
+    * transformWithState exchange. */
+  def streamScd2(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Scd2Stream
+      .history(Tables.events(spark, dir).filter(col("user_id") < 20))
+      .toDF()
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("from_us")).as("valid_from"),
+        timestamp_micros(col("to_us")).as("valid_to"),
+        col("to_us").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from")
+
+  val streamScd2Sql: String = Relational.scd2HistorySql
+
   /** Streaming CDC apply ([[graft.streaming.CdcStream]]) in one-shot
     * batch mode: a deterministic change log derived from the orders
     * fixture (seq 0 insert-all, seq 1 re-price every 10th key, seq 2
@@ -826,6 +845,7 @@ object MediaStreamQueries {
     "stream_twap" -> (streamTwap _),
     "stream_funnel" -> (streamFunnel _),
     "stream_cdc_apply" -> (streamCdcApply _),
+    "stream_scd2" -> (streamScd2 _),
     "stream_bitmap_users" -> (streamBitmapUsers _),
     "stream_kmv_users" -> (streamKmvUsers _),
     "stream_user_status" -> (streamUserStatus _),
@@ -860,6 +880,7 @@ object MediaStreamQueries {
     "stream_twap" -> streamTwapSql,
     "stream_funnel" -> streamFunnelSql,
     "stream_cdc_apply" -> streamCdcApplySql,
+    "stream_scd2" -> streamScd2Sql,
     "stream_bitmap_users" -> streamBitmapUsersSql,
     "stream_kmv_users" -> streamKmvUsersSql,
     "stream_user_status" -> streamUserStatusSql,

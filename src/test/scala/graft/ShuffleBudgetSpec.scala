@@ -245,6 +245,8 @@ class ShuffleBudgetSpec extends AnyFunSuite {
                                // (seg,nat) popcount fold + direct-count audit join
     "k_anonymity_audit" -> 4,  // quasi-group agg (distinct-sensitive = partial
                                // + final pair) + 4-band fold + result sort
+    "stream_scd2" -> 2,        // ONE user-keyed transformWithState exchange
+                               // + result sort; O(1) state replaces lag/lead
     "stream_cdc_apply" -> 2,   // ONE key-keyed transformWithState exchange over
                                // the 3-leg op union + result sort
     "stream_funnel" -> 2,      // ONE user-keyed transformWithState exchange
