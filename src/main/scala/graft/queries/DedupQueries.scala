@@ -1420,6 +1420,74 @@ object DedupQueries {
        |       CAST(n_hits AS BIGINT) AS n_hits, n_hits > 0 AS contaminated
        |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Prefix-filtered EXACT set-similarity join (PPJoin-style, Xiao et
+    * al. 2008) — the lossless counterpart to the MinHash/SimHash
+    * families: every pair with shingle-set Jaccard ≥ t is found, no
+    * false negatives, yet the corpus is never self-joined. The filter
+    * stack: (1) order each doc's shingle hashes by ascending document
+    * frequency (rarest first, the canonical global token order);
+    * (2) PREFIX filter — two sets can only reach Jaccard ≥ t if they
+    * share a token among each one's first |x| − ⌈t·|x|⌉ + 1 ordered
+    * tokens, so candidates come from an equi-join on prefix tokens
+    * only (rare by construction — the df ordering pushes stop-shingles
+    * out of every prefix); (3) LENGTH filter — Jaccard ≥ t forces
+    * min(|a|,|b|) ≥ t·max(|a|,|b|), pruning before the verify;
+    * (4) exact verify on the surviving candidates via one
+    * array-intersection per pair. At 100 TB the shuffles carry
+    * (prefix-token, doc) pairs and bounded hash arrays — the standard
+    * exact-similarity-join shape when LSH's false negatives are
+    * unacceptable (legal holds, eval decontamination). The oracle is
+    * the brute-force all-pairs Jaccard, so the hash check proves the
+    * filter stack lossless on real data. */
+  def ppjoinPairs(spark: SparkSession, dir: String): DataFrame = {
+    val t = 0.6
+    val w = graft.GraftCaches.track(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), TextOps.words(col("text")).as("l"))
+        .filter(size(col("l")) >= 3)
+        .select(col("doc_id"), array_sort(TextOps.shingleHashes(col("l"))).as("hs"))
+        .withColumn("n", size(col("hs")).cast("long")))
+    val dfreq = w.select(explode(col("hs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    val ordered = w.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
+      .join(dfreq, "h")
+      .groupBy("doc_id", "n")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("toks"))
+    val p = (col("n") - ceil(lit(t) * col("n")) + 1L).cast("int")
+    val prefixes = ordered.select(col("doc_id"), col("n"),
+      explode(slice(transform(col("toks"), s => s.getField("h")), lit(1), p)).as("h"))
+    val cand = prefixes.select(col("doc_id").as("doc_a"), col("n").as("na"), col("h"))
+      .join(prefixes.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("na"), col("nb")).cast("double") >=
+          lit(t) * greatest(col("na"), col("nb")).cast("double"))
+      .select("doc_a", "doc_b").distinct()
+    val inter = size(array_intersect(col("hs_a"), col("hs_b"))).cast("long")
+    cand
+      .join(w.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("n").as("n_a")), "doc_a")
+      .join(w.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("inter", inter)
+      .withColumn("jacc", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jacc") >= t)
+      .select("doc_a", "doc_b", "n_a", "n_b", "inter", "jacc")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val ppjoinPairsSql: String =
+    s"""WITH $shingleCte,
+       |ws AS (SELECT doc_id, hs, len(hs) AS n FROM w)
+       |SELECT doc_a, doc_b, n_a, n_b, inter,
+       |       CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) AS jacc
+       |FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+       |         CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS inter
+       |  FROM ws a JOIN ws b ON a.doc_id < b.doc_id) pairs
+       |WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.6
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+
   /** Fuzzy product-name matching via the native [[graft.functions.JaroWinkler]]
     * codegen expression over sorted-neighborhood blocked pairs — the
     * record-linkage comparator Levenshtein is too coarse for (JW weighs
@@ -1554,6 +1622,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "name_match_jw" -> (nameMatchJw _),
+    "ppjoin_pairs" -> (ppjoinPairs _),
     "record_linkage_fs" -> (recordLinkageFs _),
     "dedup_rate_by_source" -> (dedupRateBySource _),
     "source_copy_matrix" -> (sourceCopyMatrix _),
@@ -1594,6 +1663,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "name_match_jw" -> nameMatchJwSql,
+    "ppjoin_pairs" -> ppjoinPairsSql,
     "record_linkage_fs" -> recordLinkageFsSql,
     "dedup_rate_by_source" -> dedupRateBySourceSql,
     "source_copy_matrix" -> sourceCopyMatrixSql,

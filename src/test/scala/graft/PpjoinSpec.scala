@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextOps
+import graft.queries.DedupQueries
+import graft.sources.Tables
+
+/** PPJoin's prefix+length filter stack must be LOSSLESS: the
+  * prefix-filtered join has to return exactly the brute-force all-pairs
+  * result — no false negatives (the whole point of choosing it over
+  * LSH) and no unverified false positives. */
+class PpjoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("prefix-filtered pairs equal brute-force all-pairs Jaccard") {
+    val t = 0.6
+    val engine = DedupQueries.queries("ppjoin_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    val w = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.words(col("text")).as("l"))
+      .filter(size(col("l")) >= 3)
+      .select(col("doc_id"), TextOps.shingleHashes(col("l")).as("hs"),
+        size(TextOps.shingleHashes(col("l"))).cast("long").as("n"))
+    val brute = w.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("n").as("n_a"))
+      .crossJoin(w.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"), col("n").as("n_b")))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .filter(col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double") >= t)
+      .select("doc_a", "doc_b", "inter")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(engine === brute)
+    assert(brute.nonEmpty, "fixture should contain near-duplicate docs")
+  }
+}

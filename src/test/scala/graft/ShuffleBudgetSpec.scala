@@ -227,6 +227,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
                                // (rank scan itself runs at construction, checkpointed)
     "sorted_neighborhood_pairs" -> 3, // tracked rank relation inlined per join
                                // side + result sort; neighbor join broadcasts
+    "ppjoin_pairs" -> 6,       // df agg + (df⋈tokens) + per-doc ordered fold +
+                               // prefix equi-join + candidate distinct + result
+                               // sort; verify joins reuse the tracked set relation
     "name_match_jw" -> 3,      // same sorted-neighborhood shape over part names;
                                // JW screens fuse into the join's codegen stage
     "record_linkage_fs" -> 3,  // same blocked pairs + literal-weight sum; the
