@@ -1950,6 +1950,61 @@ object Relational {
       |  (sy - (n::DOUBLE * sxy - sx * sy) / NULLIF(n::DOUBLE * sx2 - sx * sx, 0) * sx) / n::DOUBLE AS intercept
       |FROM m ORDER BY event_type""".stripMargin
 
+  /** Robust trend over monthly revenue: the Theil–Sen slope (median of
+    * all pairwise month-to-month slopes — up to 29% contamination
+    * breakdown vs OLS's zero) plus the Mann–Kendall monotonic-trend
+    * statistic S and Kendall's tau — the distribution-free twin of
+    * `trend_slope`, the pair every robust forecasting pipeline starts
+    * from. Everything is calendar-bounded: the pair relation is
+    * |months|² (a few thousand rows at ANY corpus size), so the
+    * pairwise BNLJ broadcast and the single-partition rank window are
+    * inside the bounded-relation whitelist by construction. No
+    * transcendentals: slopes are one IEEE division each, S is exact
+    * integer sign counting, and the median is the LOWER-median rank
+    * pick (rank ⌈n/2⌉ via row_number, the exact_quantiles discipline) —
+    * no interpolation, so no engine-divergent midpoint arithmetic. */
+  def robustTrend(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mo = graft.GraftCaches.track(
+      Tables.orders(spark, dir)
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(14, 2))).cast("double").as("rev")))
+    val pairs = graft.GraftCaches.track(
+      mo.select(col("m").as("mi"), col("rev").as("ri"))
+        .join(mo.select(col("m").as("mj"), col("rev").as("rj")), col("mi") < col("mj"))
+        .select(
+          ((col("rj") - col("ri")) / (col("mj") - col("mi")).cast("double")).as("slope"),
+          when(col("rj") > col("ri"), 1L).when(col("rj") < col("ri"), -1L)
+            .otherwise(0L).as("sgn")))
+    val stats = pairs.agg(count(lit(1)).as("n_pairs"), sum("sgn").as("mk_s"))
+    val nm = mo.agg(count(lit(1)).as("n_months"))
+    pairs
+      .withColumn("rn", row_number().over(Window.orderBy("slope")))
+      .crossJoin(broadcast(stats)).crossJoin(broadcast(nm))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("n_months"), col("n_pairs"), col("mk_s"),
+        (col("mk_s").cast("double") / col("n_pairs").cast("double")).as("tau"),
+        col("slope").as("slope_ts"))
+  }
+
+  val robustTrendSql: String =
+    """WITH mo AS (
+      |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS rev
+      |  FROM orders GROUP BY 1),
+      |p AS (
+      |  SELECT (b.rev - a.rev) / CAST(b.m - a.m AS DOUBLE) AS slope,
+      |         CASE WHEN b.rev > a.rev THEN 1 WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sgn
+      |  FROM mo a JOIN mo b ON a.m < b.m),
+      |s AS (SELECT COUNT(*) AS n_pairs, CAST(SUM(sgn) AS BIGINT) AS mk_s FROM p),
+      |r AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rn FROM p),
+      |nm AS (SELECT COUNT(*) AS n_months FROM mo)
+      |SELECT nm.n_months, s.n_pairs, s.mk_s,
+      |       CAST(s.mk_s AS DOUBLE) / CAST(s.n_pairs AS DOUBLE) AS tau,
+      |       r.slope AS slope_ts
+      |FROM r CROSS JOIN s CROSS JOIN nm
+      |WHERE r.rn = (s.n_pairs + 1) // 2""".stripMargin
+
   /** Pure-SQL surface: the same engine driven through `spark.sql` with
     * the subquery forms users actually write — a decorrelated EXISTS
     * (Catalyst rewrites it to a semi join) and scalar aggregate
@@ -4640,6 +4695,7 @@ object Relational {
     "group_kfold" -> (groupKfold _),
     "sql_exists_orders" -> (sqlExistsOrders _),
     "trend_slope" -> (trendSlope _),
+    "robust_trend" -> (robustTrend _),
     "table_checksum" -> (tableChecksum _),
     "hist_quantiles" -> (histQuantiles _),
     "customer_order_histogram" -> (customerOrderHistogram _),
@@ -4761,6 +4817,7 @@ object Relational {
     "group_kfold" -> groupKfoldSql,
     "sql_exists_orders" -> sqlExistsOrdersSql,
     "trend_slope" -> trendSlopeSql,
+    "robust_trend" -> robustTrendSql,
     "table_checksum" -> tableChecksumSql,
     "hist_quantiles" -> histQuantilesSql,
     "customer_order_histogram" -> customerOrderHistogramSql,

@@ -129,7 +129,11 @@ class PlanGuardSpec extends AnyFunSuite {
       "hll_source_overlap", "kmv_source_overlap",
       // basket_pairs: the 1-row order-total scalar cross-broadcast
       // onto the pair relation; the pair/count joins are equi-joins.
-      "basket_pairs")
+      "basket_pairs",
+      // robust_trend: the pairwise-slope inequality join over the
+      // |months|-bounded monthly relation (+ the 1-row stats/n_months
+      // cross-broadcasts); calendar-bounded by construction.
+      "robust_trend")
 
   private def planOf(name: String): String =
     try SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
@@ -158,6 +162,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "lorenz_curve",           // 10-row decile relation (deciles themselves ride PrefixScan.ntile)
     "max_drawdown",           // |days|-bounded daily-net relation
     "monthly_growth",         // |months|-bounded monthly-revenue relation
+    "robust_trend",           // |months|**2-bounded pairwise-slope relation
     "pareto_frontier",        // <=1001 quality-level rows (post rn=1 filter)
     "retrieve_rerank",        // <=30-row rerank candidate set
     "revenue_autocorr",       // |days|-bounded daily-revenue relation

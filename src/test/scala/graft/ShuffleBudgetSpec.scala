@@ -227,6 +227,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
                                // (rank scan itself runs at construction, checkpointed)
     "sorted_neighborhood_pairs" -> 3, // tracked rank relation inlined per join
                                // side + result sort; neighbor join broadcasts
+    "robust_trend" -> 8,       // tracked month agg inlined per pair side (2) and
+                               // once for n_months; tracked pair relation inlined
+                               // for stats + rank window; all over <=|months|^2
+                               // rows — executed once each when caches materialize
     "ppjoin_pairs" -> 6,       // df agg + (df⋈tokens) + per-doc ordered fold +
                                // prefix equi-join + candidate distinct + result
                                // sort; verify joins reuse the tracked set relation
