@@ -1420,6 +1420,40 @@ object DedupQueries {
        |       CAST(n_hits AS BIGINT) AS n_hits, n_hits > 0 AS contaminated
        |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Phonetic-skeleton blocking — the third candidate-generation family
+    * next to hash blocks (dedup_exact) and sorted neighborhoods: key =
+    * uppercased first letter + the consonant skeleton of the rest
+    * (vowels and spaces dropped), the soundex-class trick that survives
+    * the vowel-level typos sorted order is most sensitive to. One
+    * map-side-combined aggregate over the population — the blocking
+    * INVENTORY (block sizes and the pair workload n·(n−1)/2 each block
+    * implies) that entity-resolution planners read before choosing a
+    * strategy: a skewed block list here means the key is too coarse for
+    * the pair stage. RE2-safe on purpose (a character class only, no
+    * backreferences), so the oracle reproduces the key verbatim. */
+  def phoneticBlock(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        concat(upper(substring(col("p_name"), 1, 1)),
+          regexp_replace(lower(expr("substring(p_name, 2)")), "[aeiou ]", ""))
+          .as("pkey"))
+      .groupBy("pkey")
+      .agg(count(lit(1)).as("n_parts"),
+        min("p_partkey").as("min_partkey"),
+        max("p_partkey").as("max_partkey"))
+      .withColumn("n_pairs", expr("(n_parts * (n_parts - 1)) div 2"))
+      .orderBy("pkey")
+
+  val phoneticBlockSql: String =
+    """SELECT upper(substr(p_name, 1, 1))
+      |         || regexp_replace(lower(substr(p_name, 2)), '[aeiou ]', '', 'g') AS pkey,
+      |       COUNT(*) AS n_parts,
+      |       MIN(p_partkey) AS min_partkey,
+      |       MAX(p_partkey) AS max_partkey,
+      |       (COUNT(*) * (COUNT(*) - 1)) // 2 AS n_pairs
+      |FROM part GROUP BY pkey ORDER BY pkey""".stripMargin
+
+
   /** Prefix-filtered EXACT set-similarity join (PPJoin-style, Xiao et
     * al. 2008) — the lossless counterpart to the MinHash/SimHash
     * families: every pair with shingle-set Jaccard ≥ t is found, no
@@ -1623,6 +1657,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "name_match_jw" -> (nameMatchJw _),
     "ppjoin_pairs" -> (ppjoinPairs _),
+    "phonetic_block" -> (phoneticBlock _),
     "record_linkage_fs" -> (recordLinkageFs _),
     "dedup_rate_by_source" -> (dedupRateBySource _),
     "source_copy_matrix" -> (sourceCopyMatrix _),
@@ -1664,6 +1699,7 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "name_match_jw" -> nameMatchJwSql,
     "ppjoin_pairs" -> ppjoinPairsSql,
+    "phonetic_block" -> phoneticBlockSql,
     "record_linkage_fs" -> recordLinkageFsSql,
     "dedup_rate_by_source" -> dedupRateBySourceSql,
     "source_copy_matrix" -> sourceCopyMatrixSql,

@@ -78,6 +78,50 @@ object MediaStreamQueries {
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM g GROUP BY user_id, grp ORDER BY user_id, session_start""".stripMargin
 
+  /** Sweepline peak-concurrency profile — how many user sessions are
+    * open at once, per day: the interval-scheduling readout capacity
+    * planning runs on session tables (peak simultaneous connections /
+    * rooms / licenses). Each session contributes a +1 event at its
+    * start and a −1 at its (exclusive) end; the running sum of deltas
+    * over the (time, delta) total order IS the live concurrency, and it
+    * rides [[graft.operators.PrefixScan]] — the at-scale sweepline (a
+    * global ORDER BY window would move every event into one task;
+    * ends sort before starts at equal timestamps, so an exclusive end
+    * never overlaps the session starting that instant). Per-day peak =
+    * one max over event days; days with no events report no row
+    * (standard event-time sweep semantics). Sessions are the same
+    * 7-day-gap islands as `session_window_agg`. */
+  def concurrencyProfile(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "7 days").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("s"), unix_micros(col("w.end")).as("e"))
+    val sweep = sessions.select(col("s").as("t"), lit(1L).as("d"))
+      .unionByName(sessions.select(col("e").as("t"), lit(-1L).as("d")))
+    graft.operators.PrefixScan.runningSumLong(sweep, "d", "rs", col("t"), col("d"))
+      .groupBy(to_date(timestamp_micros(col("t"))).cast("timestamp").as("day"))
+      .agg(max("rs").as("peak_concurrent"))
+      .orderBy("day")
+  }
+
+  val concurrencyProfileSql: String =
+    """WITH o AS (SELECT user_id, event_id, ts, epoch_us(ts) AS t FROM events),
+      |m AS (SELECT *, CASE WHEN t - lag(t) OVER w > 604800000000
+      |                     OR lag(t) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      |      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+      |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                               ROWS UNBOUNDED PRECEDING) AS grp
+      |      FROM m),
+      |sess AS (SELECT MIN(t) AS s, MAX(t) + 604800000000 AS e
+      |         FROM g GROUP BY user_id, grp),
+      |ev AS (SELECT s AS t, 1 AS d FROM sess
+      |       UNION ALL SELECT e, -1 FROM sess),
+      |r AS (SELECT t, SUM(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS rs
+      |      FROM ev)
+      |SELECT CAST(CAST(make_timestamp(t) AS DATE) AS TIMESTAMP) AS day,
+      |       CAST(MAX(rs) AS BIGINT) AS peak_concurrent
+      |FROM r GROUP BY 1 ORDER BY day""".stripMargin
+
   /** Multimodal binary-column plumbing, oracle-checkable slice: modality
     * tagging + byte-level metadata on the opaque payload. */
   def binaryMetaExtract(spark: SparkSession, dir: String): DataFrame =
@@ -866,6 +910,7 @@ object MediaStreamQueries {
     "windowed_event_agg" -> (windowedEventAgg _),
     "sliding_event_agg" -> (slidingEventAgg _),
     "session_window_agg" -> (sessionWindowAgg _),
+    "concurrency_profile" -> (concurrencyProfile _),
     "binary_meta_extract" -> (binaryMetaExtract _),
     "multimodal_features" -> (multimodalFeatures _),
     "media_resize" -> (mediaResize _),
@@ -901,6 +946,7 @@ object MediaStreamQueries {
     "windowed_event_agg" -> windowedEventAggSql,
     "sliding_event_agg" -> slidingEventAggSql,
     "session_window_agg" -> sessionWindowAggSql,
+    "concurrency_profile" -> concurrencyProfileSql,
     "binary_meta_extract" -> binaryMetaExtractSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "media_resize" -> mediaResizeSql,

@@ -227,6 +227,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
                                // (rank scan itself runs at construction, checkpointed)
     "sorted_neighborhood_pairs" -> 3, // tracked rank relation inlined per join
                                // side + result sort; neighbor join broadcasts
+    "phonetic_block" -> 2,     // ONE map-side-combined key agg + result sort
+    "concurrency_profile" -> 3,// session-window agg + PrefixScan's range
+                               // exchange + day-peak agg (sweep sums ride the
+                               // scan's pid windows, no global window)
     "robust_trend" -> 8,       // tracked month agg inlined per pair side (2) and
                                // once for n_months; tracked pair relation inlined
                                // for stats + rank window; all over <=|months|^2
