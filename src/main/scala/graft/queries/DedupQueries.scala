@@ -1472,7 +1472,17 @@ object DedupQueries {
     * exact-similarity-join shape when LSH's false negatives are
     * unacceptable (legal holds, eval decontamination). The oracle is
     * the brute-force all-pairs Jaccard, so the hash check proves the
-    * filter stack lossless on real data. */
+    * filter stack lossless on real data.
+    *
+    * Scale caveat (honest bound): the prefix filter's candidate count is
+    * Σ_token df(token)² over PREFIX postings — subquadratic only when
+    * the shingle vocabulary is Zipfian (true of natural text, where a
+    * doc's rarest ⌈(1−t)·n⌉+1 shingles have df ≈ 1). On a degenerate
+    * tiny-vocabulary corpus every shingle is frequent, the prefix
+    * postings stay dense, and the join legitimately approaches the
+    * quadratic TRUE-pair count — there PPJoin is the wrong tool and the
+    * capped LSH generator (`dedup_minhash_pairs`, maxBucket) is the
+    * right one; this query exists for the exactness-mandatory cases. */
   def ppjoinPairs(spark: SparkSession, dir: String): DataFrame = {
     val t = 0.6
     val w = graft.GraftCaches.track(

@@ -236,6 +236,24 @@ class ScaleSmokeSpec extends AnyFunSuite {
     GraftCaches.releaseAll()
   }
 
+  test("streaming funnel / CDC apply / SCD2 state folds complete at 1M events") {
+    val dir = synthEventsDir(1000000L)
+    // Strict funnel: per-user pending-frontier state (horizon-pruned) —
+    // 5000 users x 200 events in ONE user-keyed exchange.
+    val sf = graft.queries.MediaStreamQueries.streamFunnel(spark, dir)
+    banned(sf)
+    val stages = timed("streamFunnel over 1M events")(sf.collect())
+    assert(stages.length === 3)
+    GraftCaches.releaseAll()
+    // SCD2: O(1) open-interval state per user over the full event volume
+    // (no user_id cap here, unlike the oracle-bounded query).
+    val sc = graft.streaming.Scd2Stream.history(
+      graft.sources.Tables.events(spark, dir))
+    val n = timed("Scd2Stream over 1M events")(sc.toDF().count())
+    assert(n > 0L)
+    GraftCaches.releaseAll()
+  }
+
   test("streaming gap-anomaly detector completes at 1M events") {
     val dir = synthEventsDir(1000000L)
     val flags = graft.queries.MediaStreamQueries.streamAnomalyFlags(spark, dir)
