@@ -1950,6 +1950,67 @@ object Relational {
       |  (sy - (n::DOUBLE * sxy - sx * sy) / NULLIF(n::DOUBLE * sx2 - sx * sx, 0) * sx) / n::DOUBLE AS intercept
       |FROM m ORDER BY event_type""".stripMargin
 
+  /** FIFO matching — the queueing/cost-basis operator (match each
+    * outflow against the oldest unconsumed inflow: ad impressions to
+    * conversions, receipts to issues, lots to sales) that procedural
+    * systems write as a per-key loop. Relationally it is interval
+    * algebra on CUMULATIVE quantities: inflow i owns the quantity range
+    * (cum_in_{i−1}, cum_in_i], outflow j consumes (cum_out_{j−1},
+    * cum_out_j], and FIFO says j draws from i exactly where the ranges
+    * overlap — qty = min(hi_i, hi_j) − max(lo_i, lo_j) when positive.
+    * Per-user running sums are `Window.partitionBy(user)` (the RIGHT
+    * shape here: user cardinality is population-scale, per-user rows
+    * bounded — the opposite regime from the PrefixScan queries); the
+    * match join is ONE user-keyed equi-join with range predicates, and
+    * per user emits ≤ ins + outs − 1 rows — linear, never quadratic.
+    * Quantities ride as exact integer cents, so overlap arithmetic is
+    * bit-stable; `wait_us` is the per-matched-lot queue latency. Views
+    * supply, purchases consume; over-consumption past total supply
+    * simply finds no overlapping range (reported by the oracle-side
+    * totals staying independent). */
+  def fifoMatch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = round(col("value") * 100).cast("long")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def cum(tpe: String, side: String) =
+      Tables.events(spark, dir)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id"), col("event_id"), col("ts"), cents.as("q"))
+        .withColumn("hi", sum("q").over(w))
+        .select(col("user_id"),
+          col("event_id").as(s"${side}_event"), col("ts").as(s"${side}_ts"),
+          (col("hi") - col("q")).as(s"${side}_lo"), col("hi").as(s"${side}_hi"))
+    val ins = cum("view", "in")
+    val outs = cum("purchase", "out")
+    ins.join(outs, Seq("user_id"))
+      .filter(col("in_hi") > col("out_lo") && col("out_hi") > col("in_lo"))
+      .select(col("user_id"), col("in_event"), col("out_event"),
+        (least(col("in_hi"), col("out_hi")) -
+          greatest(col("in_lo"), col("out_lo"))).as("qty_cents"),
+        (unix_micros(col("out_ts")) - unix_micros(col("in_ts"))).as("wait_us"))
+      .orderBy("user_id", "in_event", "out_event")
+  }
+
+  val fifoMatchSql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |         CAST(round(value * 100) AS BIGINT) AS q,
+      |         SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+      |           PARTITION BY user_id, event_type ORDER BY ts, event_id
+      |           ROWS UNBOUNDED PRECEDING) AS hi
+      |  FROM events WHERE event_type IN ('view', 'purchase')),
+      |i AS (SELECT user_id, event_id AS in_event, ts AS in_ts,
+      |             hi - q AS in_lo, hi AS in_hi FROM c WHERE event_type = 'view'),
+      |o AS (SELECT user_id, event_id AS out_event, ts AS out_ts,
+      |             hi - q AS out_lo, hi AS out_hi FROM c WHERE event_type = 'purchase')
+      |SELECT i.user_id AS user_id, in_event, out_event,
+      |       CAST(least(in_hi, out_hi) - greatest(in_lo, out_lo) AS BIGINT) AS qty_cents,
+      |       epoch_us(out_ts) - epoch_us(in_ts) AS wait_us
+      |FROM i JOIN o ON i.user_id = o.user_id
+      |WHERE in_hi > out_lo AND out_hi > in_lo
+      |ORDER BY i.user_id, in_event, out_event""".stripMargin
+
   /** Robust trend over monthly revenue: the Theil–Sen slope (median of
     * all pairwise month-to-month slopes — up to 29% contamination
     * breakdown vs OLS's zero) plus the Mann–Kendall monotonic-trend
@@ -4696,6 +4757,7 @@ object Relational {
     "sql_exists_orders" -> (sqlExistsOrders _),
     "trend_slope" -> (trendSlope _),
     "robust_trend" -> (robustTrend _),
+    "fifo_match" -> (fifoMatch _),
     "table_checksum" -> (tableChecksum _),
     "hist_quantiles" -> (histQuantiles _),
     "customer_order_histogram" -> (customerOrderHistogram _),
@@ -4818,6 +4880,7 @@ object Relational {
     "sql_exists_orders" -> sqlExistsOrdersSql,
     "trend_slope" -> trendSlopeSql,
     "robust_trend" -> robustTrendSql,
+    "fifo_match" -> fifoMatchSql,
     "table_checksum" -> tableChecksumSql,
     "hist_quantiles" -> histQuantilesSql,
     "customer_order_histogram" -> customerOrderHistogramSql,

@@ -227,6 +227,8 @@ class ShuffleBudgetSpec extends AnyFunSuite {
                                // (rank scan itself runs at construction, checkpointed)
     "sorted_neighborhood_pairs" -> 3, // tracked rank relation inlined per join
                                // side + result sort; neighbor join broadcasts
+    "fifo_match" -> 3,         // ONE user exchange per side (windows + join
+                               // co-partitioned) + result sort; output linear
     "phonetic_block" -> 2,     // ONE map-side-combined key agg + result sort
     "concurrency_profile" -> 3,// session-window agg + PrefixScan's range
                                // exchange + day-peak agg (sweep sums ride the
