@@ -746,6 +746,20 @@ object MediaStreamQueries {
     """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Streaming FIFO matcher ([[graft.streaming.FifoStream]]) in
+    * one-shot batch mode: supply/demand lots drain each other
+    * head-first out of the per-user imbalance backlog — the minimal
+    * state any FIFO matcher carries — and the emitted lot matches
+    * hash-check against the SAME cumulative-range-overlap oracle as the
+    * batch `fifo_match`, the fourth online/offline-parity pair. ONE
+    * user-keyed transformWithState exchange + result sort. */
+  def streamFifo(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.FifoStream.matches(Tables.events(spark, dir))
+      .toDF()
+      .orderBy("user_id", "in_event", "out_event")
+
+  val streamFifoSql: String = Relational.fifoMatchSql
+
   /** Streaming SCD2 history build ([[graft.streaming.Scd2Stream]]) in
     * one-shot batch mode: O(1) per-key state (the single open validity
     * interval) replaces the batch lag/lead window pair, closed intervals
@@ -890,6 +904,7 @@ object MediaStreamQueries {
     "stream_funnel" -> (streamFunnel _),
     "stream_cdc_apply" -> (streamCdcApply _),
     "stream_scd2" -> (streamScd2 _),
+    "stream_fifo" -> (streamFifo _),
     "stream_bitmap_users" -> (streamBitmapUsers _),
     "stream_kmv_users" -> (streamKmvUsers _),
     "stream_user_status" -> (streamUserStatus _),
@@ -926,6 +941,7 @@ object MediaStreamQueries {
     "stream_funnel" -> streamFunnelSql,
     "stream_cdc_apply" -> streamCdcApplySql,
     "stream_scd2" -> streamScd2Sql,
+    "stream_fifo" -> streamFifoSql,
     "stream_bitmap_users" -> streamBitmapUsersSql,
     "stream_kmv_users" -> streamKmvUsersSql,
     "stream_user_status" -> streamUserStatusSql,

@@ -227,6 +227,8 @@ class ShuffleBudgetSpec extends AnyFunSuite {
                                // (rank scan itself runs at construction, checkpointed)
     "sorted_neighborhood_pairs" -> 3, // tracked rank relation inlined per join
                                // side + result sort; neighbor join broadcasts
+    "stream_fifo" -> 2,        // ONE user-keyed transformWithState exchange
+                               // + result sort (backlog state drains in-task)
     "fifo_match" -> 3,         // ONE user exchange per side (windows + join
                                // co-partitioned) + result sort; output linear
     "phonetic_block" -> 2,     // ONE map-side-combined key agg + result sort
