@@ -746,6 +746,74 @@ object MediaStreamQueries {
     """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Cohort × funnel matrix — the product-analytics composition: users
+    * bucketed by first-activity month, the strict 24 h funnel computed
+    * per user by the SAME pending-frontier operator as `stream_funnel`
+    * ([[graft.streaming.FunnelStream]], here consumed relationally —
+    * one stateful fold replaces the two as-of joins), then one
+    * cohort-level rollup. Every cohort reports all three stages
+    * (zeros included), so the matrix shape is fixed at
+    * |cohorts| × 3 regardless of data. Plan: ONE user-keyed
+    * transformWithState exchange + cohort min-fold + matrix fold. */
+  def funnelByCohort(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cohort = ev.groupBy("user_id")
+      .agg(date_trunc("month", min(col("ts"))).as("cohort"))
+    val per = graft.streaming.FunnelStream.funnel(ev, tolUs = 86400000000L).toDF()
+    per.join(cohort, "user_id")
+      .groupBy("cohort")
+      .agg(sum("n_views").as("v_rows"),
+        sum(when(col("n_views") > 0, 1L).otherwise(0L)).as("v_users"),
+        sum("n_s1").as("c_rows"),
+        sum(when(col("n_s1") > 0, 1L).otherwise(0L)).as("c_users"),
+        sum("n_s2").as("p_rows"),
+        sum(when(col("n_s2") > 0, 1L).otherwise(0L)).as("p_users"))
+      .selectExpr("cohort",
+        """stack(3, '1_view', v_rows, v_users,
+          |         '2_click', c_rows, c_users,
+          |         '3_purchase', p_rows, p_users) AS (stage, n_rows, n_users)""".stripMargin)
+      .orderBy("cohort", "stage")
+  }
+
+  val funnelByCohortSql: String =
+    """WITH v AS (SELECT user_id, event_id, ts AS vts FROM events WHERE event_type = 'view'),
+      |c AS (SELECT user_id, event_id AS click_id, ts AS cts FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, event_id AS purchase_id, ts AS pts FROM events WHERE event_type = 'purchase'),
+      |s1 AS (SELECT user_id, event_id, vts, cts FROM (
+      |        SELECT v.user_id, v.event_id, v.vts, c.cts,
+      |               row_number() OVER (PARTITION BY v.user_id, v.event_id
+      |                                  ORDER BY c.cts, c.click_id) AS rn
+      |        FROM v JOIN c ON c.user_id = v.user_id AND c.cts >= v.vts) x WHERE rn = 1),
+      |s1ok AS (SELECT * FROM s1 WHERE epoch_us(cts) - epoch_us(vts) <= 86400000000),
+      |s2 AS (SELECT user_id, event_id, cts, pts FROM (
+      |        SELECT s.user_id, s.event_id, s.cts, p.pts,
+      |               row_number() OVER (PARTITION BY s.user_id, s.event_id
+      |                                  ORDER BY p.pts, p.purchase_id) AS rn
+      |        FROM s1ok s JOIN p ON p.user_id = s.user_id AND p.pts >= s.cts) y WHERE rn = 1),
+      |s2ok AS (SELECT * FROM s2 WHERE epoch_us(pts) - epoch_us(cts) <= 86400000000),
+      |coh AS (SELECT user_id, CAST(date_trunc('month', MIN(ts)) AS TIMESTAMP) AS cohort
+      |        FROM events GROUP BY user_id),
+      |vv AS (SELECT cohort, COUNT(*) AS n_rows, COUNT(DISTINCT v.user_id) AS n_users
+      |       FROM v JOIN coh ON coh.user_id = v.user_id GROUP BY cohort),
+      |c1 AS (SELECT cohort, COUNT(*) AS n_rows, COUNT(DISTINCT s1ok.user_id) AS n_users
+      |       FROM s1ok JOIN coh ON coh.user_id = s1ok.user_id GROUP BY cohort),
+      |c2 AS (SELECT cohort, COUNT(*) AS n_rows, COUNT(DISTINCT s2ok.user_id) AS n_users
+      |       FROM s2ok JOIN coh ON coh.user_id = s2ok.user_id GROUP BY cohort),
+      |allc AS (SELECT DISTINCT cohort FROM coh),
+      |stg AS (SELECT unnest(['1_view', '2_click', '3_purchase']) AS stage)
+      |SELECT a.cohort AS cohort, s.stage AS stage,
+      |  COALESCE(CASE s.stage WHEN '1_view' THEN vv.n_rows
+      |                        WHEN '2_click' THEN c1.n_rows
+      |                        ELSE c2.n_rows END, 0) AS n_rows,
+      |  COALESCE(CASE s.stage WHEN '1_view' THEN vv.n_users
+      |                        WHEN '2_click' THEN c1.n_users
+      |                        ELSE c2.n_users END, 0) AS n_users
+      |FROM allc a CROSS JOIN stg s
+      |LEFT JOIN vv ON vv.cohort = a.cohort
+      |LEFT JOIN c1 ON c1.cohort = a.cohort
+      |LEFT JOIN c2 ON c2.cohort = a.cohort
+      |ORDER BY a.cohort, s.stage""".stripMargin
+
   /** Streaming FIFO matcher ([[graft.streaming.FifoStream]]) in
     * one-shot batch mode: supply/demand lots drain each other
     * head-first out of the per-user imbalance backlog — the minimal
@@ -905,6 +973,7 @@ object MediaStreamQueries {
     "stream_cdc_apply" -> (streamCdcApply _),
     "stream_scd2" -> (streamScd2 _),
     "stream_fifo" -> (streamFifo _),
+    "funnel_by_cohort" -> (funnelByCohort _),
     "stream_bitmap_users" -> (streamBitmapUsers _),
     "stream_kmv_users" -> (streamKmvUsers _),
     "stream_user_status" -> (streamUserStatus _),
@@ -942,6 +1011,7 @@ object MediaStreamQueries {
     "stream_cdc_apply" -> streamCdcApplySql,
     "stream_scd2" -> streamScd2Sql,
     "stream_fifo" -> streamFifoSql,
+    "funnel_by_cohort" -> funnelByCohortSql,
     "stream_bitmap_users" -> streamBitmapUsersSql,
     "stream_kmv_users" -> streamKmvUsersSql,
     "stream_user_status" -> streamUserStatusSql,

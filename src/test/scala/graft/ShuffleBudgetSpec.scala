@@ -227,6 +227,8 @@ class ShuffleBudgetSpec extends AnyFunSuite {
                                // (rank scan itself runs at construction, checkpointed)
     "sorted_neighborhood_pairs" -> 3, // tracked rank relation inlined per join
                                // side + result sort; neighbor join broadcasts
+    "funnel_by_cohort" -> 4,   // user-keyed stateful funnel + cohort min-fold
+                               // + cohort matrix fold + result sort
     "stream_fifo" -> 2,        // ONE user-keyed transformWithState exchange
                                // + result sort (backlog state drains in-task)
     "fifo_match" -> 3,         // ONE user exchange per side (windows + join
