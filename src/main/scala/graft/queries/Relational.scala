@@ -1950,6 +1950,61 @@ object Relational {
       |  (sy - (n::DOUBLE * sxy - sx * sy) / NULLIF(n::DOUBLE * sx2 - sx * sx, 0) * sx) / n::DOUBLE AS intercept
       |FROM m ORDER BY event_type""".stripMargin
 
+  /** ABC inventory classification — parts bucketed by cumulative
+    * revenue share (A: first 80% of revenue, B: next 15%, C: tail), the
+    * warehouse-planning classic. The descending-revenue cumulative sum
+    * rides the decimal [[graft.operators.PrefixScan]] (|parts| is
+    * population-scale — exactly the regime where a global ORDER BY
+    * window is one task); the 80/95 thresholds are EXACT decimal
+    * comparisons (cum·5 ≤ total·4, cum·20 ≤ total·19 — no share
+    * division ever computed at row level, so no float boundary
+    * flicker); the 3-row class summary converts to double once at the
+    * end (Spark's decimal→double is correctly rounded; the oracle takes
+    * the VARCHAR round-trip, the corr_stats discipline). */
+  def abcClassification(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixScan
+    val revenue = col("l_extendedprice").cast(DecimalType(12, 2)) *
+      (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
+    val perPart = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey").agg(sum(revenue).as("rev"))
+    val ranked = graft.GraftCaches.track(
+      PrefixScan.runningSumDecimal(perPart, "rev", "cum",
+        col("rev").desc, col("l_partkey")))
+    val tot = ranked.agg(sum("rev").as("total"))
+    val cls = when(col("cum") * 5 <= col("total") * 4, "A")
+      .when(col("cum") * 20 <= col("total") * 19, "B")
+      .otherwise("C")
+    ranked.crossJoin(broadcast(tot))
+      .select(cls.as("cls"), col("rev"), col("total"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_parts"),
+        sum("rev").cast("double").as("revenue"),
+        (sum("rev").cast("double") /
+          first(col("total")).cast("double")).as("share"))
+      .orderBy("cls")
+  }
+
+  val abcClassificationSql: String =
+    """WITH pr AS (
+      |  SELECT l_partkey,
+      |         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |             * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+      |  FROM lineitem GROUP BY l_partkey),
+      |r AS (SELECT l_partkey, rev,
+      |             SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+      |                            ROWS UNBOUNDED PRECEDING) AS cum
+      |      FROM pr),
+      |t AS (SELECT SUM(rev) AS total FROM pr),
+      |c AS (SELECT CASE WHEN cum * 5 <= total * 4 THEN 'A'
+      |                  WHEN cum * 20 <= total * 19 THEN 'B'
+      |                  ELSE 'C' END AS cls, rev, total
+      |      FROM r CROSS JOIN t)
+      |SELECT cls, COUNT(*) AS n_parts,
+      |       CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS revenue,
+      |       CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE)
+      |         / CAST(CAST(MIN(total) AS VARCHAR) AS DOUBLE) AS share
+      |FROM c GROUP BY cls ORDER BY cls""".stripMargin
+
   /** FIFO matching — the queueing/cost-basis operator (match each
     * outflow against the oldest unconsumed inflow: ad impressions to
     * conversions, receipts to issues, lots to sales) that procedural
@@ -4758,6 +4813,7 @@ object Relational {
     "trend_slope" -> (trendSlope _),
     "robust_trend" -> (robustTrend _),
     "fifo_match" -> (fifoMatch _),
+    "abc_classification" -> (abcClassification _),
     "table_checksum" -> (tableChecksum _),
     "hist_quantiles" -> (histQuantiles _),
     "customer_order_histogram" -> (customerOrderHistogram _),
@@ -4881,6 +4937,7 @@ object Relational {
     "trend_slope" -> trendSlopeSql,
     "robust_trend" -> robustTrendSql,
     "fifo_match" -> fifoMatchSql,
+    "abc_classification" -> abcClassificationSql,
     "table_checksum" -> tableChecksumSql,
     "hist_quantiles" -> histQuantilesSql,
     "customer_order_histogram" -> customerOrderHistogramSql,

@@ -130,6 +130,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // basket_pairs: the 1-row order-total scalar cross-broadcast
       // onto the pair relation; the pair/count joins are equi-joins.
       "basket_pairs",
+      // abc_classification: the 1-row grand-total scalar cross-broadcast
+      // onto the ranked-part relation (basket_pairs shape).
+      "abc_classification",
       // robust_trend: the pairwise-slope inequality join over the
       // |months|-bounded monthly relation (+ the 1-row stats/n_months
       // cross-broadcasts); calendar-bounded by construction.

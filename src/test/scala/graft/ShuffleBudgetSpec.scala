@@ -227,6 +227,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
                                // (rank scan itself runs at construction, checkpointed)
     "sorted_neighborhood_pairs" -> 3, // tracked rank relation inlined per join
                                // side + result sort; neighbor join broadcasts
+    "abc_classification" -> 5, // part agg + tracked ranked relation inlined for
+                               // the total fold + (pid) window exchange + class
+                               // fold + result sort (all post-agg relations tiny)
     "funnel_by_cohort" -> 4,   // user-keyed stateful funnel + cohort min-fold
                                // + cohort matrix fold + result sort
     "stream_fifo" -> 2,        // ONE user-keyed transformWithState exchange
