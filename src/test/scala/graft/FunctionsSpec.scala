@@ -144,6 +144,40 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaExpr.filter(col("f") =!= col("e") || col("r") =!= col("e")).count() === 0)
   }
 
+  test("JaroWinkler property: byte implementation equals an independent char reference") {
+    // Straightforward O(n*m) String-indexed reference, written against the
+    // published definition rather than sharing the production code's byte
+    // arrays — a latent-divergence differential beyond the pinned pairs.
+    def refJw(s1: String, s2: String): Double = {
+      val (l1, l2) = (s1.length, s2.length)
+      if (l1 == 0 || l2 == 0) return 0.0
+      if (s1 == s2) return 1.0
+      val win = math.max(math.max(l1, l2) / 2 - 1, 0)
+      val m2 = Array.fill(l2)(false)
+      val matched1 = scala.collection.mutable.ArrayBuffer.empty[Char]
+      for (i <- 0 until l1) {
+        val hit = (math.max(0, i - win) to math.min(l2 - 1, i + win))
+          .find(j => !m2(j) && s1(i) == s2(j))
+        hit.foreach { j => m2(j) = true; matched1 += s1(i) }
+      }
+      if (matched1.isEmpty) return 0.0
+      val matched2 = (0 until l2).filter(m2).map(s2)
+      val t = matched1.zip(matched2).count { case (a, b) => a != b } / 2
+      val m = matched1.size.toDouble
+      val j = (m / l1 + m / l2 + (m - t) / m) / 3.0
+      if (j > 0.7) {
+        val p = s1.zip(s2).take(4).takeWhile { case (a, b) => a == b }.size
+        j + p * 0.1 * (1.0 - j)
+      } else j
+    }
+    val rnd = new scala.util.Random(20260815L)
+    def randStr() = (0 until rnd.nextInt(12)).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString
+    (0 until 20000).foreach { i =>
+      val (a, b) = (randStr(), randStr())
+      assert(graft.functions.JaroWinkler.jwString(a, b) === refJw(a, b), s"#$i ($a, $b)")
+    }
+  }
+
   test("jaro_winkler is SQL-callable and in [0,1] over real name pairs") {
     graft.sources.Tables.registerViews(spark, "/root/testdata/sf0.001")
     val r = spark.sql("SELECT jaro_winkler('martha', 'marhta') AS jw").collect()(0)
