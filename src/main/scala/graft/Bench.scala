@@ -55,6 +55,13 @@ object Bench {
         else Some((1 to 3).map { _ =>
           spark.catalog.clearCache()
           GraftCaches.releaseAll()
+          // GC BETWEEN the timed runs, not only after all three: the
+          // round-8 artifact showed ascending min→max spreads (2.27 →
+          // 15.44 s on the same plan) from storage/GC debt accumulating
+          // ACROSS a query's three runs — checkpoint blocks and driver
+          // state freed only via weak refs need a real GC to go away
+          // before the next timed run starts (round-8 VERDICT item 1).
+          System.gc()
           val t0 = System.nanoTime()
           run(name, fn)
           (System.nanoTime() - t0) / 1e9

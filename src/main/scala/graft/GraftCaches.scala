@@ -27,6 +27,7 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraftCaches {
   private val tracked = new ConcurrentLinkedQueue[DataFrame]()
+  private val pinnedRdds = new ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
 
   /** Persist `df` (MEMORY_AND_DISK: a working set larger than executor
     * storage spills instead of evicting mid-job) and register it for
@@ -45,11 +46,23 @@ object GraftCaches {
     * entire (per-round doubling) lineage, and for nondeterministic
     * columns like `spark_partition_id()` recomputing a DIFFERENT answer.
     * A checkpointed block is the data: MEMORY_AND_DISK spills instead of
-    * dropping, a genuinely lost block fails LOUDLY (lineage is gone), and
-    * the ContextCleaner frees blocks when the frame becomes unreachable —
-    * no registry entry needed. At cluster scale the same role is played
-    * by writing the round's state to a table. */
-  def pin(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+    * dropping, a genuinely lost block fails LOUDLY (lineage is gone).
+    * At cluster scale the same role is played by writing the round's
+    * state to a table.
+    *
+    * Release (round-8 VERDICT): ContextCleaner frees checkpoint blocks
+    * only after the frame is GC'd — on a large driver heap that can be
+    * MANY queries later, accumulating executor storage exactly like the
+    * pre-round-2 operator caches. So the checkpointed RDD is recorded
+    * here and [[releaseAll]] unpersists it explicitly: a pinned frame is
+    * never legitimately re-used after its query's action completes. */
+  def pin(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(eager = true)
+    cp.queryExecution.logical.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => pinnedRdds.add(lr.rdd)
+    }
+    cp
+  }
 
   /** Unpersist every tracked relation (non-blocking) and clear the
     * registry. Safe to call at any time: unpersisting a frame whose jobs
@@ -60,6 +73,11 @@ object GraftCaches {
     while (df != null) {
       df.unpersist(blocking = false)
       df = tracked.poll()
+    }
+    var rdd = pinnedRdds.poll()
+    while (rdd != null) {
+      rdd.unpersist(blocking = false)
+      rdd = pinnedRdds.poll()
     }
   }
 

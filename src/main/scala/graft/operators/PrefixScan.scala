@@ -130,9 +130,13 @@ object PrefixScan {
     val parted = pinned(
       df.repartitionByRange(full: _*).withColumn("_pid", spark_partition_id()))
     val totals = parted.groupBy(col("_pid") +: groupCols.map(col): _*)
-      .agg(sum(col(valueCol)).as("_tot"))
+      .agg(sum(col(valueCol)).as("_tot"),
+        sum(when(col(valueCol).isNull, 1L).otherwise(0L)).as("_nulls"))
       .collect()
-      .map(r => (r.getInt(0), groupCols.map(c => r.get(r.fieldIndex(c))), r.getLong(r.fieldIndex("_tot"))))
+      .map { r =>
+        requireNoNullValues(r.getLong(r.fieldIndex("_nulls")), valueCol)
+        (r.getInt(0), groupCols.map(c => r.get(r.fieldIndex(c))), r.getLong(r.fieldIndex("_tot")))
+      }
     // Exclusive per-group prefix over ascending pid.
     val offsets = totals.groupBy(_._2).iterator.flatMap { case (_, rows) =>
       val sorted = rows.sortBy(_._1)
@@ -150,7 +154,7 @@ object PrefixScan {
       spark.sparkContext.parallelize(offRows, 1), offSchema)
     val w = Window.partitionBy(col("_pid") +: groupCols.map(col): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    parted.join(broadcast(offDf), "_pid" +: groupCols)
+    nullSafeOffsetJoin(parted, offDf, groupCols)
       .withColumn(outCol, col("_off") + sum(col(valueCol)).over(w))
       .drop("_pid", "_off")
   }
@@ -167,9 +171,13 @@ object PrefixScan {
       df.repartitionByRange(full: _*).withColumn("_pid", spark_partition_id()))
     val sumType = parted.select(sum(col(valueCol)).as("s")).schema.head.dataType
     val totals = parted.groupBy(col("_pid") +: groupCols.map(col): _*)
-      .agg(sum(col(valueCol)).cast(sumType).as("_tot"))
+      .agg(sum(col(valueCol)).cast(sumType).as("_tot"),
+        sum(when(col(valueCol).isNull, 1L).otherwise(0L)).as("_nulls"))
       .collect()
-      .map(r => (r.getInt(0), groupCols.map(c => r.get(r.fieldIndex(c))), r.getDecimal(r.fieldIndex("_tot"))))
+      .map { r =>
+        requireNoNullValues(r.getLong(r.fieldIndex("_nulls")), valueCol)
+        (r.getInt(0), groupCols.map(c => r.get(r.fieldIndex(c))), r.getDecimal(r.fieldIndex("_tot")))
+      }
     val offsets = totals.groupBy(_._2).iterator.flatMap { case (_, rows) =>
       val sorted = rows.sortBy(_._1)
       sorted.map(_._1).zip(sorted.map(_._3)
@@ -188,10 +196,35 @@ object PrefixScan {
       .withColumn("_off", col("_off").cast(sumType))
     val w = Window.partitionBy(col("_pid") +: groupCols.map(col): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    parted.join(broadcast(offDf), "_pid" +: groupCols)
+    nullSafeOffsetJoin(parted, offDf, groupCols)
       .withColumn(outCol, (col("_off") + sum(col(valueCol)).over(w)).cast(sumType))
       .drop("_pid", "_off")
   }
+
+  /** Rejoin per-(pid, group) offsets NULL-SAFELY on the group keys:
+    * `Window.partitionBy` treats NULL as a real group, so a plain inner
+    * equi-join would silently drop NULL-keyed rows — `<=>` keeps them
+    * (round-8 ADVICE). Broadcast, and offDf's duplicate key columns are
+    * dropped after the join. */
+  private def nullSafeOffsetJoin(parted: DataFrame, offDf: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val off = broadcast(offDf)
+    val cond = (parted("_pid") === off("_pid")) +:
+      groupCols.map(c => parted(c) <=> off(c))
+    val joined = parted.join(off, cond.reduce(_ && _))
+    groupCols.foldLeft(joined.drop(off("_pid")))((d, c) => d.drop(off(c)))
+  }
+
+  /** Loud contract check (round-8 ADVICE): a NULL in the value column
+    * makes the two-phase scan diverge from the window it replaces (the
+    * window's running sum stays NULL until the group's first non-null,
+    * which per-partition offsets cannot reconstruct) — fail fast with
+    * the fix spelled out instead of NPE-ing on the driver. */
+  private def requireNoNullValues(nulls: Long, valueCol: String): Unit =
+    require(nulls == 0L,
+      s"PrefixScan: value column '$valueCol' contains $nulls NULL row(s); " +
+        "a running-sum window and this two-phase scan disagree on NULL " +
+        "prefixes. coalesce() the column (or filter NULLs) before the scan.")
 
   /** Structural fix for the cache-as-correctness hazard (round-4
     * VERDICT): `spark_partition_id()` is nondeterministic across

@@ -760,7 +760,11 @@ object MediaStreamQueries {
     val cohort = ev.groupBy("user_id")
       .agg(date_trunc("month", min(col("ts"))).as("cohort"))
     val per = graft.streaming.FunnelStream.funnel(ev, tolUs = 86400000000L).toDF()
-    per.join(cohort, "user_id")
+    // LEFT join from the FULL cohort relation (the oracle's allc CROSS JOIN
+    // scaffold): a cohort whose users have only non-funnel event types still
+    // emits its three zero rows, keeping the matrix shape |cohorts| × 3.
+    cohort.join(per, Seq("user_id"), "left")
+      .na.fill(0L, Seq("n_views", "n_s1", "n_s2"))
       .groupBy("cohort")
       .agg(sum("n_views").as("v_rows"),
         sum(when(col("n_views") > 0, 1L).otherwise(0L)).as("v_users"),
@@ -955,7 +959,8 @@ object MediaStreamQueries {
     val (a, b) = graft.operators.TextOps.MinhashSeeds(0)
     val m = graft.functions.PolyHash.Mod
     s"""WITH h AS (
-       |  SELECT DISTINCT event_type, (user_id * ${a} + ${b}) % ${m} AS h FROM events),
+       |  SELECT DISTINCT event_type,
+       |    (((user_id % ${m} + ${m}) % ${m}) * ${a} + ${b}) % ${m} AS h FROM events),
        |r AS (SELECT event_type, h,
        |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
        |      FROM h),

@@ -27,7 +27,7 @@ object AnomalyStream {
 
   final case class GapFlag(user_id: Long, event_id: Long, gap_s: Long, n_prior: Long)
 
-  final case class GapState(lastTs: Long, n: Long, s: Long, ss: Long)
+  final case class GapState(lastTs: Long, lastEid: Long, n: Long, s: Long, ss: Long)
 
   /** K = user_id, I = (user_id, ts_us, event_id). */
   final class GapProcessor extends StatefulProcessor[Long, (Long, Long, Long), GapFlag] {
@@ -43,19 +43,20 @@ object AnomalyStream {
       var state = if (st.exists()) st.get() else null
       val out = Vector.newBuilder[GapFlag]
       sorted.foreach { case (_, ts, id) =>
-        if (state == null) state = GapState(ts, 0L, 0L, 0L)
-        // A row older than the carried last event (late arrival across
-        // micro-batches; in-batch rows are sorted) would fold a NEGATIVE
-        // gap into (n, S, SS) and skew every later flag — drop it, the
+        if (state == null) state = GapState(ts, id, 0L, 0L, 0L)
+        // Strict (ts, event_id) frontier — the in-batch sort key — so an
+        // at-least-once REPLAY of the frontier row is a no-op and a
+        // cross-batch regression (which would fold a NEGATIVE gap into
+        // (n, S, SS) and skew every later flag) is dropped: the
         // streaming analogue of a watermark discard (TwapStream twin).
-        else if (ts >= state.lastTs) {
+        else if (ts > state.lastTs || (ts == state.lastTs && id > state.lastEid)) {
           val gap = java.lang.Math.floorDiv(ts - state.lastTs, 1000000L)
           if (state.n >= 5) {
             val lhs = BigInt(state.n) * gap - state.s
             val rhs = BigInt(9) * (BigInt(state.n) * state.ss - BigInt(state.s) * state.s)
             if (lhs * lhs > rhs) out += GapFlag(key, id, gap, state.n)
           }
-          state = GapState(ts, state.n + 1, state.s + gap, state.ss + gap * gap)
+          state = GapState(ts, id, state.n + 1, state.s + gap, state.ss + gap * gap)
         }
       }
       if (state != null) st.update(state)

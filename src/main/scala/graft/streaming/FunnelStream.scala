@@ -33,7 +33,8 @@ object FunnelStream {
 
   final case class FunnelCounts(user_id: Long, n_views: Long, n_s1: Long, n_s2: Long)
 
-  final case class FunnelState(lastTs: Long, nViews: Long, nS1: Long, nS2: Long,
+  final case class FunnelState(lastTs: Long, lastRank: Int, lastEid: Long,
+    nViews: Long, nS1: Long, nS2: Long,
     pendViews: Array[Long], pendS1: Array[Long])
 
   /** K = user_id, I = (user_id, ts_us, stage_rank, event_id). */
@@ -49,17 +50,20 @@ object FunnelStream {
         timers: TimerValues): Iterator[FunnelCounts] = {
       val sorted = rows.toArray.sortBy(r => (r._2, r._3, r._4))
       var state = if (st.exists()) st.get()
-        else FunnelState(Long.MinValue, 0L, 0L, 0L, Array.empty, Array.empty)
+        else FunnelState(Long.MinValue, Int.MinValue, Long.MinValue,
+          0L, 0L, 0L, Array.empty, Array.empty)
       var pendV = state.pendViews
       var pendS = state.pendS1
       var nV = state.nViews; var n1 = state.nS1; var n2 = state.nS2
-      var lastTs = state.lastTs
-      sorted.foreach { case (_, ts, stageRank, _) =>
-        // Cross-batch regression (late arrival): the frontiers ahead of
-        // this row may already be closed — drop it, the streaming
-        // analogue of a watermark discard (in-batch rows are sorted).
-        if (ts >= lastTs) {
-          lastTs = ts
+      var lastTs = state.lastTs; var lastRank = state.lastRank; var lastEid = state.lastEid
+      sorted.foreach { case (_, ts, stageRank, eid) =>
+        // Strict (ts, stage-rank, event_id) frontier — the exact in-batch
+        // sort key — so an at-least-once REPLAY of the frontier row is a
+        // no-op (idempotence) and a cross-batch regression is dropped,
+        // the streaming analogue of a watermark discard.
+        if (ts > lastTs || (ts == lastTs &&
+            (stageRank > lastRank || (stageRank == lastRank && eid > lastEid)))) {
+          lastTs = ts; lastRank = stageRank; lastEid = eid
           stageRank match {
             case 0 => // view: opens a pending-first-click slot
               nV += 1
@@ -80,7 +84,7 @@ object FunnelStream {
           if (pendS.nonEmpty && ts - pendS(0) > tolUs) pendS = pendS.filter(ts - _ <= tolUs)
         }
       }
-      st.update(FunnelState(lastTs, nV, n1, n2, pendV, pendS))
+      st.update(FunnelState(lastTs, lastRank, lastEid, nV, n1, n2, pendV, pendS))
       Iterator.single(FunnelCounts(key, nV, n1, n2))
     }
   }

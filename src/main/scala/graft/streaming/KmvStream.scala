@@ -44,7 +44,11 @@ object KmvStream {
         timers: TimerValues): Iterator[KmvEstimate] = {
       var arr = if (mins.exists()) mins.get() else Array.empty[Long]
       rows.foreach { case (_, uid) =>
-        val h = (uid * A + B) % PolyHash.Mod
+        // Wrap-free modular affine: reduce uid first (floorMod, so negative
+        // ids land in [0, Mod) instead of yielding negative hashes) — then
+        // reduced·A + B ≤ (1e9+6)·(1e9+6)+B < 2^63, no Long overflow for
+        // ANY id, matching the oracle's identically-reduced arithmetic.
+        val h = Math.floorMod(Math.floorMod(uid, PolyHash.Mod) * A + B, PolyHash.Mod)
         // Sorted-set insert, capped at K: skip if present or not below
         // the current k-th minimum once the sketch is full.
         val pos = java.util.Arrays.binarySearch(arr, h)

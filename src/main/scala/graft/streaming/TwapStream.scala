@@ -22,7 +22,8 @@ object TwapStream {
 
   final case class Twap(user_id: Long, n_intervals: Long, twap: Double)
 
-  final case class TwapState(lastTs: Long, lastCents: Long, svd: Long, sd: Long, n: Long)
+  final case class TwapState(lastTs: Long, lastEid: Long, lastCents: Long,
+    svd: Long, sd: Long, n: Long)
 
   /** K = user_id, I = (user_id, ts_us, event_id, cents). */
   final class TwapProcessor extends StatefulProcessor[Long, (Long, Long, Long, Long), Twap] {
@@ -36,15 +37,16 @@ object TwapStream {
         timers: TimerValues): Iterator[Twap] = {
       val sorted = rows.toArray.sortBy(r => (r._2, r._3))
       var state = if (st.exists()) st.get() else null
-      sorted.foreach { case (_, ts, _, cents) =>
-        if (state == null) state = TwapState(ts, cents, 0L, 0L, 0L)
-        // A reading older than the carried last one (late arrival across
-        // micro-batches; in-batch rows are sorted) would close a NEGATIVE
-        // interval and silently corrupt the exact accumulators — drop it,
-        // the streaming analogue of a watermark discard.
-        else if (ts >= state.lastTs) {
+      sorted.foreach { case (_, ts, eid, cents) =>
+        if (state == null) state = TwapState(ts, eid, cents, 0L, 0L, 0L)
+        // Strict (ts, event_id) frontier — the in-batch sort key — so an
+        // at-least-once REPLAY of the frontier row is a no-op and a
+        // cross-batch regression (which would close a NEGATIVE interval
+        // and corrupt the exact accumulators) is dropped: the streaming
+        // analogue of a watermark discard (Scd2Stream/FifoStream twin).
+        else if (ts > state.lastTs || (ts == state.lastTs && eid > state.lastEid)) {
           val d = java.lang.Math.floorDiv(ts - state.lastTs, 1000000L)
-          state = TwapState(ts, cents,
+          state = TwapState(ts, eid, cents,
             state.svd + state.lastCents * d, state.sd + d, state.n + 1)
         }
       }

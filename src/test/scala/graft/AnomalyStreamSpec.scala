@@ -89,4 +89,30 @@ class AnomalyStreamSpec extends AnyFunSuite {
     // All gaps that were folded are exactly 10 s → nothing deviates 3σ.
     assert(spark.table("anomaly_late_out").count() === 0)
   }
+
+  test("at-least-once replay of the exact frontier row is a no-op (round-8 ADVICE)") {
+    import java.sql.Timestamp
+    val t0 = 1704067200000L
+    def ev(id: Long, offSec: Long) = Ev(id, new Timestamp(t0 + offSec * 1000), 1L, "view", 1.0)
+    val stream = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
+    val ckpt = Files.createTempDirectory("graft-anomaly-replay-ckpt").toString
+    val q = AnomalyStream.gapAnomalies(stream.toDF())
+      .writeStream.format("memory").queryName("anomaly_replay_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      // Steady 10 s cadence to build stats past the 5-gap gate.
+      stream.addData((1L to 8L).map(i => ev(i, i * 10)))
+      q.processAllAvailable()
+      // Redeliver the frontier event (same ts AND event_id): with a
+      // ts-only >= guard it folds a ZERO gap into (n, S, SS) — the later
+      // steady 10 s gaps then deviate from the corrupted mean and flag.
+      stream.addData(Seq(ev(8L, 80)))
+      q.processAllAvailable()
+      stream.addData((9L to 14L).map(i => ev(i, i * 10)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // Every real gap is exactly 10 s → zero flags iff the replay was dropped.
+    assert(spark.table("anomaly_replay_out").count() === 0)
+  }
 }

@@ -30,6 +30,24 @@ class CacheLifecycleSpec extends AnyFunSuite {
       s"persistent RDDs grew: ${after -- before} remain after releaseAll")
   }
 
+  test("PrefixScan pin checkpoint blocks are freed by releaseAll (round-8 VERDICT 2)") {
+    // pin() localCheckpoints the range-partitioned input of every scan;
+    // before round 9 those blocks persisted until the frame was GC'd, so
+    // a long-lived session accumulated executor storage query after
+    // query. releaseAll must now unpersist them explicitly.
+    GraftCaches.releaseAll()
+    val before = GraftCaches.persistentRddIds(spark)
+    Seq("exact_quantiles", "weighted_median_by_group", "abc_classification").foreach { q =>
+      assert(SparkEntry.queries(q)(spark, dir).count() > 0, q)
+    }
+    assert(GraftCaches.persistentRddIds(spark).size > before.size,
+      "PrefixScan queries should have pinned checkpoint blocks while running")
+    GraftCaches.releaseAll()
+    val after = GraftCaches.persistentRddIds(spark)
+    assert(after.subsetOf(before),
+      s"pinned checkpoint RDDs leaked past releaseAll: ${after -- before}")
+  }
+
   test("bm25_search and retrieve_rerank track no caches (round-6 VERDICT 6/7)") {
     // bm25's token relation is single-consumer since the dl agg moved to a
     // size()-at-scan projection, so neither the lexical stage nor the

@@ -123,4 +123,31 @@ class FunnelStreamSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(last(3L) === ((1L, 1L, 1L)))
   }
+
+  test("at-least-once replay of the exact frontier row is a no-op (round-8 ADVICE)") {
+    // Batch 1 ends with a VIEW as the frontier; batch 2 redelivers that
+    // exact row (at-least-once). With a ts-only >= frontier the replay
+    // re-opens a second pending view (n_views = 2) which the later click/
+    // purchase then double-convert; the strict (ts, stage-rank, event_id)
+    // frontier must make the redelivery a no-op.
+    val stream = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
+    val ckpt = Files.createTempDirectory("graft-funnel-ckpt3").toString
+    val q = FunnelStream.funnel(stream.toDF(), Tol)
+      .writeStream.format("memory").queryName("funnel_out3")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    try {
+      stream.addData(Seq(ev(1, 1000L, 11, "view")))
+      q.processAllAvailable()
+      stream.addData(Seq(ev(1, 1000L, 11, "view"))) // exact frontier redelivery
+      q.processAllAvailable()
+      stream.addData(Seq(ev(2, 2000L, 11, "click"), ev(3, 2500L, 11, "purchase")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("funnel_out3")
+      .groupBy("user_id")
+      .agg(max("n_views").as("v"), max("n_s1").as("c"), max("n_s2").as("p"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(last(11L) === ((1L, 1L, 1L))) // the replay contributed NOTHING
+  }
 }

@@ -76,4 +76,28 @@ class KmvStreamSpec extends AnyFunSuite {
     val b = run(scala.util.Random.javaRandomToRandom(new java.util.Random(11)).shuffle(events))
     assert(a === b)
   }
+
+  test("negative and huge ids hash into [0, Mod) — no Long-wrap skew (round-8 ADVICE)") {
+    import java.sql.Timestamp
+    // Ids that overflow `uid * A` as a raw Long (the old affine wrapped
+    // silently and could go NEGATIVE, skewing tau); the reduced floorMod
+    // affine must agree with exact modular arithmetic for every id.
+    val ids = Seq(-1L, -987654321L, Long.MinValue + 7, Long.MaxValue - 3, 123L)
+    val events = ids.zipWithIndex.map { case (uid, i) =>
+      Ev(i.toLong + 1, new Timestamp(1000L * (i + 1)), uid, "view", 1.0) }
+    val got = KmvStream.distinctUsers(
+        spark.createDataset(events)(Encoders.product[Ev]).toDF())
+      .toDF().collect().map(r => (r.getLong(1), r.getDouble(2))).head
+    // 5 distinct ids, sketch under-full → exact count. The old wrap-prone
+    // hash could collide/misorder but still count 5 here, so ALSO pin the
+    // hash values themselves against BigInt ground truth.
+    assert(got === ((5L, 5.0)))
+    val m = graft.functions.PolyHash.Mod
+    ids.foreach { uid =>
+      val h = Math.floorMod(Math.floorMod(uid, m) * KmvStream.A + KmvStream.B, m)
+      val truth = ((BigInt(uid) * KmvStream.A + KmvStream.B) mod BigInt(m)).toLong
+      assert(h === truth, s"uid=$uid")
+      assert(h >= 0 && h < m)
+    }
+  }
 }

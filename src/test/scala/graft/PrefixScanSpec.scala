@@ -64,24 +64,32 @@ class PrefixScanSpec extends AnyFunSuite {
     assert(got == want)
   }
 
-  test("correct even when every cache is dropped between construction and action") {
+  test("correct under SQL-cache eviction; loud (never silently wrong) after release") {
     // Round-4 VERDICT: the scan used to depend on a CACHE holding so the
     // totals job and the window job observed the same `_pid` assignment —
-    // a correctness dependency on a performance hint. Now the ranged
-    // relation is localCheckpoint'ed (lineage truncated, recompute
-    // impossible), so dropping the entire SQL cache layer between query
-    // construction and the action — the worst case heap-pressure eviction
-    // can produce — must not change a single row.
+    // a correctness dependency on a performance hint. The ranged relation
+    // is localCheckpoint'ed (lineage truncated, recompute impossible), so
+    // dropping the entire SQL cache layer — the worst case heap-pressure
+    // eviction can produce — must not change a single row.
     import spark.implicits._
     val df = (1 to 3000).map(i => (i.toLong, ((i * 61) % 89 + 1).toLong)).toDF("id", "v")
     val scanned = PrefixScan.runningSumLong(df, "v", "cum", col("id"))
     spark.catalog.clearCache()   // drops every persisted SQL relation
-    GraftCaches.releaseAll()     // and every operator-tracked cache
     val got = scanned.orderBy("id").select("id", "cum").collect().toSeq
     val w = Window.orderBy(col("id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val want = df.withColumn("cum", sum("v").over(w))
       .orderBy("id").select("id", "cum").collect().toSeq
     assert(got == want)
+    // Round-8 VERDICT: releaseAll now ALSO frees the pin checkpoint
+    // blocks (the storage-accumulation fix). A frame acted on after its
+    // release — an API-contract violation, not an eviction — must fail
+    // LOUDLY (lineage is gone), never silently recompute a different
+    // `_pid` assignment.
+    val scanned2 = PrefixScan.runningSumLong(df, "v", "cum2", col("id"))
+    GraftCaches.releaseAll()
+    intercept[org.apache.spark.SparkException] {
+      scanned2.orderBy("id").select("cum2").collect()
+    }
   }
 
   test("empty input yields empty output") {
@@ -197,6 +205,55 @@ class PrefixScanSpec extends AnyFunSuite {
     assert(bare.isEmpty, "ntile plan must not contain an unpartitioned window")
     val got = out.orderBy("id").select("b").as[Long].collect()
     assert(got.toSeq == (1 to 4000).map(i => ((i - 1) / 1000 + 1).toLong))
+    GraftCaches.releaseAll()
+  }
+
+  test("grouped scan keeps NULL group keys as a real group (round-8 ADVICE)") {
+    import spark.implicits._
+    // Window.partitionBy treats NULL as its own partition; the offset
+    // rejoin is null-safe (<=>) so those rows must NOT be dropped.
+    val df = (1 to 900)
+      .map(i => (if (i % 3 == 0) None else Some(i % 2), i.toLong, (i % 13 + 1).toLong))
+      .toDF("g", "id", "v")
+    val got = PrefixScan.groupedRunningSumLong(df, Seq("g"), "v", "cum", col("id"))
+      .orderBy(col("g").asc_nulls_first, col("id"))
+      .select("g", "id", "cum").collect().toSeq
+    val w = Window.partitionBy("g").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("cum", sum("v").over(w))
+      .orderBy(col("g").asc_nulls_first, col("id"))
+      .select("g", "id", "cum").collect().toSeq
+    assert(got == want)
+    assert(got.size == 900, "NULL-group rows were dropped by the offset rejoin")
+    GraftCaches.releaseAll()
+
+    // Decimal edition, same contract.
+    val ddf = df.select(col("g"), col("id"),
+      col("v").cast(org.apache.spark.sql.types.DecimalType(14, 2)).as("v"))
+    val dgot = PrefixScan.groupedRunningSumDecimal(ddf, Seq("g"), "v", "cum", col("id"))
+      .orderBy(col("g").asc_nulls_first, col("id")).select("g", "id", "cum").collect().toSeq
+    val dwant = ddf.withColumn("cum", sum("v").over(w))
+      .orderBy(col("g").asc_nulls_first, col("id")).select("g", "id", "cum").collect().toSeq
+    assert(dgot == dwant)
+    GraftCaches.releaseAll()
+  }
+
+  test("grouped scan fails LOUDLY on NULL values instead of diverging (round-8 ADVICE)") {
+    import spark.implicits._
+    val df = (1 to 100)
+      .map(i => (i % 2, i.toLong, if (i == 37) None else Some((i % 7 + 1).toLong)))
+      .toDF("g", "id", "v")
+    val e = intercept[IllegalArgumentException] {
+      PrefixScan.groupedRunningSumLong(df, Seq("g"), "v", "cum", col("id")).count()
+    }
+    assert(e.getMessage.contains("NULL"))
+    GraftCaches.releaseAll()
+    val ddf = df.select(col("g"), col("id"),
+      col("v").cast(org.apache.spark.sql.types.DecimalType(14, 2)).as("v"))
+    val ed = intercept[IllegalArgumentException] {
+      PrefixScan.groupedRunningSumDecimal(ddf, Seq("g"), "v", "cum", col("id")).count()
+    }
+    assert(ed.getMessage.contains("NULL"))
     GraftCaches.releaseAll()
   }
 }

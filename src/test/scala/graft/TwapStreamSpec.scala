@@ -89,4 +89,33 @@ class TwapStreamSpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() === 0)
     assert(a.count() === b.count())
   }
+
+  test("at-least-once replay of the exact frontier row is a no-op (round-8 ADVICE)") {
+    import java.sql.Timestamp
+    val t0 = 1704067200000L
+    def ev(id: Long, offSec: Long, v: Double) =
+      Ev(id, new Timestamp(t0 + offSec * 1000), 1L, "view", v)
+    val stream = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
+    val ckpt = Files.createTempDirectory("graft-twap-replay-ckpt").toString
+    val q = TwapStream.twap(stream.toDF())
+      .writeStream.format("memory").queryName("twap_replay_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    try {
+      stream.addData(Seq(ev(1, 0, 10.0), ev(2, 100, 20.0)))
+      q.processAllAvailable()
+      // Redeliver the frontier reading (same ts AND same event_id): with a
+      // ts-only >= guard this re-closes a zero-length interval and bumps
+      // n_intervals; the strict (ts, event_id) frontier must drop it.
+      stream.addData(Seq(ev(2, 100, 20.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(ev(3, 200, 30.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val top = spark.table("twap_replay_out")
+      .orderBy(col("n_intervals").desc).collect().head
+    // Two closed intervals only: [0,100)@10, [100,200)@20 → twap 15.
+    assert(top.getAs[Long]("n_intervals") === 2L)
+    assert(math.abs(top.getAs[Double]("twap") - 15.0) < 1e-12)
+  }
 }
