@@ -1483,29 +1483,71 @@ object DedupQueries {
     * quadratic TRUE-pair count — there PPJoin is the wrong tool and the
     * capped LSH generator (`dedup_minhash_pairs`, maxBucket) is the
     * right one; this query exists for the exactness-mandatory cases. */
-  def ppjoinPairs(spark: SparkSession, dir: String): DataFrame = {
-    val t = 0.6
-    val w = graft.GraftCaches.track(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), TextOps.words(col("text")).as("l"))
-        .filter(size(col("l")) >= 3)
-        .select(col("doc_id"), array_sort(TextOps.shingleHashes(col("l"))).as("hs"))
-        .withColumn("n", size(col("hs")).cast("long")))
+  def ppjoinPairs(spark: SparkSession, dir: String): DataFrame =
+    ppjoinPairsImpl(spark, dir, positional = true)
+
+  /** Candidate (doc_a, doc_b) pairs surviving the filter stack — exposed
+    * for the spec that proves the positional filter strictly prunes.
+    * t = 3/5 throughout, kept as an exact rational so every filter bound
+    * is INTEGER arithmetic (never a float ceil that could over-prune):
+    * length filter min ≥ t·max ⟺ 5·min ≥ 3·max; equivalent-overlap
+    * threshold Jaccard ≥ 3/5 ⟺ 8·inter ≥ 3·(na+nb) ⟺
+    * inter ≥ α = ⌈3·(na+nb)/8⌉ = (3·(na+nb)+7) DIV 8.
+    *
+    * POSITIONAL filter (the "P" in PPJoin, Xiao et al. 2008 §3.2): both
+    * token lists are sorted by the same global (df, h) order, so for a
+    * candidate pair every common token at-or-before the LAST prefix-prefix
+    * match sits inside BOTH prefixes (its positions are bounded by the
+    * match's) and is therefore itself a prefix match. Hence with m prefix
+    * matches whose last occurrence is at positions (imax, jmax):
+    * overlap ≤ m + min(na − imax, nb − jmax). Prune when that upper bound
+    * cannot reach α — before the array-intersect verify ever runs. */
+  private[graft] def ppjoinCandidates(spark: SparkSession, dir: String,
+      positional: Boolean): DataFrame =
+    ppjoinCandidatesFrom(ppjoinShingles(spark, dir), positional)
+
+  private def ppjoinCandidatesFrom(w: DataFrame, positional: Boolean): DataFrame = {
     val dfreq = w.select(explode(col("hs")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
     val ordered = w.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
       .join(dfreq, "h")
       .groupBy("doc_id", "n")
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("toks"))
-    val p = (col("n") - ceil(lit(t) * col("n")) + 1L).cast("int")
+    // Prefix length |x| − ⌈t·|x|⌉ + 1 = n − ⌈3n/5⌉ + 1, integer-exact.
+    val p = expr("CAST(n - (3*n + 4) DIV 5 + 1 AS INT)")
     val prefixes = ordered.select(col("doc_id"), col("n"),
-      explode(slice(transform(col("toks"), s => s.getField("h")), lit(1), p)).as("h"))
-    val cand = prefixes.select(col("doc_id").as("doc_a"), col("n").as("na"), col("h"))
-      .join(prefixes.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("h")), Seq("h"))
+      posexplode(slice(transform(col("toks"), s => s.getField("h")), lit(1), p)))
+      .withColumnRenamed("pos", "i").withColumn("i", col("i") + 1) // 1-based
+      .withColumnRenamed("col", "h")
+    val matched = prefixes
+      .select(col("doc_id").as("doc_a"), col("n").as("na"), col("i").as("ia"), col("h"))
+      .join(prefixes.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+        col("i").as("jb"), col("h")), Seq("h"))
       .filter(col("doc_a") < col("doc_b") &&
-        least(col("na"), col("nb")).cast("double") >=
-          lit(t) * greatest(col("na"), col("nb")).cast("double"))
-      .select("doc_a", "doc_b").distinct()
+        lit(5L) * least(col("na"), col("nb")) >= lit(3L) * greatest(col("na"), col("nb")))
+    val grouped = matched.groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("m"), max("ia").as("imax"), max("jb").as("jmax"))
+    val pruned =
+      if (!positional) grouped
+      else grouped.filter(
+        col("m") + least(col("na") - col("imax"), col("nb") - col("jmax")) >=
+          expr("(3*(na + nb) + 7) DIV 8"))
+    pruned.select("doc_a", "doc_b")
+  }
+
+  private def ppjoinShingles(spark: SparkSession, dir: String): DataFrame =
+    graft.GraftCaches.track(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), TextOps.words(col("text")).as("l"))
+        .filter(size(col("l")) >= 3)
+        .select(col("doc_id"), array_sort(TextOps.shingleHashes(col("l"))).as("hs"))
+        .withColumn("n", size(col("hs")).cast("long")))
+
+  private def ppjoinPairsImpl(spark: SparkSession, dir: String,
+      positional: Boolean): DataFrame = {
+    val t = 0.6
+    val w = ppjoinShingles(spark, dir)
+    val cand = ppjoinCandidatesFrom(w, positional)
     val inter = size(array_intersect(col("hs_a"), col("hs_b"))).cast("long")
     cand
       .join(w.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("n").as("n_a")), "doc_a")
