@@ -240,6 +240,144 @@ object MediaStreamQueries {
       |  CAST(SUM(g_bytes - k_bytes) AS BIGINT) AS bytes_saved
       |FROM g GROUP BY modality ORDER BY modality""".stripMargin
 
+  /** Pixel-level perceptual near-dup pairs — the fingerprint family
+    * member `media_dedup`'s content checksum cannot cover: a re-encoded
+    * or resized duplicate changes every byte (new checksum) but barely
+    * moves the pooled signal, so its 56-bit dHash
+    * ([[graft.functions.PerceptualHash]], native codegen) lands within a
+    * few bits. Candidate generation is SimHash-style banding: 7 bands of
+    * 8 bits; by pigeonhole any pair with Hamming ≤ 6 shares at least one
+    * full band, so the (modality, band, value) equi-join is LOSSLESS up
+    * to 6 and PROBABILISTIC in the verify range 7..12 (the standard
+    * multi-index trade: measured 75% recall at d≤12 on the fixture; a
+    * deployment wanting more recall adds rotated band sets, the same
+    * equi-join shape). The corpus is never self-joined, the shuffle
+    * carries (band key, doc_id, fp) only, and the verify is one
+    * `bit_count(xor)` per candidate. The oracle rebuilds the identical
+    * fingerprint AND the shared-band condition from byte arithmetic, so
+    * the hash check proves the native expression, the band algebra, and
+    * the verify threshold together. 100 TB shape: band buckets are
+    * bounded by fingerprint collisions (56-bit space), and a skewed
+    * bucket (constant-signal payloads) caps the same way the LSH
+    * maxBucket family does. */
+  def mediaNeardupPairs(spark: SparkSession, dir: String): DataFrame =
+    neardupPairEdges(spark, dir)
+      .select("modality", "doc_a", "doc_b", "hamming", "n_a", "n_b")
+      .orderBy("doc_a", "doc_b")
+
+  /** The banded perceptual-pair relation behind [[mediaNeardupPairs]]
+    * and [[mediaNeardupClusters]] (unsorted, full columns).
+    *
+    * SKEW DISCIPLINE: identical fingerprints collapse to ONE
+    * representative row (min doc_id, group size carried) BEFORE the band
+    * join — the dominant media skew at corpus scale is the same asset
+    * re-uploaded millions of times, and a raw self-join would square
+    * that mass inside one band bucket; after the collapse a bucket's
+    * size is bounded by DISTINCT fingerprints per 8-bit band value.
+    * Same-fp duplicates are exact dups, already media_dedup's job; this
+    * relation's pairs are strictly 1 ≤ hamming ≤ 12 between distinct
+    * fingerprints. */
+  private def neardupPairEdges(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
+      graft.functions.PerceptualHash.of(col("text").cast("binary")).as("fp"))
+    val rep = graft.GraftCaches.track(
+      fp.groupBy("modality", "fp")
+        .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n")))
+    val bands = rep.select(col("modality"), col("fp"), col("rep_id"), col("n"),
+        explode(sequence(lit(0), lit(6))).as("band"))
+      .withColumn("key", expr("(fp >> (band * 8)) & 255"))
+    bands.select(col("modality"), col("band"), col("key"),
+        col("rep_id").as("doc_a"), col("fp").as("fp_a"), col("n").as("n_a"))
+      .join(bands.select(col("modality"), col("band"), col("key"),
+        col("rep_id").as("doc_b"), col("fp").as("fp_b"), col("n").as("n_b")),
+        Seq("modality", "band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("modality", "doc_a", "doc_b", "fp_a", "fp_b", "n_a", "n_b").distinct()
+      .withColumn("hamming", expr("CAST(bit_count(fp_a ^ fp_b) AS BIGINT)"))
+      .filter(col("hamming") <= 12)
+  }
+
+  /** Perceptual duplicate FAMILIES: the near-dup pair graph resolved to
+    * true connected components via the iterate-until-stable min-label
+    * fold ([[graft.operators.Dedup.duplicateComponentsConverged]] — the
+    * same distributed fixpoint the text dedup family rides), so a chain
+    * of re-encodes (A≈B≈C with A,C beyond the bit threshold) still lands
+    * in ONE family with the min doc_id as canonical. The oracle computes
+    * the components with deliberately different math (recursive
+    * reachability closure), cross-checking the Spark fixpoint against an
+    * exact transitive closure. Scale: pair generation is the banded
+    * equi-join above; each fixpoint round is a (src ↔ label) hash join +
+    * grouped min — shuffles carry (id, label) pairs only. */
+  def mediaNeardupClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.duplicateComponentsConverged(
+        neardupPairEdges(spark, dir))
+      .orderBy("doc_id")
+
+  /** DuckDB rebuild of the 56-bit dHash from byte arithmetic — shared by
+    * the pair and cluster oracles. */
+  private val perceptualFpCte: String =
+    """b AS (
+      |  SELECT doc_id,
+      |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
+      |    list_transform(string_split(text,''), c -> ascii(c)::BIGINT) AS bs
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, modality,
+      |    list_transform(range(0, 64), k ->
+      |      CASE WHEN (k+1)*n//64 - k*n//64 = 0 THEN 0
+      |           ELSE CAST(list_sum(bs[(k*n//64 + 1):((k+1)*n//64)]) AS BIGINT)
+      |                  // ((k+1)*n//64 - k*n//64) END) AS cells
+      |  FROM (SELECT doc_id, modality, bs, len(bs) AS n FROM b)),
+      |f AS (
+      |  SELECT doc_id, modality,
+      |    CAST(list_sum(list_transform(range(0, 56), i ->
+      |      CASE WHEN cells[CAST((i//7)*8 + (i%7) + 1 AS INT)]
+      |             > cells[CAST((i//7)*8 + (i%7) + 2 AS INT)]
+      |           THEN 1::BIGINT << i ELSE 0::BIGINT END)) AS BIGINT) AS fp
+      |  FROM c)""".stripMargin
+
+  /** The engine's candidate semantics verbatim: distinct-fingerprint
+    * representatives, Hamming ≤ 12, AND at least one shared 8-bit band
+    * (the equi-join's reach). */
+  private val pairCondSql: String =
+    """bit_count(xor(a.fp, b.fp)) <= 12
+      |    AND len(list_filter(range(0, 7),
+      |          k -> (a.fp >> (k*8)) & 255 = (b.fp >> (k*8)) & 255)) >= 1""".stripMargin
+
+  private val repCteSql: String =
+    """rep AS (
+      |  SELECT modality, fp, MIN(doc_id) AS rep_id, COUNT(*) AS n
+      |  FROM f GROUP BY modality, fp)""".stripMargin
+
+  val mediaNeardupPairsSql: String =
+    s"""WITH $perceptualFpCte,
+       |$repCteSql
+       |SELECT a.modality AS modality, a.rep_id AS doc_a, b.rep_id AS doc_b,
+       |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming,
+       |  a.n AS n_a, b.n AS n_b
+       |FROM rep a JOIN rep b ON a.modality = b.modality AND a.rep_id < b.rep_id
+       |WHERE $pairCondSql
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val mediaNeardupClustersSql: String =
+    s"""WITH RECURSIVE $perceptualFpCte,
+       |$repCteSql,
+       |cand AS MATERIALIZED (
+       |  SELECT a.rep_id AS doc_a, b.rep_id AS doc_b
+       |  FROM rep a JOIN rep b ON a.modality = b.modality AND a.rep_id < b.rep_id
+       |  WHERE $pairCondSql),
+       |e2 AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM cand
+       |       UNION ALL SELECT doc_b, doc_a FROM cand),
+       |reach(doc_id, lab) AS (
+       |  SELECT DISTINCT src, src FROM e2
+       |  UNION
+       |  SELECT e2.dst, r.lab FROM reach r JOIN e2 ON e2.src = r.doc_id)
+       |SELECT doc_id, MIN(lab) AS comp_id, doc_id = MIN(lab) AS is_keeper
+       |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** mapGroupsWithState stateful aggregation, exercised in batch mode.
     * "Last" is arg_max by event_id (deterministic), so the typed state
     * fold is hash-checked against DuckDB's arg_max. */
@@ -1008,7 +1146,9 @@ object MediaStreamQueries {
     "sessionize_stateful" -> (sessionizeStateful _),
     "sessionize_closed" -> (sessionizeClosed _),
     "stream_interval_join" -> (streamIntervalJoin _),
-    "media_dedup" -> (mediaDedup _))
+    "media_dedup" -> (mediaDedup _),
+    "media_neardup_pairs" -> (mediaNeardupPairs _),
+    "media_neardup_clusters" -> (mediaNeardupClusters _))
 
   val oracles: Map[String, String] = Map(
     "stream_twap" -> streamTwapSql,
@@ -1046,5 +1186,7 @@ object MediaStreamQueries {
     "sessionize_stateful" -> Relational.sessionizeSql,
     "sessionize_closed" -> sessionizeClosedSql,
     "stream_interval_join" -> streamIntervalJoinSql,
-    "media_dedup" -> mediaDedupSql)
+    "media_dedup" -> mediaDedupSql,
+    "media_neardup_pairs" -> mediaNeardupPairsSql,
+    "media_neardup_clusters" -> mediaNeardupClustersSql)
 }
