@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupQueries, MediaStreamQueries, Parsing, Relational, SimilarityQueries, TextQueries}
+import graft.queries.{CurationQueries, DedupQueries, MediaStreamQueries, Parsing, Relational, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,14 +20,26 @@ object SparkEntry {
       (TextQueries.queries, TextQueries.oracles),
       (DedupQueries.queries, DedupQueries.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles),
-      (MediaStreamQueries.queries, MediaStreamQueries.oracles))
+      (MediaStreamQueries.queries, MediaStreamQueries.oracles),
+      (CurationQueries.queries, CurationQueries.oracles))
+
+  /** Merges per-module maps, failing LOUDLY on a duplicate query name —
+    * a plain `++` would let a later module silently shadow an earlier
+    * query (round 9 caught `pack_sequences` being swallowed exactly this
+    * way: the surface shrank by one with every gate still green). */
+  private def merged[V](parts: Iterator[Map[String, V]]): Map[String, V] =
+    parts.reduce { (a, b) =>
+      val dup = a.keySet.intersect(b.keySet)
+      require(dup.isEmpty, s"duplicate query names across modules: $dup")
+      a ++ b
+    }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.iterator.map(_._1).reduce(_ ++ _)
+    merged(modules.iterator.map(_._1))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    modules.iterator.map(_._2).reduce(_ ++ _)
+    merged(modules.iterator.map(_._2))
 }

@@ -220,6 +220,49 @@ object TextQueries {
     * is emitted as its own flag so downstream can audit WHICH rule
     * rejected a document (the corpus-card composition need), not just
     * that one did. */
+  /** Gopher-style REPETITION profile per source: the share of 3-gram
+    * occurrences that are repeats of an earlier gram in the same
+    * document — the "duplicated n-gram fraction" screen that catches
+    * boilerplate/spam a length-or-stopword rule can't. Gram hashes ride
+    * the native [[graft.functions.WindowFoldHashes]] fold (one tight
+    * loop per doc, no per-window slices); aggregation is exact BIGINT
+    * sums per source with ONE IEEE division for the share — scan +
+    * grouped agg, shuffle carries (source, two counters). */
+  def repNgramProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), graft.operators.TextOps.words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("source"),
+        graft.functions.WindowFoldHashes.of(col("ws"), 3).as("hs"))
+      .select(col("source"), size(col("hs")).cast("bigint").as("t"),
+        size(array_distinct(col("hs"))).cast("bigint").as("d"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("t").as("grams_total"), sum("d").as("grams_distinct"))
+      .withColumn("rep_share",
+        (col("grams_total") - col("grams_distinct")).cast("double")
+          / col("grams_total").cast("double"))
+      .orderBy("source")
+
+  val repNgramProfileSql: String =
+    s"""WITH g AS (
+       |  SELECT source,
+       |    list_transform(range(1, len(whs)-1),
+       |      i -> ((whs[i]*31 + whs[i+1]) % ${PolyHash.Mod} * 31 + whs[i+2]) % ${PolyHash.Mod}) AS hs
+       |  FROM (
+       |    SELECT source,
+       |      list_transform(ws, w ->
+       |        list_reduce(list_prepend(0::BIGINT, list_transform(string_split(w,''), c -> ascii(c)::BIGINT)),
+       |                    (a,b) -> (a*31+b) % ${PolyHash.Mod})) AS whs
+       |    FROM (SELECT source, list_filter(string_split(text,' '), x -> x != '') AS ws FROM documents)
+       |    WHERE len(ws) >= 3))
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(hs)) AS BIGINT) AS grams_total,
+       |  CAST(SUM(len(list_distinct(hs))) AS BIGINT) AS grams_distinct,
+       |  CAST(SUM(len(hs)) - SUM(len(list_distinct(hs))) AS DOUBLE)
+       |    / CAST(SUM(len(hs)) AS DOUBLE) AS rep_share
+       |FROM g GROUP BY source ORDER BY source""".stripMargin
+
   def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
     val toks = org.apache.spark.sql.functions.filter(split(col("text"), " "), w => w =!= "")
     val wordsOk = col("n_words") >= 30 && col("n_words") <= 5000
@@ -3471,6 +3514,7 @@ object TextQueries {
     "source_quota_cap" -> (sourceQuotaCap _),
     "filter_funnel" -> (filterFunnel _),
     "gopher_quality" -> (gopherQuality _),
+    "rep_ngram_profile" -> (repNgramProfile _),
     "doc_fingerprint" -> (docFingerprint _),
     "mlm_mask_plan" -> (mlmMaskPlan _),
     "pareto_frontier" -> (paretoFrontier _),
@@ -3554,6 +3598,7 @@ object TextQueries {
     "source_quota_cap" -> sourceQuotaCapSql,
     "filter_funnel" -> filterFunnelSql,
     "gopher_quality" -> gopherQualitySql,
+    "rep_ngram_profile" -> repNgramProfileSql,
     "doc_fingerprint" -> docFingerprintSql,
     "mlm_mask_plan" -> mlmMaskPlanSql,
     "pareto_frontier" -> paretoFrontierSql,

@@ -88,6 +88,10 @@ class PlanGuardSpec extends AnyFunSuite {
       // ks_drift: the 1-row cohort-totals scalar cross-broadcast onto the
       // distinct-score-level relation (same shape as source_mix_weights).
       "ks_drift",
+      // domain_mixture_weights: the 1-row (max_tokens, all_tokens)
+      // aggregate cross-broadcast onto the per-source totals — the
+      // source_mix_weights scalar shape.
+      "domain_mixture_weights",
       // bigram_lift: the 1-row (t_uni x t_bi) scalar cross-broadcast onto
       // the >=5-count bigram relation (same shape as source_mix_weights).
       "bigram_lift",

@@ -316,6 +316,57 @@ class ScaleSmokeSpec extends AnyFunSuite {
     GraftCaches.releaseAll()
   }
 
+  test(s"perceptual near-dup banding completes at $nDocs docs (round-8 VERDICT 4)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scale-phash").toString
+    synthDocs(nDocs).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // The synthetic corpus's tiny vocabulary makes fingerprints collide
+    // MASSIVELY — exactly the re-uploaded-asset skew the rep collapse
+    // exists for: identical fps fold to one row before the band join, so
+    // the smoke proves the worst-skew regime completes, not just runs.
+    val pairs = graft.queries.MediaStreamQueries.queries("media_neardup_pairs")(spark, tmp)
+    banned(pairs)
+    val n = timed(s"media_neardup_pairs over $nDocs docs")(pairs.count())
+    assert(n >= 0L)
+    GraftCaches.releaseAll()
+    val clusters = graft.queries.MediaStreamQueries
+      .queries("media_neardup_clusters")(spark, tmp)
+    banned(clusters)
+    val c = timed(s"media_neardup_clusters over $nDocs docs")(clusters.count())
+    assert(c >= 0L)
+    GraftCaches.releaseAll()
+  }
+
+  test(s"curation family (split/trim/mix/pack) completes at $nDocs docs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scale-cur").toString
+    // SyntheticDocs carries no `source`; derive the fixture's 20-source
+    // domain so the per-source queries see realistic group cardinality.
+    synthDocs(nDocs)
+      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20))))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val qs = graft.queries.CurationQueries.queries
+    // pack_sequences: groups are CONSTRUCTED bounded (doc_id DIV 64), so
+    // shard count grows with the corpus and no group ever exceeds 64
+    // docs — assert that invariant at this size, not just completion.
+    val pack = qs("pack_context_bins")(spark, tmp)
+    val overfull = timed(s"pack_context_bins over $nDocs docs")(
+      pack.filter(col("n_docs") > 64).count())
+    assert(overfull === 0L, "a pack bin exceeded its shard's 64-doc bound")
+    GraftCaches.releaseAll()
+    // token_budget_trim rides the grouped PrefixScan — completion +
+    // no-partition-less-window is pinned by the grouped-scan smoke above;
+    // here assert the trim's budget invariant holds at size.
+    val trim = qs("token_budget_trim")(spark, tmp)
+    val viol = timed(s"token_budget_trim over $nDocs docs")(
+      trim.filter(col("tokens_kept") > 600L).count())
+    assert(viol === 0L, "a source exceeded its token budget")
+    GraftCaches.releaseAll()
+    val split = qs("stratified_split")(spark, tmp)
+    val total = timed(s"stratified_split over $nDocs docs")(
+      split.agg(sum("n_docs")).head().getLong(0))
+    assert(total === nDocs)
+    GraftCaches.releaseAll()
+  }
+
   test(s"media shard packing completes at $nDocs docs") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-scale-docs").toString
     synthDocs(nDocs).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
