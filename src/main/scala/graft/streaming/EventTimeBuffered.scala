@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** Watermark-buffered base for event-time editions of the stateful
+  * family (round-8 VERDICT 5): the ordered-arrival processors document a
+  * per-key ordered-delivery contract and drop cross-batch regressions;
+  * this base replaces that contract with the standard event-time recipe —
+  * buffer arrivals in whatever disorder the transport delivers, arm an
+  * event-time timer just past the current watermark, and when it fires
+  * fold exactly the buffered rows with `event time < watermark` in true
+  * event-time order through the subclass's fold. The watermark contract
+  * guarantees no later arrival can precede a flushed row (disorder
+  * bounded by the watermark delay), so any shuffle of the same events
+  * across micro-batches reproduces the ordered run bit-for-bit; rows at
+  * or after the watermark stay buffered for the next firing.
+  *
+  * State per key = the subclass's fold state plus a buffer bounded by
+  * the events inside one watermark-delay window. Timer discipline: ONE
+  * live timer per key, re-armed (never left behind) on every input and
+  * every firing while the buffer is non-empty; the arm position
+  * `watermark + 1 ms` fires at the next watermark advance.
+  *
+  * Ordering facts this relies on (pinned by the event-time specs):
+  * within a micro-batch Spark processes input rows BEFORE expired
+  * timers, and timer expiry compares against the batch's eviction
+  * watermark; both `handleInputRows` and `handleExpiredTimer` see that
+  * watermark via `TimerValues`. */
+abstract class EventTimeBufferedProcessor[I, S, O](
+    iEnc: Encoder[I], sEnc: Encoder[S])(implicit ct: scala.reflect.ClassTag[I])
+    extends StatefulProcessor[Long, I, O] {
+
+  /** Event time of a buffered row, in MICROSECONDS. */
+  protected def tsOf(row: I): Long
+
+  /** Folds the ripe rows (already filtered to `tsOf < watermark`, NOT
+    * yet sorted — sort with the twin processor's exact key) into the
+    * carried state and produces this flush's emissions (running
+    * aggregates emit the latest state; per-event detectors emit one row
+    * per qualifying ripe event). Must be the SAME fold as the
+    * ordered-arrival twin, strict frontier included, so
+    * replays/regressions keep their discard semantics. */
+  protected def fold(key: Long, state: Option[S], ripe: Array[I]): (S, Iterator[O])
+
+  @transient private var st: ValueState[S] = _
+  @transient private var buf: ListState[I] = _
+  @transient private var tmr: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    st = getHandle.getValueState[S]("fold", sEnc, TTLConfig.NONE)
+    buf = getHandle.getListState[I]("buf", iEnc, TTLConfig.NONE)
+    tmr = getHandle.getValueState[Long]("tmr", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  private def armTimer(wmMs: Long): Unit = {
+    val at = wmMs + 1L
+    if (!tmr.exists() || tmr.get() < at) {
+      if (tmr.exists()) getHandle.deleteTimer(tmr.get())
+      getHandle.registerTimer(at)
+      tmr.update(at)
+    }
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[I],
+      timers: TimerValues): Iterator[O] = {
+    rows.foreach(buf.appendValue)
+    armTimer(timers.getCurrentWatermarkInMs())
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[O] = {
+    tmr.clear()
+    val wmUs = timers.getCurrentWatermarkInMs() * 1000L
+    val all = buf.get().toArray
+    // Strict `<`: a row carrying EXACTLY the watermark timestamp may
+    // still gain equal-ts peers in later batches; it is final only once
+    // the watermark moves past it.
+    val (ripe, green) = all.partition(r => tsOf(r) < wmUs)
+    if (green.isEmpty) buf.clear() else buf.put(green)
+    if (green.nonEmpty) armTimer(timers.getCurrentWatermarkInMs())
+    if (ripe.isEmpty) Iterator.empty
+    else {
+      val prev = if (st.exists()) Some(st.get()) else None
+      val (next, out) = fold(key, prev, ripe)
+      st.update(next)
+      out
+    }
+  }
+}

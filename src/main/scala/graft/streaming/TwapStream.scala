@@ -25,6 +25,32 @@ object TwapStream {
   final case class TwapState(lastTs: Long, lastEid: Long, lastCents: Long,
     svd: Long, sd: Long, n: Long)
 
+  /** Folds (user, ts, eid, cents) rows — sorted here by the (ts,
+    * event_id) frontier key — into the carried state. The strict
+    * frontier makes an at-least-once REPLAY of the frontier row a no-op
+    * and drops a cross-batch regression (which would close a NEGATIVE
+    * interval and corrupt the exact accumulators): the streaming
+    * analogue of a watermark discard (Scd2Stream/FifoStream twin).
+    * Shared by the ordered-arrival and event-time processors. */
+  private[streaming] def foldSorted(state: TwapState,
+      rows: Array[(Long, Long, Long, Long)]): TwapState = {
+    var s = state
+    rows.sortBy(r => (r._2, r._3)).foreach { case (_, ts, eid, cents) =>
+      if (s == null) s = TwapState(ts, eid, cents, 0L, 0L, 0L)
+      else if (ts > s.lastTs || (ts == s.lastTs && eid > s.lastEid)) {
+        val d = java.lang.Math.floorDiv(ts - s.lastTs, 1000000L)
+        s = TwapState(ts, eid, cents,
+          s.svd + s.lastCents * d, s.sd + d, s.n + 1)
+      }
+    }
+    s
+  }
+
+  private def emitTwap(key: Long, s: TwapState): Iterator[Twap] =
+    if (s != null && s.sd > 0)
+      Iterator.single(Twap(key, s.n, s.svd.toDouble / (100.0 * s.sd.toDouble)))
+    else Iterator.empty
+
   /** K = user_id, I = (user_id, ts_us, event_id, cents). */
   final class TwapProcessor extends StatefulProcessor[Long, (Long, Long, Long, Long), Twap] {
     @transient private var st: ValueState[TwapState] = _
@@ -35,27 +61,42 @@ object TwapStream {
 
     override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long, Long)],
         timers: TimerValues): Iterator[Twap] = {
-      val sorted = rows.toArray.sortBy(r => (r._2, r._3))
-      var state = if (st.exists()) st.get() else null
-      sorted.foreach { case (_, ts, eid, cents) =>
-        if (state == null) state = TwapState(ts, eid, cents, 0L, 0L, 0L)
-        // Strict (ts, event_id) frontier — the in-batch sort key — so an
-        // at-least-once REPLAY of the frontier row is a no-op and a
-        // cross-batch regression (which would close a NEGATIVE interval
-        // and corrupt the exact accumulators) is dropped: the streaming
-        // analogue of a watermark discard (Scd2Stream/FifoStream twin).
-        else if (ts > state.lastTs || (ts == state.lastTs && eid > state.lastEid)) {
-          val d = java.lang.Math.floorDiv(ts - state.lastTs, 1000000L)
-          state = TwapState(ts, eid, cents,
-            state.svd + state.lastCents * d, state.sd + d, state.n + 1)
-        }
-      }
+      val state = foldSorted(if (st.exists()) st.get() else null, rows.toArray)
       if (state != null) st.update(state)
-      if (state != null && state.sd > 0)
-        Iterator.single(Twap(key, state.n,
-          state.svd.toDouble / (100.0 * state.sd.toDouble)))
-      else Iterator.empty
+      emitTwap(key, state)
     }
+  }
+
+  /** Event-time edition: watermark buffering via
+    * [[EventTimeBufferedProcessor]] replaces the ordered-arrival
+    * contract — flushes fold through the SAME strict (ts, event_id)
+    * frontier fold in true event-time order, so a shuffle of the same
+    * readings across micro-batches (disorder inside the watermark
+    * delay) reproduces the ordered run's exact integer accumulators. */
+  final class TwapEventTimeProcessor
+      extends EventTimeBufferedProcessor[(Long, Long, Long, Long), TwapState, Twap](
+        Encoders.product[(Long, Long, Long, Long)], Encoders.product[TwapState]) {
+    override protected def tsOf(r: (Long, Long, Long, Long)): Long = r._2
+    override protected def fold(key: Long, state: Option[TwapState],
+        ripe: Array[(Long, Long, Long, Long)]): (TwapState, Iterator[Twap]) = {
+      val s = foldSorted(state.orNull, ripe)
+      (s, emitTwap(key, s))
+    }
+  }
+
+  /** Disordered-arrival streaming TWAP under a watermark: `delay` bounds
+    * the tolerated disorder, flushes happen as the watermark advances. */
+  def twapEventTime(events: DataFrame, delay: String): Dataset[Twap] = {
+    implicit val outEnc: org.apache.spark.sql.Encoder[Twap] = Encoders.product[Twap]
+    events
+      .withWatermark("ts", delay)
+      .select(col("user_id").cast("long"), unix_micros(col("ts")),
+        col("event_id").cast("long"),
+        round(col("value") * 100).cast("long"))
+      .as(Encoders.product[(Long, Long, Long, Long)])
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new TwapEventTimeProcessor,
+        TimeMode.EventTime(), OutputMode.Update())
   }
 
   /** Batch or streaming: per-user running TWAP over closed intervals. */
