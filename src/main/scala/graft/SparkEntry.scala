@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CurationQueries, DedupQueries, MediaStreamQueries, Parsing, Relational, SimilarityQueries, TextQueries}
+import graft.queries.{CurationQueries, DedupQueries, GraphQueries, MediaStreamQueries, Parsing, Relational, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,8 @@ object SparkEntry {
       (DedupQueries.queries, DedupQueries.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles),
       (MediaStreamQueries.queries, MediaStreamQueries.oracles),
-      (CurationQueries.queries, CurationQueries.oracles))
+      (CurationQueries.queries, CurationQueries.oracles),
+      (GraphQueries.queries, GraphQueries.oracles))
 
   /** Merges per-module maps, failing LOUDLY on a duplicate query name —
     * a plain `++` would let a later module silently shadow an earlier

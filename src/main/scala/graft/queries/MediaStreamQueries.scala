@@ -378,6 +378,20 @@ object MediaStreamQueries {
        |SELECT doc_id, MIN(lab) AS comp_id, doc_id = MIN(lab) AS is_keeper
        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Streaming next-fit packer ([[graft.streaming.PackStream]]) run
+    * one-shot: the batch/streaming parity twin of `pack_context_bins` —
+    * same shards, same capacity, same recursive-CTE oracle, so the
+    * O(1)-state online fold is hash-proven against the batch scan. */
+  def streamPack(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.PackStream.pack(
+        Tables.documents(spark, dir).select(
+          (col("doc_id") / 64).cast("int").as("shard"),
+          col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tokens")),
+        capacity = 256L)
+      .toDF()
+      .orderBy("shard", "bin_id")
+
   /** mapGroupsWithState stateful aggregation, exercised in batch mode.
     * "Last" is arg_max by event_id (deterministic), so the typed state
     * fold is hash-checked against DuckDB's arg_max. */
@@ -1148,7 +1162,8 @@ object MediaStreamQueries {
     "stream_interval_join" -> (streamIntervalJoin _),
     "media_dedup" -> (mediaDedup _),
     "media_neardup_pairs" -> (mediaNeardupPairs _),
-    "media_neardup_clusters" -> (mediaNeardupClusters _))
+    "media_neardup_clusters" -> (mediaNeardupClusters _),
+    "stream_pack" -> (streamPack _))
 
   val oracles: Map[String, String] = Map(
     "stream_twap" -> streamTwapSql,
@@ -1188,5 +1203,6 @@ object MediaStreamQueries {
     "stream_interval_join" -> streamIntervalJoinSql,
     "media_dedup" -> mediaDedupSql,
     "media_neardup_pairs" -> mediaNeardupPairsSql,
-    "media_neardup_clusters" -> mediaNeardupClustersSql)
+    "media_neardup_clusters" -> mediaNeardupClustersSql,
+    "stream_pack" -> CurationQueries.packSequencesSql)
 }
