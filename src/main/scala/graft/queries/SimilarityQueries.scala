@@ -328,6 +328,61 @@ object SimilarityQueries {
        |FROM truth t LEFT JOIN approx a USING (q_id, vec_id)
        |GROUP BY t.q_id ORDER BY q_id""".stripMargin
 
+  /** Matryoshka (MRL) truncation sweep: recall@10 of cosine search over
+    * the FIRST d dims (d ∈ 8, 16, 32) against the full-64-dim truth —
+    * the measurement that decides how far a serving stack can truncate
+    * MRL-trained embeddings before quality falls off. Truth is computed
+    * once and tracked; each truncated pass is the same bounded-heap
+    * brute-force over `slice(embedding, 1, d)` (at corpus scale the
+    * truncated side is exactly where an IVF/LSH index goes — the sweep
+    * measures the QUALITY axis; the ann/ivf recall queries measure the
+    * index axis). Left-fold double dot products keep sims bit-equal
+    * across engines, so recalls hash-match. */
+  def mrlTruncationRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.GraftCaches.track(Tables.embeddings(spark, dir))
+    val truth = graft.GraftCaches.track(
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 5, k = 10)
+        .select(col("q_id"), col("vec_id")))
+    Seq(8, 16, 32).map { d =>
+      val trunc = emb.select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
+      val approx = Similarity.bruteForceTopK(trunc, "vec_id", "embedding",
+          col("vec_id") < 5, k = 10)
+        .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+      truth.join(approx, Seq("q_id", "vec_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .withColumn("dim", lit(d.toLong))
+    }.reduce(_ unionByName _)
+      .withColumn("recall", col("n_hits").cast("double") / col("k").cast("double"))
+      .select("dim", "q_id", "k", "n_hits", "recall")
+      .orderBy("dim", "q_id")
+  }
+
+  private def mrlDimCtes(d: Int): String =
+    s"""s$d AS (SELECT vec_id, embedding[1:$d] AS sv FROM embeddings),
+       |e$d AS (SELECT vec_id, sv, sqrt(${dotSql("sv", "sv")}) AS nrm FROM s$d),
+       |k$d AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${cosSql("q.qv", "e.sv", "q.qnrm", "e.nrm")} DESC, e.vec_id ASC) AS rank
+       |    FROM (SELECT vec_id AS q_id, sv AS qv, nrm AS qnrm FROM e$d WHERE vec_id < 5) q
+       |    JOIN e$d e ON e.vec_id != q.q_id) t
+       |  WHERE rank <= 10),
+       |r$d AS (
+       |  SELECT $d::BIGINT AS dim, t.q_id, COUNT(*) AS k,
+       |    CAST(SUM(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hits,
+       |    CAST(SUM(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) AS recall
+       |  FROM truth t LEFT JOIN k$d a USING (q_id, vec_id)
+       |  GROUP BY t.q_id)""".stripMargin
+
+  val mrlTruncationRecallSql: String =
+    s"""WITH truth AS (SELECT q_id, vec_id FROM ($cosineTopKSql)),
+       |${Seq(8, 16, 32).map(mrlDimCtes).mkString(",\n")}
+       |SELECT * FROM r8 UNION ALL SELECT * FROM r16 UNION ALL SELECT * FROM r32
+       |ORDER BY dim, q_id""".stripMargin
+
   /** Per-dimension corpus statistics over the embedding column — the
     * calibration pass quantization/whitening/feature-scaling needs.
     * posexplode + one groupBy(dim): the shuffle moves (dim, scaled-int)
@@ -1250,6 +1305,7 @@ object SimilarityQueries {
     "pq_recall" -> (pqRecall _),
     "embed_dim_stats" -> (embedDimStats _),
     "ann_recall" -> (annRecall _),
+    "mrl_truncation_recall" -> (mrlTruncationRecall _),
     "embed_quantize_int8" -> (embedQuantize _),
     "ivf_kmeanspp_assign" -> (ivfKppAssign _),
     "ivf_train_assign" -> (ivfTrainAssign _),
@@ -1284,6 +1340,7 @@ object SimilarityQueries {
     "pq_recall" -> pqRecallSql,
     "embed_dim_stats" -> embedDimStatsSql,
     "ann_recall" -> annRecallSql,
+    "mrl_truncation_recall" -> mrlTruncationRecallSql,
     "embed_quantize_int8" -> embedQuantizeSql,
     "ivf_kmeanspp_assign" -> ivfKppAssignSql,
     "embed_cosine_topk" -> cosineTopKSql,

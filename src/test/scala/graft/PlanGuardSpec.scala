@@ -34,7 +34,7 @@ class PlanGuardSpec extends AnyFunSuite {
   // equi-join on band key / content hash / id.)
   private val bnljAllowed =
     Set("embed_cosine_topk", "ivf_assign", "ivf_topk", "ivf_train_assign",
-      "ivf_kmeanspp_assign", "source_mix_weights", "ann_recall", "ivf_recall",
+      "ivf_kmeanspp_assign", "source_mix_weights", "ann_recall", "ivf_recall", "mrl_truncation_recall",
       // pq_recall: the truth side is the same deliberate exact-scoring BNLJ
       // as ann_recall/ivf_recall; the PQ side itself is equi-joined.
       "pq_recall",
