@@ -299,8 +299,33 @@ class ShuffleBudgetSpec extends AnyFunSuite {
                                // per est reference (pair inventory + est_a/est_b
                                // decorations + union side); executed once cached:
                                // register agg + pair-union regroup + tiny folds + sort
-    "source_term_signatures" -> 9) // cell agg (inlined per ref) + term/source
+    "source_term_signatures" -> 9, // cell agg (inlined per ref) + term/source
                                // totals + 1-row grand total + rank window + sort
+    // Round-9 additions:
+    "stratified_split" -> 2,   // (lang,split) agg + result sort; the hash
+                               // split itself is scan-local arithmetic
+    "token_budget_trim" -> 3,  // grouped-scan (pid,source) window exchange +
+                               // source fold + result sort
+    "domain_mixture_weights" -> 4, // source agg (inlined per ref of the
+                               // 1-row max/total scalar) + result sort
+    "pack_context_bins" -> 2,  // ONE shard-keyed flatMapGroups exchange + sort
+    "stream_pack" -> 2,        // ONE shard-keyed transformWithState exchange + sort
+    "rep_ngram_profile" -> 2,  // source fold over scan-local gram counts + sort
+    "media_neardup_pairs" -> 4,// tracked fp-rep agg inlined per self-join side
+                               // + (modality,band,key) equi-join + sort
+                               // (executed once the cache materializes: 3)
+    "pagerank_suppliers" -> 0, // final plan = TakeOrdered over the round-5
+                               // localCheckpoint frame; per-round budget (edge
+                               // join + dst fold) documented on the operator
+    "graph_degree_profile" -> 5, // distinct edge build inlined per union ref +
+                               // deg fold + bucket fold + result sort
+    "mrl_truncation_recall" -> 16) // tracked truth/corpus inlined per ref
+                               // across the 3-dim sweep (the
+                               // hll_source_overlap static-overstatement
+                               // class); executed once caches materialize:
+                               // per dim a broadcast-scored agg + recall fold
+  // media_neardup_clusters is NOT pinned: iterated fixpoint (same
+  // exemption as dedup_components* / graph_pagerank).
   // graph_edge_support is NOT pinned: its two NESTED tracked caches
   // (candidate pairs inside the neighbor union, each referenced 2-3x)
   // make the static plan string inline the band self-join subtree ~6x
