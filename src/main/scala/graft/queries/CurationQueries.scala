@@ -199,15 +199,39 @@ object CurationQueries {
        |  MAX(cur) AS bin_tokens
        |FROM p GROUP BY shard, bin ORDER BY shard, bin_id""".stripMargin
 
+  /** Packing-efficiency readout over [[packSequences]]'s bins: bins per
+    * shard, exact token totals, and the utilization share (tokens over
+    * bins·capacity) — the number that says whether 256 was the right
+    * context size for this corpus. Exact integers + ONE division. */
+  def packUtilization(spark: SparkSession, dir: String): DataFrame =
+    packSequences(spark, dir)
+      .agg(count(lit(1)).as("n_bins"),
+        sum("n_docs").as("n_docs"),
+        sum("bin_tokens").as("tokens"))
+      .withColumn("capacity_tokens", col("n_bins") * 256L)
+      .withColumn("utilization",
+        col("tokens").cast("double") / col("capacity_tokens").cast("double"))
+
+  val packUtilizationSql: String =
+    s"""WITH bins AS ($packSequencesSql)
+       |SELECT COUNT(*) AS n_bins,
+       |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(SUM(bin_tokens) AS BIGINT) AS tokens,
+       |  COUNT(*) * 256 AS capacity_tokens,
+       |  CAST(SUM(bin_tokens) AS DOUBLE) / CAST(COUNT(*) * 256 AS DOUBLE) AS utilization
+       |FROM bins""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stratified_split" -> (stratifiedSplit _),
     "token_budget_trim" -> (tokenBudgetTrim _),
     "domain_mixture_weights" -> (domainMixtureWeights _),
-    "pack_context_bins" -> (packSequences _))
+    "pack_context_bins" -> (packSequences _),
+    "pack_utilization" -> (packUtilization _))
 
   val oracles: Map[String, String] = Map(
     "stratified_split" -> stratifiedSplitSql,
     "token_budget_trim" -> tokenBudgetTrimSql,
     "domain_mixture_weights" -> domainMixtureWeightsSql,
-    "pack_context_bins" -> packSequencesSql)
+    "pack_context_bins" -> packSequencesSql,
+    "pack_utilization" -> packUtilizationSql)
 }

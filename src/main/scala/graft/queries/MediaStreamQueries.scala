@@ -378,6 +378,56 @@ object MediaStreamQueries {
        |SELECT doc_id, MIN(lab) AS comp_id, doc_id = MIN(lab) AS is_keeper
        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Honest-recall audit for the perceptual banding: of all rep pairs
+    * within Hamming ≤ 12 (exact baseline — a deliberate per-modality
+    * self-join over the DISTINCT-fingerprint relation, which is tiny by
+    * construction; at corpus scale this audit runs on a sample), what
+    * fraction shares a band and is therefore reachable by the equi-join?
+    * The number the scaladoc claims (≈75% on the fixture) becomes a
+    * hash-checked output instead of prose. */
+  def mediaNeardupRecall(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = neardupAllPairs(spark, dir)
+    pairs.agg(
+        count(lit(1)).as("n_true"),
+        sum(when(col("shared_band"), 1L).otherwise(0L)).as("n_caught"))
+      .withColumn("recall",
+        col("n_caught").cast("double") / col("n_true").cast("double"))
+  }
+
+  /** All exact rep pairs at Hamming ≤ 12, flagged with the band
+    * condition (the audit baseline behind [[mediaNeardupRecall]]). */
+  private def neardupAllPairs(spark: SparkSession, dir: String): DataFrame = {
+    val rep = graft.GraftCaches.track(
+      Tables.documents(spark, dir).select(
+        col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
+        graft.functions.PerceptualHash.of(col("text").cast("binary")).as("fp"))
+        .groupBy("modality", "fp")
+        .agg(min("doc_id").as("rep_id")))
+    rep.select(col("modality"), col("rep_id").as("doc_a"), col("fp").as("fp_a"))
+      .join(rep.select(col("modality"), col("rep_id").as("doc_b"), col("fp").as("fp_b")),
+        Seq("modality"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("CAST(bit_count(fp_a ^ fp_b) AS BIGINT)"))
+      .filter(col("hamming") <= 12)
+      .withColumn("shared_band", expr(
+        "exists(sequence(0, 6), k -> (fp_a >> (k * 8)) & 255 = (fp_b >> (k * 8)) & 255)"))
+  }
+
+  val mediaNeardupRecallSql: String =
+    s"""WITH $perceptualFpCte,
+       |$repCteSql,
+       |p AS (
+       |  SELECT CASE WHEN len(list_filter(range(0, 7),
+       |           k -> (a.fp >> (k*8)) & 255 = (b.fp >> (k*8)) & 255)) >= 1
+       |         THEN 1 ELSE 0 END AS caught
+       |  FROM rep a JOIN rep b ON a.modality = b.modality AND a.rep_id < b.rep_id
+       |  WHERE bit_count(xor(a.fp, b.fp)) <= 12)
+       |SELECT COUNT(*) AS n_true, CAST(SUM(caught) AS BIGINT) AS n_caught,
+       |  CAST(SUM(caught) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+       |FROM p""".stripMargin
+
   /** Streaming next-fit packer ([[graft.streaming.PackStream]]) run
     * one-shot: the batch/streaming parity twin of `pack_context_bins` —
     * same shards, same capacity, same recursive-CTE oracle, so the
@@ -1163,6 +1213,7 @@ object MediaStreamQueries {
     "media_dedup" -> (mediaDedup _),
     "media_neardup_pairs" -> (mediaNeardupPairs _),
     "media_neardup_clusters" -> (mediaNeardupClusters _),
+    "media_neardup_recall" -> (mediaNeardupRecall _),
     "stream_pack" -> (streamPack _))
 
   val oracles: Map[String, String] = Map(
@@ -1204,5 +1255,6 @@ object MediaStreamQueries {
     "media_dedup" -> mediaDedupSql,
     "media_neardup_pairs" -> mediaNeardupPairsSql,
     "media_neardup_clusters" -> mediaNeardupClustersSql,
+    "media_neardup_recall" -> mediaNeardupRecallSql,
     "stream_pack" -> CurationQueries.packSequencesSql)
 }
