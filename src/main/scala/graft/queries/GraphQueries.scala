@@ -52,6 +52,10 @@ object GraphQueries {
     val e = graft.GraftCaches.track(edges(spark, dir))
     val deg = graft.GraftCaches.track(
       e.groupBy("src").agg(count(lit(1)).as("d")))
+    // Degree-annotated edges built ONCE (every round would otherwise
+    // re-run the e ⋈ deg join — at graph scale that join is as big as
+    // the round itself).
+    val ed = graft.GraftCaches.track(e.join(deg, "src"))
     // Mirrored edges ⇒ every node has outdeg ≥ 1 and indeg ≥ 1, so the
     // node set is stable across rounds and no dangling handling is
     // needed (the honest caveat: a directed deployment adds the
@@ -59,8 +63,7 @@ object GraphQueries {
     var r = deg.select(col("src").as("node"), lit(R0).as("r"))
     (1 to 5).foreach { _ =>
       r = graft.GraftCaches.pin(
-        e.join(deg, "src")
-          .join(r, col("node") === col("src"))
+        ed.join(r, col("node") === col("src"))
           .select(col("dst"), expr("r DIV d").as("contrib"))
           .groupBy("dst")
           .agg((lit(Base) + expr("85 * sum(contrib) DIV 100")).as("r"))
