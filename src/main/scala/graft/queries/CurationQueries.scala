@@ -199,6 +199,112 @@ object CurationQueries {
        |  MAX(cur) AS bin_tokens
        |FROM p GROUP BY shard, bin ORDER BY shard, bin_id""".stripMargin
 
+  /** Quality drift across the deterministic split — the leakage/sanity
+    * audit that a stratified split must pass: per split, what share of
+    * documents clears the (integer-exact subset of the) Gopher rules.
+    * A healthy hash split shows near-identical pass shares; a skewed
+    * one means the split key correlates with content. Mean-word-length
+    * bounds ride as EXACT cross-multiplications (3·n ≤ Σlen ≤ 10·n), so
+    * the only IEEE op is the final share division. */
+  def qualityBySplit(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(col("text"), " "), w => w =!= "")
+    val d = Tables.documents(spark, dir)
+      .select(
+        (pmod(pmod(col("doc_id"), lit(HashMod)) * HashA + HashB, lit(HashMod)) % 100)
+          .as("bucket"),
+        size(toks).cast("bigint").as("n_words"),
+        aggregate(toks, lit(0L), (a, w) => a + length(w)).as("sum_len"),
+        array_max(transform(toks, w => length(w))).cast("bigint").as("max_w"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .withColumn("pass",
+        col("n_words") >= 30 && col("n_words") <= 5000 &&
+          col("max_w") <= 15 &&
+          col("sum_len") >= col("n_words") * 3 && col("sum_len") <= col("n_words") * 10)
+    d.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+      .withColumn("pass_share",
+        col("n_pass").cast("double") / col("n_docs").cast("double"))
+      .orderBy("split")
+  }
+
+  val qualityBySplitSql: String =
+    s"""WITH d AS (
+       |  SELECT
+       |    ((doc_id % $HashMod) * $HashA + $HashB) % $HashMod % 100 AS bucket,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS sum_len,
+       |    CAST(list_max(list_transform(ws, w -> len(w))) AS BIGINT) AS max_w
+       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+       |        FROM documents)),
+       |f AS (
+       |  SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+       |              ELSE 'test' END AS split,
+       |    (n_words >= 30 AND n_words <= 5000 AND max_w <= 15
+       |     AND sum_len >= n_words * 3 AND sum_len <= n_words * 10) AS pass
+       |  FROM d)
+       |SELECT split, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |  CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS pass_share
+       |FROM f GROUP BY split ORDER BY split""".stripMargin
+
+  /** Largest-remainder resampling quotas: turn the per-source token
+    * totals into INTEGER document-sampling quotas that sum to the
+    * budget EXACTLY — floor allocation `B·T_d DIV T`, then the
+    * shortfall (< |sources|) goes to the largest remainders
+    * (`B·T_d MOD T`, source tie-break). Every step is BIGINT
+    * arithmetic, so both engines produce the identical plan — the
+    * actionable edition of [[domainMixtureWeights]]. The rank window
+    * partitions over the |sources|-row relation (bounded by source
+    * cardinality; whitelisted like the other tiny-relation windows). */
+  def mixtureResamplePlan(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 10000L
+    val per = Tables.documents(spark, dir)
+      .select(col("source"), tokens(col("text")).as("t"))
+      .groupBy("source").agg(sum("t").as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").as("tt"))
+    val base = per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        expr(s"$budget * n_tokens DIV tt").as("quota0"),
+        expr(s"$budget * n_tokens % tt").as("rem"),
+        col("tt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("source"))
+    base
+      .withColumn("rk", row_number().over(w))
+      .withColumn("shortfall",
+        lit(budget) - sum("quota0").over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+      .withColumn("quota",
+        col("quota0") + when(col("rk") <= col("shortfall"), 1L).otherwise(0L))
+      .select(col("source"), col("n_tokens"), col("quota"),
+        (col("quota").cast("double") / lit(budget.toDouble)).as("quota_share"))
+      .orderBy("source")
+  }
+
+  val mixtureResamplePlanSql: String =
+    s"""WITH per AS (
+       |  SELECT source, CAST(SUM($tokensSql) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |t AS (SELECT SUM(n_tokens) AS tt FROM per),
+       |b AS (
+       |  SELECT source, n_tokens,
+       |    10000 * n_tokens // tt AS quota0,
+       |    10000 * n_tokens % tt AS rem
+       |  FROM per, t),
+       |r AS (
+       |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+       |    10000 - SUM(quota0) OVER () AS shortfall
+       |  FROM b)
+       |SELECT source, n_tokens,
+       |  CAST(quota0 + CASE WHEN rk <= shortfall THEN 1 ELSE 0 END AS BIGINT) AS quota,
+       |  CAST(quota0 + CASE WHEN rk <= shortfall THEN 1 ELSE 0 END AS DOUBLE)
+       |    / 10000.0 AS quota_share
+       |FROM r ORDER BY source""".stripMargin
+
   /** Packing-efficiency readout over [[packSequences]]'s bins: bins per
     * shard, exact token totals, and the utilization share (tokens over
     * bins·capacity) — the number that says whether 256 was the right
@@ -226,12 +332,16 @@ object CurationQueries {
     "token_budget_trim" -> (tokenBudgetTrim _),
     "domain_mixture_weights" -> (domainMixtureWeights _),
     "pack_context_bins" -> (packSequences _),
-    "pack_utilization" -> (packUtilization _))
+    "pack_utilization" -> (packUtilization _),
+    "quality_by_split" -> (qualityBySplit _),
+    "mixture_resample_plan" -> (mixtureResamplePlan _))
 
   val oracles: Map[String, String] = Map(
     "stratified_split" -> stratifiedSplitSql,
     "token_budget_trim" -> tokenBudgetTrimSql,
     "domain_mixture_weights" -> domainMixtureWeightsSql,
     "pack_context_bins" -> packSequencesSql,
-    "pack_utilization" -> packUtilizationSql)
+    "pack_utilization" -> packUtilizationSql,
+    "quality_by_split" -> qualityBySplitSql,
+    "mixture_resample_plan" -> mixtureResamplePlanSql)
 }

@@ -66,6 +66,32 @@ object DedupQueries {
        |ok AS (SELECT j, key FROM bands GROUP BY j, key HAVING COUNT(*) <= 100),
        |bb AS MATERIALIZED (SELECT bands.* FROM bands JOIN ok USING (j, key))""".stripMargin
 
+  /** LSH band-bucket size profile — the skew audit underneath every
+    * banded candidate join: per band, a log2 histogram of bucket sizes
+    * plus how many buckets the `maxBucket = 100` cap would disarm. The
+    * number that says whether the banding still discriminates on THIS
+    * corpus (a vocabulary collapse shows up here as mass in the top
+    * buckets long before a candidate join blows up). One (band, key)
+    * count + one histogram fold; shuffles carry keys and counters. */
+  def lshBucketProfile(spark: SparkSession, dir: String): DataFrame =
+    Dedup.lshBands(Tables.documents(spark, dir), "doc_id", "text")
+      .groupBy("band", "key").agg(count(lit(1)).as("s"))
+      .select(col("band"), expr("CAST(floor(log2(s)) AS INT)").as("size_bucket"),
+        col("s"))
+      .groupBy("band", "size_bucket")
+      .agg(count(lit(1)).as("n_buckets"), sum("s").as("n_docs"),
+        sum(when(col("s") > 100, 1L).otherwise(0L)).as("n_capped"))
+      .orderBy("band", "size_bucket")
+
+  val lshBucketProfileSql: String =
+    s"""WITH $shingleCte,
+       |$bandsCte,
+       |sz AS (SELECT j AS band, key, COUNT(*) AS s FROM bands GROUP BY 1, 2)
+       |SELECT band, CAST(floor(log2(s)) AS INT) AS size_bucket,
+       |  COUNT(*) AS n_buckets, CAST(SUM(s) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN s > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_capped
+       |FROM sz GROUP BY 1, 2 ORDER BY band, size_bucket""".stripMargin
+
   /** LSH candidate pairs (2 bands x 4 rows, bucket cap 100). */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.lshCandidatePairs(Tables.documents(spark, dir), "doc_id", "text")
@@ -1740,6 +1766,7 @@ object DedupQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_sig" -> (minhashSig _),
     "dedup_minhash_pairs" -> (minhashPairs _),
+    "lsh_bucket_profile" -> (lshBucketProfile _),
     "dedup_simhash" -> (simhash _),
     "dedup_simhash_neardup" -> (simhashNearDup _),
     "dedup_edit_distance" -> (editDistance _),
@@ -1782,6 +1809,7 @@ object DedupQueries {
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash_sig" -> minhashSigSql,
     "dedup_minhash_pairs" -> minhashPairsSql,
+    "lsh_bucket_profile" -> lshBucketProfileSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_neardup" -> simhashNearDupSql,
     "dedup_edit_distance" -> editDistanceSql,

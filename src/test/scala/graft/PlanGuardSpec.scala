@@ -88,10 +88,10 @@ class PlanGuardSpec extends AnyFunSuite {
       // ks_drift: the 1-row cohort-totals scalar cross-broadcast onto the
       // distinct-score-level relation (same shape as source_mix_weights).
       "ks_drift",
-      // domain_mixture_weights: the 1-row (max_tokens, all_tokens)
-      // aggregate cross-broadcast onto the per-source totals — the
-      // source_mix_weights scalar shape.
-      "domain_mixture_weights",
+      // domain_mixture_weights / mixture_resample_plan: the 1-row
+      // totals aggregate cross-broadcast onto the per-source totals —
+      // the source_mix_weights scalar shape.
+      "domain_mixture_weights", "mixture_resample_plan",
       // bigram_lift: the 1-row (t_uni x t_bi) scalar cross-broadcast onto
       // the >=5-count bigram relation (same shape as source_mix_weights).
       "bigram_lift",
@@ -168,6 +168,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "loo_source_influence",   // |sources|-bounded source-stats relation
     "lorenz_curve",           // 10-row decile relation (deciles themselves ride PrefixScan.ntile)
     "max_drawdown",           // |days|-bounded daily-net relation
+    "mixture_resample_plan",  // |sources|-row quota relation (remainder rank + shortfall)
     "monthly_growth",         // |months|-bounded monthly-revenue relation
     "robust_trend",           // |months|**2-bounded pairwise-slope relation
     "pareto_frontier",        // <=1001 quality-level rows (post rn=1 filter)
