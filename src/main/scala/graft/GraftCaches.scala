@@ -65,9 +65,13 @@ object GraftCaches {
   }
 
   /** Unpersist every tracked relation (non-blocking) and clear the
-    * registry. Safe to call at any time: unpersisting a frame whose jobs
-    * already finished only drops storage; a later action on the same frame
-    * recomputes instead of failing. */
+    * registry. For [[track]]-ed (persisted) frames this is safe at any
+    * time: a later action on the same frame recomputes instead of
+    * failing. For [[pin]]-ned (localCheckpoint-ed) frames the checkpoint
+    * RDD is unpersisted with its lineage already truncated, so a
+    * post-release action fails LOUDLY with a SparkException — the
+    * intended contract (a pinned frame is never legitimately re-used
+    * after its query's action completes), pinned by PrefixScanSpec. */
   def releaseAll(): Unit = {
     var df = tracked.poll()
     while (df != null) {

@@ -245,21 +245,32 @@ object MediaStreamQueries {
     * or resized duplicate changes every byte (new checksum) but barely
     * moves the pooled signal, so its 56-bit dHash
     * ([[graft.functions.PerceptualHash]], native codegen) lands within a
-    * few bits. Candidate generation is SimHash-style banding: 7 bands of
-    * 8 bits; by pigeonhole any pair with Hamming ≤ 6 shares at least one
-    * full band, so the (modality, band, value) equi-join is LOSSLESS up
-    * to 6 and PROBABILISTIC in the verify range 7..12 (the standard
-    * multi-index trade: measured 75% recall at d≤12 on the fixture; a
-    * deployment wanting more recall adds rotated band sets, the same
-    * equi-join shape). The corpus is never self-joined, the shuffle
-    * carries (band key, doc_id, fp) only, and the verify is one
-    * `bit_count(xor)` per candidate. The oracle rebuilds the identical
-    * fingerprint AND the shared-band condition from byte arithmetic, so
-    * the hash check proves the native expression, the band algebra, and
-    * the verify threshold together. 100 TB shape: band buckets are
-    * bounded by fingerprint collisions (56-bit space), and a skewed
-    * bucket (constant-signal payloads) caps the same way the LSH
-    * maxBucket family does. */
+    * few bits. Candidate generation is SimHash-style MULTI-PROBE
+    * banding: 7 bands of 8 bits, and the probe side expands each band
+    * value to its Hamming-1 ball (the value itself + 8 single-bit
+    * flips). By pigeonhole any pair with Hamming ≤ 13 has some band
+    * differing in ≤ ⌊13/7⌋ = 1 bit, so the (modality, band, value)
+    * equi-join is LOSSLESS over the whole verify range d ≤ 12 —
+    * `media_neardup_recall` pins recall = 1.0 as a hash-checked output
+    * (round-9 VERDICT 4; the pre-probe exact-band join was lossless only
+    * to 6 and measured 0.75 at d≤12). The corpus is never self-joined,
+    * the shuffle carries (band key, doc_id, fp) only — the probe
+    * expansion is a fixed ×9 on one join side, the price of exactness —
+    * and the verify is one `bit_count(xor)` per candidate. The oracle
+    * rebuilds the identical fingerprint AND the some-band-within-1-bit
+    * condition from byte arithmetic, so the hash check proves the native
+    * expression, the band algebra, and the verify threshold together.
+    * 100 TB shape: band buckets are bounded by fingerprint collisions
+    * (56-bit space), and a skewed bucket (constant-signal payloads) caps
+    * the same way the LSH maxBucket family does.
+    *
+    * TEXT-AS-BYTES CONTRACT: the fixture's `text` column stands in for
+    * decoded media bytes, and the native expression pools UTF-8 BYTES
+    * (`cast("binary")`) while DuckDB's string functions see code points
+    * — so the family is defined over single-byte texts only
+    * (`octet_length = char_length`), filtered identically on both sides.
+    * Real deployments fingerprint genuine binary payloads and need no
+    * such filter. */
   def mediaNeardupPairs(spark: SparkSession, dir: String): DataFrame =
     neardupPairEdges(spark, dir)
       .select("modality", "doc_a", "doc_b", "hamming", "n_a", "n_b")
@@ -278,18 +289,29 @@ object MediaStreamQueries {
     * relation's pairs are strictly 1 ≤ hamming ≤ 12 between distinct
     * fingerprints. */
   private def neardupPairEdges(spark: SparkSession, dir: String): DataFrame = {
-    val fp = Tables.documents(spark, dir).select(
-      col("doc_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
-      graft.functions.PerceptualHash.of(col("text").cast("binary")).as("fp"))
+    val fp = Tables.documents(spark, dir)
+      .filter(octet_length(col("text")) === length(col("text")))
+      .select(
+        col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
+        graft.functions.PerceptualHash.of(col("text").cast("binary")).as("fp"))
     val rep = graft.GraftCaches.track(
       fp.groupBy("modality", "fp")
         .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n")))
     val bands = rep.select(col("modality"), col("fp"), col("rep_id"), col("n"),
         explode(sequence(lit(0), lit(6))).as("band"))
       .withColumn("key", expr("(fp >> (band * 8)) & 255"))
-    bands.select(col("modality"), col("band"), col("key"),
+    // Multi-probe side: each band value plus its 8 single-bit flips
+    // (probe -1 = the value itself). A pair at Hamming ≤ 13 has some
+    // band within 1 bit, whose probe ball contains the exact key on the
+    // other side — the equi-join is lossless over the d ≤ 12 verify.
+    val probes = bands
+      .withColumn("pb", explode(sequence(lit(-1), lit(7))))
+      .withColumn("key",
+        when(col("pb") < 0, col("key"))
+          .otherwise(expr("key ^ (CAST(1 AS BIGINT) << pb)")))
+    probes.select(col("modality"), col("band"), col("key"),
         col("rep_id").as("doc_a"), col("fp").as("fp_a"), col("n").as("n_a"))
       .join(bands.select(col("modality"), col("band"), col("key"),
         col("rep_id").as("doc_b"), col("fp").as("fp_b"), col("n").as("n_b")),
@@ -317,13 +339,17 @@ object MediaStreamQueries {
       .orderBy("doc_id")
 
   /** DuckDB rebuild of the 56-bit dHash from byte arithmetic — shared by
-    * the pair and cluster oracles. */
+    * the pair and cluster oracles. The `strlen(text) = length(text)`
+    * filter is the oracle half of the single-byte-text contract: the
+    * engine pools UTF-8 bytes while `ascii(c)` sees code points, so both
+    * sides restrict the family to texts where the two units coincide
+    * (DuckDB `strlen` counts bytes, `length` counts characters). */
   private val perceptualFpCte: String =
     """b AS (
       |  SELECT doc_id,
       |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
       |    list_transform(string_split(text,''), c -> ascii(c)::BIGINT) AS bs
-      |  FROM documents),
+      |  FROM documents WHERE strlen(text) = length(text)),
       |c AS (
       |  SELECT doc_id, modality,
       |    list_transform(range(0, 64), k ->
@@ -340,12 +366,14 @@ object MediaStreamQueries {
       |  FROM c)""".stripMargin
 
   /** The engine's candidate semantics verbatim: distinct-fingerprint
-    * representatives, Hamming ≤ 12, AND at least one shared 8-bit band
-    * (the equi-join's reach). */
+    * representatives, Hamming ≤ 12, AND some 8-bit band within 1 bit
+    * (the multi-probe equi-join's reach — always true at d ≤ 12 by
+    * pigeonhole, kept explicit so the oracle mirrors the join, not the
+    * theorem). */
   private val pairCondSql: String =
     """bit_count(xor(a.fp, b.fp)) <= 12
       |    AND len(list_filter(range(0, 7),
-      |          k -> (a.fp >> (k*8)) & 255 = (b.fp >> (k*8)) & 255)) >= 1""".stripMargin
+      |          k -> bit_count(xor((a.fp >> (k*8)) & 255, (b.fp >> (k*8)) & 255)) <= 1)) >= 1""".stripMargin
 
   private val repCteSql: String =
     """rep AS (
@@ -382,9 +410,11 @@ object MediaStreamQueries {
     * within Hamming ≤ 12 (exact baseline — a deliberate per-modality
     * self-join over the DISTINCT-fingerprint relation, which is tiny by
     * construction; at corpus scale this audit runs on a sample), what
-    * fraction shares a band and is therefore reachable by the equi-join?
-    * The number the scaladoc claims (≈75% on the fixture) becomes a
-    * hash-checked output instead of prose. */
+    * fraction has some band within 1 bit and is therefore reachable by
+    * the multi-probe equi-join? With 7 bands and probes at Hamming ≤ 1
+    * the pigeonhole guarantees every d ≤ 13 pair qualifies, so the
+    * hash-checked output pins recall = 1.0 (round-9 VERDICT 4; the
+    * pre-probe exact-band join measured 0.75). */
   def mediaNeardupRecall(spark: SparkSession, dir: String): DataFrame = {
     val pairs = neardupAllPairs(spark, dir)
     pairs.agg(
@@ -398,11 +428,13 @@ object MediaStreamQueries {
     * condition (the audit baseline behind [[mediaNeardupRecall]]). */
   private def neardupAllPairs(spark: SparkSession, dir: String): DataFrame = {
     val rep = graft.GraftCaches.track(
-      Tables.documents(spark, dir).select(
-        col("doc_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
-        graft.functions.PerceptualHash.of(col("text").cast("binary")).as("fp"))
+      Tables.documents(spark, dir)
+        .filter(octet_length(col("text")) === length(col("text")))
+        .select(
+          col("doc_id"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
+          graft.functions.PerceptualHash.of(col("text").cast("binary")).as("fp"))
         .groupBy("modality", "fp")
         .agg(min("doc_id").as("rep_id")))
     rep.select(col("modality"), col("rep_id").as("doc_a"), col("fp").as("fp_a"))
@@ -412,7 +444,8 @@ object MediaStreamQueries {
       .withColumn("hamming", expr("CAST(bit_count(fp_a ^ fp_b) AS BIGINT)"))
       .filter(col("hamming") <= 12)
       .withColumn("shared_band", expr(
-        "exists(sequence(0, 6), k -> (fp_a >> (k * 8)) & 255 = (fp_b >> (k * 8)) & 255)"))
+        "exists(sequence(0, 6), k -> " +
+          "bit_count(((fp_a >> (k * 8)) & 255) ^ ((fp_b >> (k * 8)) & 255)) <= 1)"))
   }
 
   val mediaNeardupRecallSql: String =
@@ -420,7 +453,7 @@ object MediaStreamQueries {
        |$repCteSql,
        |p AS (
        |  SELECT CASE WHEN len(list_filter(range(0, 7),
-       |           k -> (a.fp >> (k*8)) & 255 = (b.fp >> (k*8)) & 255)) >= 1
+       |           k -> bit_count(xor((a.fp >> (k*8)) & 255, (b.fp >> (k*8)) & 255)) <= 1)) >= 1
        |         THEN 1 ELSE 0 END AS caught
        |  FROM rep a JOIN rep b ON a.modality = b.modality AND a.rep_id < b.rep_id
        |  WHERE bit_count(xor(a.fp, b.fp)) <= 12)

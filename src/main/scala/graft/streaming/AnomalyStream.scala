@@ -61,7 +61,11 @@ object AnomalyStream {
     @transient private var st: ValueState[GapState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState[GapState]("gapstats",
+      // "gapstats2": GapState gained the lastEid frontier field (an
+      // incompatible ValueState encoding change); the name bump makes a
+      // checkpoint written by the pre-frontier processor fail loudly on
+      // state-name mismatch instead of misdecoding.
+      st = getHandle.getValueState[GapState]("gapstats2",
         Encoders.product[GapState], TTLConfig.NONE)
 
     override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],

@@ -18,9 +18,15 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, 
   *
   * State per key = the subclass's fold state plus a buffer bounded by
   * the events inside one watermark-delay window. Timer discipline: ONE
-  * live timer per key, re-armed (never left behind) on every input and
-  * every firing while the buffer is non-empty; the arm position
-  * `watermark + 1 ms` fires at the next watermark advance.
+  * live timer per key, and an existing timer is NEVER moved forward —
+  * input arms a timer only when none is live, and a firing re-arms while
+  * the buffer stays non-empty; the arm position `watermark + 1 ms` fires
+  * at the next watermark advance. (Moving a live timer forward from
+  * `handleInputRows` would starve any key that receives input in every
+  * micro-batch: rows are processed before expired timers, so the due
+  * timer would be deleted and re-registered past the very watermark it
+  * was about to fire under, emissions would stall, and the buffer would
+  * grow without bound — pinned by the every-batch-input parity spec.)
   *
   * Ordering facts this relies on (pinned by the event-time specs):
   * within a micro-batch Spark processes input rows BEFORE expired
@@ -53,10 +59,14 @@ abstract class EventTimeBufferedProcessor[I, S, O](
     tmr = getHandle.getValueState[Long]("tmr", Encoders.scalaLong, TTLConfig.NONE)
   }
 
+  /** Registers the per-key timer at `watermark + 1 ms` IFF no timer is
+    * live. Callers: `handleInputRows` (tmr may exist — keep it; an
+    * earlier position only fires sooner, and firing with nothing ripe is
+    * a harmless no-op that re-arms) and `handleExpiredTimer` after
+    * `tmr.clear()` (never exists). */
   private def armTimer(wmMs: Long): Unit = {
-    val at = wmMs + 1L
-    if (!tmr.exists() || tmr.get() < at) {
-      if (tmr.exists()) getHandle.deleteTimer(tmr.get())
+    if (!tmr.exists()) {
+      val at = wmMs + 1L
       getHandle.registerTimer(at)
       tmr.update(at)
     }
@@ -64,7 +74,16 @@ abstract class EventTimeBufferedProcessor[I, S, O](
 
   override def handleInputRows(key: Long, rows: Iterator[I],
       timers: TimerValues): Iterator[O] = {
-    rows.foreach(buf.appendValue)
+    // The watermark discard is enforced HERE, not delegated to Spark's
+    // late-record filter: that filter drops against the PREVIOUS batch's
+    // watermark, so a row later than `delay` behind the max event time
+    // can still be delivered one batch after its window flushed — below
+    // the fold frontier of SOME keys but not others. Discarding at the
+    // eviction watermark makes "late never folds" exact and
+    // deterministic (strict `<`, matching the flush rule: a row AT the
+    // watermark is still foldable).
+    val wmUs = timers.getCurrentWatermarkInMs() * 1000L
+    rows.filter(r => tsOf(r) >= wmUs).foreach(buf.appendValue)
     armTimer(timers.getCurrentWatermarkInMs())
     Iterator.empty
   }

@@ -86,7 +86,11 @@ object FunnelStream {
     @transient private var st: ValueState[FunnelState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState[FunnelState]("funnel",
+      // "funnel2": FunnelState gained the lastRank frontier field (an
+      // incompatible ValueState encoding change); the name bump makes a
+      // checkpoint written by the pre-frontier processor fail loudly on
+      // state-name mismatch instead of misdecoding.
+      st = getHandle.getValueState[FunnelState]("funnel2",
         Encoders.product[FunnelState], TTLConfig.NONE)
 
     override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Int, Long)],

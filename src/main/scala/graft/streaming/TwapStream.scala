@@ -56,7 +56,11 @@ object TwapStream {
     @transient private var st: ValueState[TwapState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState[TwapState]("twap",
+      // "twap2": TwapState gained the lastEid frontier field (an
+      // incompatible ValueState encoding change); the name bump makes a
+      // checkpoint written by the pre-frontier processor fail loudly on
+      // state-name mismatch instead of misdecoding.
+      st = getHandle.getValueState[TwapState]("twap2",
         Encoders.product[TwapState], TTLConfig.NONE)
 
     override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long, Long)],

@@ -124,6 +124,37 @@ class FunnelEventTimeSpec extends AnyFunSuite {
     assert(reference(21L) === ((4L, 4L, 3L)))
   }
 
+  test("a key receiving input in EVERY micro-batch still flushes (timer never moved forward)") {
+    // Regression for the armTimer starvation bug: input rows are
+    // processed before expired timers, so re-registering a live timer
+    // past the batch's watermark on every handleInputRows call means a
+    // key with input in every micro-batch NEVER fires — emissions stall
+    // and the buffer grows unboundedly. Here user 51 appears in all 7
+    // batches (no input-free batch, no separate tick user); the two huge
+    // trailing events double as the watermark carriers. With the fix the
+    // timer armed early stays put and fires as the watermark passes it.
+    val funnel = Seq(
+      ev(1, 1 * H, 51, "view"), ev(2, 2 * H, 51, "click"),
+      ev(3, 3 * H, 51, "view"), ev(4, 4 * H, 51, "click"),
+      ev(5, 5 * H, 51, "purchase"))
+    val reference = orderedCounts(funnel)
+    // Carriers are PURCHASES with no pending clicks: whether or not a
+    // trailing no-data batch flushes them, they change no count, so the
+    // expectation is race-free.
+    val carriers = Seq(ev(6, 100 * H, 51, "purchase"), ev(7, 200 * H, 51, "purchase"))
+    // delay 0 s: each batch's max ts becomes the next batch's watermark,
+    // so every batch both delivers user-51 input AND advances the
+    // watermark past the previous event. The 100 h carrier's watermark
+    // (raised while batch 7 is processed) flushes all five funnel events,
+    // so the counts equal the ordered 5-event run.
+    val batches = (funnel ++ carriers).map(Seq(_))
+    val got = streamCounts(batches, "0 seconds", "funnel_et_everybatch")
+    assert(got.get(51L) === Some(reference(51L)))
+    // v: h1 h3; s1: each view's next click converts (h2, h4); s2: the
+    // h5 purchase closes BOTH pending clicks.
+    assert(reference(51L) === ((2L, 2L, 2L)))
+  }
+
   test("a row staler than the flushed frontier is discarded, not mis-folded") {
     // u31's view+click fold once the watermark passes them; a click then
     // arrives 13 h stale — BELOW the flushed frontier — and the fold's

@@ -9,6 +9,13 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.PackStream
 
+/** Top level, NOT nested in the suite: an inner case class captures the
+  * suite's `$outer` and Janino cannot compile the generated encoder
+  * projection, so every touch fell back to interpreter mode
+  * (`WARN UnsafeProjection: Expr codegen error`) and buried real codegen
+  * regressions in the test log (round-9 VERDICT 6). */
+final case class PackDoc(shard: Int, doc_id: Long, n_tokens: Long)
+
 /** Streaming next-fit packer: O(1) per-shard state must carry the OPEN
   * bin across micro-batch boundaries so closed-bin finals + the last
   * snapshot reproduce the batch one-shot; frontier discipline pinned on
@@ -16,7 +23,9 @@ import graft.streaming.PackStream
 class PackStreamSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private case class Doc(shard: Int, doc_id: Long, n_tokens: Long)
+  private type Doc = PackDoc
+  private def Doc(shard: Int, doc_id: Long, n_tokens: Long): PackDoc =
+    PackDoc(shard, doc_id, n_tokens)
 
   private def run(batches: Seq[Seq[Doc]], name: String): Map[(Int, Long), (Long, Long)] = {
     val stream = MemoryStream[Doc](Encoders.product[Doc], spark.sqlContext)
