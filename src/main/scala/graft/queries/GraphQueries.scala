@@ -32,7 +32,8 @@ object GraphQueries {
     * i.e. N < ~10^5 at this scale. The fixture graph is ~1.6k nodes; a
     * 10^8-node deployment drops R0 to 1e9 (same algebra, coarser
     * granularity) or lifts the per-node sum to DECIMAL(38,0) in both
-    * engines. */
+    * engines. ENFORCED by the node-count require in [[pagerankIterate]]
+    * (fail loudly over wrap silently). */
   private val R0 = 1000000000000L // rank scale: 1e12 == 1.0
   private val Base = 150000000000L // 0.15 · R0
 
@@ -47,11 +48,32 @@ object GraphQueries {
       .unionByName(bought.select(col("s").as("src"), col("c").as("dst")))
   }
 
-  /** Five integer power-iteration rounds; top-20 suppliers by rank. */
-  def pagerankSuppliers(spark: SparkSession, dir: String): DataFrame = {
-    val e = graft.GraftCaches.track(edges(spark, dir))
+  /** Largest node count int64 can carry at this rank scale: a node's
+    * update computes 85 · Σ_in (r DIV d) and Σ_in ≤ total mass N·R0, so
+    * N ≤ 2^63 / (85·R0) ≈ 1.08·10^5. Public so the guard spec derives
+    * its over-bound fixture from the same constant. */
+  val MaxNodesAtScale: Long = Long.MaxValue / (85L * R0)
+
+  /** The guarded integer power iteration over a mirrored edge relation
+    * `(src, dst)` — factored out of [[pagerankSuppliers]] so the
+    * overflow guard is testable on a synthetic over-bound graph.
+    *
+    * LOUD-FAILURE GUARD (round-9 VERDICT 5): the int64 bound above was
+    * previously documented but unenforced — a 10^8-node deployment would
+    * wrap silently and rank garbage. One cheap aggregate on the
+    * already-built (and cached) degree relation raises with the
+    * documented remedy instead, mirroring BitmapStream's id-domain
+    * require. */
+  def pagerankIterate(e0: DataFrame): DataFrame = {
+    val e = graft.GraftCaches.track(e0)
     val deg = graft.GraftCaches.track(
       e.groupBy("src").agg(count(lit(1)).as("d")))
+    val nNodes = deg.count()
+    require(nNodes <= MaxNodesAtScale,
+      s"pagerank: $nNodes nodes exceeds the int64-safe bound $MaxNodesAtScale " +
+        s"at rank scale R0=$R0 (85 * N * R0 must stay below 2^63). " +
+        "Drop R0 to 1e9 (same algebra, coarser granularity) or lift the " +
+        "per-node contribution sum to DECIMAL(38,0) in both engines.")
     // Degree-annotated edges built ONCE (every round would otherwise
     // re-run the e ⋈ deg join — at graph scale that join is as big as
     // the round itself).
@@ -69,11 +91,16 @@ object GraphQueries {
           .agg((lit(Base) + expr("85 * sum(contrib) DIV 100")).as("r"))
           .select(col("dst").as("node"), col("r")))
     }
-    r.filter(pmod(col("node"), lit(2)) === 1)
+    r
+  }
+
+  /** Five integer power-iteration rounds; top-20 suppliers by rank. */
+  def pagerankSuppliers(spark: SparkSession, dir: String): DataFrame =
+    pagerankIterate(edges(spark, dir))
+      .filter(pmod(col("node"), lit(2)) === 1)
       .select(expr("node DIV 2").as("supp_id"), col("r").as("rank_e12"))
       .orderBy(col("rank_e12").desc, col("supp_id"))
       .limit(20)
-  }
 
   private def prRoundSql(k: Int): String =
     s"""r$k AS (

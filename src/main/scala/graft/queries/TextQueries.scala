@@ -1768,6 +1768,186 @@ object TextQueries {
        |       CAST(CAST(SUM(e.units) AS BIGINT) AS DOUBLE) / COUNT(*) AS units_per_word
        |FROM tok t JOIN enc e USING (w) GROUP BY t.doc_id""".stripMargin
 
+  /** Unigram-LM tokenizer TRAINING ([[graft.operators.Unigram.train]]):
+    * seed the top-[[UnigramTopK]] substrings (plus all single chars),
+    * then [[UnigramIters]] hard-EM rounds — Viterbi-segment every vocab
+    * word under Laplace-smoothed piece likelihoods, recount. Output is
+    * (iter, piece, cnt) for EVERY inventory piece at EVERY iteration
+    * (iter 0 = seeds), so the oracle pins each round differentially,
+    * exactly like `ivf_train_assign`'s per-iteration CTE chains and
+    * `bpe_train`'s per-round merge rows. The oracle unrolls the Viterbi
+    * DP to [[UnigramDpUnroll]] positions per round (fixture max word
+    * length is 8; the ENGINE's DP is unbounded — only the SQL replay is
+    * length-bounded). All counts are exact BIGINTs; the only IEEE ops
+    * are one division per piece per round and the DP's fixed-order score
+    * products, both replayed literally by the oracle. */
+  def unigramTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Unigram.train(Tables.documents(spark, dir), "text",
+        iters = UnigramIters, topK = UnigramTopK)
+      .orderBy("iter", "piece")
+
+  private val UnigramIters = 3
+  private val UnigramTopK = 48
+  private val UnigramDpUnroll = 12
+
+  /** Shared CTE chain for the unigram oracle family: vocab → substring
+    * seeds → c0 (top-K ∪ single chars) → per round t: smoothed probs
+    * pr_t, Viterbi DP levels b_t_1..L (each level = per-word argmax over
+    * the ≤[[graft.operators.Unigram.MaxPieceLen]] split points, ties to
+    * the smallest j), per-word segmentation seg_t at its own length,
+    * and hard recount c_t. `unigram_train` reads c_0..c_N;
+    * `unigram_apply` adds one more chain under the final counts and
+    * reads its segmentation as the encoder. */
+  private def unigramCtes(chains: Int, withVocab: Boolean = true): String = {
+    val P = graft.operators.Unigram.MaxPieceLen
+    val L = UnigramDpUnroll
+    def chain(t: Int): String = {
+      val prev = s"c${t - 1}"
+      val pr =
+        s"""pr$t AS MATERIALIZED (
+           |  SELECT piece, (cnt + 1)::DOUBLE /
+           |    ((SELECT SUM(cnt) FROM $prev) + (SELECT COUNT(*) FROM $prev))::DOUBLE AS p
+           |  FROM $prev)""".stripMargin
+      val b0 = s"b${t}_0 AS (SELECT w, f, length(w) AS n, 1.0::DOUBLE AS s, '' AS seg FROM vocab)"
+      def level(k: Int): String = {
+        val cands = (math.max(0, k - P) until k).map { j =>
+          s"""    SELECT b.w, b.f, b.n, b.s * pr.p AS s,
+             |      b.seg || ' ' || substr(b.w, ${j + 1}, ${k - j}) AS seg, $j AS j
+             |    FROM b${t}_$j b JOIN pr$t pr ON pr.piece = substr(b.w, ${j + 1}, ${k - j})
+             |    WHERE b.n >= $k""".stripMargin
+        }.mkString("\n    UNION ALL\n")
+        s"""b${t}_$k AS MATERIALIZED (
+           |  SELECT w, f, n, s, seg FROM (
+           |    SELECT w, f, n, s, seg,
+           |      row_number() OVER (PARTITION BY w ORDER BY s DESC, j ASC) AS rn
+           |    FROM (
+           |$cands) cand) ranked
+           |  WHERE rn = 1)""".stripMargin
+      }
+      val seg =
+        s"""seg$t AS MATERIALIZED (
+           |  SELECT w, f, trim(seg) AS seg FROM (
+           |${(1 to L).map(k => s"    SELECT * FROM b${t}_$k WHERE n = $k").mkString("\n    UNION ALL\n")}))""".stripMargin
+      val cnt =
+        s"""c$t AS MATERIALIZED (
+           |  SELECT c.piece, COALESCE(CAST(SUM(x.f) AS BIGINT), 0) AS cnt
+           |  FROM c0 c LEFT JOIN (
+           |    SELECT unnest(string_split(seg, ' ')) AS piece, f FROM seg$t) x
+           |  ON x.piece = c.piece
+           |  GROUP BY c.piece)""".stripMargin
+      (Seq(pr, b0) ++ (1 to L).map(level) ++ Seq(seg, cnt)).mkString(",\n")
+    }
+    // `withVocab = false` for oracles that already define the identical
+    // `vocab` CTE (the BPE chain shares the same whitespace tokenizer).
+    val vocabCtes =
+      """tok AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+        |        FROM documents),
+        |vocab AS MATERIALIZED (SELECT w, COUNT(*) AS f FROM tok GROUP BY w),
+        |""".stripMargin
+    s"""${if (withVocab) vocabCtes else ""}subs AS MATERIALIZED (
+       |  SELECT substr(w, CAST(pos AS INT), CAST(l AS INT)) AS piece,
+       |         CAST(SUM(f) AS BIGINT) AS cnt
+       |  FROM vocab,
+       |       LATERAL (SELECT unnest(range(1, length(w) + 1)) AS pos) u1,
+       |       LATERAL (SELECT unnest(range(1, least($P, length(w) - pos + 1) + 1)) AS l) u2
+       |  GROUP BY 1),
+       |c0 AS MATERIALIZED (
+       |  SELECT piece, cnt FROM
+       |    (SELECT piece, cnt FROM subs ORDER BY cnt DESC, piece LIMIT $UnigramTopK)
+       |  UNION
+       |  SELECT piece, cnt FROM subs WHERE length(piece) = 1),
+       |${(1 to chains).map(chain).mkString(",\n")}""".stripMargin
+  }
+
+  val unigramTrainSql: String = {
+    val unions = (0 to UnigramIters).map(t =>
+      s"SELECT $t AS iter, piece, cnt FROM c$t").mkString("\n  UNION ALL ")
+    s"""WITH ${unigramCtes(UnigramIters)}
+       |$unions
+       |ORDER BY iter, piece""".stripMargin
+  }
+
+  /** Unigram-LM ENCODE ([[graft.operators.Unigram.encodeVocab]]): the
+    * corpus re-tokenized by the trained model — one more Viterbi pass
+    * under the FINAL counts gives each vocab word its segmentation,
+    * broadcast against the exploded corpus tokens (the `bpe_apply`
+    * shape: the shuffle carries vocabulary-sized (word, units) pairs;
+    * at 100 TB the encode cost is the token explode, never a
+    * per-document DP). The oracle replays the training chains plus the
+    * final encode chain and reads its per-word unit counts. */
+  def unigramApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val enc = graft.operators.Unigram.encodeVocab(docs, "text",
+      iters = UnigramIters, topK = UnigramTopK)
+    docs.select(col("doc_id"), explode(graft.operators.TextOps.words(col("text"))).as("w"))
+      .join(broadcast(enc.select(col("w"), col("units"))), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("units")).cast("bigint").as("n_units"))
+      .select(col("doc_id"), col("n_words"), col("n_units"),
+        (col("n_units").cast("double") / col("n_words")).as("units_per_word"))
+      .orderBy("doc_id")
+  }
+
+  val unigramApplySql: String = {
+    val last = UnigramIters + 1
+    s"""WITH ${unigramCtes(last)},
+       |enc AS (SELECT w,
+       |          len(list_filter(string_split(seg, ' '), x -> x != '')) AS units
+       |        FROM seg$last),
+       |dtok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+       |         FROM documents)
+       |SELECT t.doc_id, COUNT(*) AS n_words,
+       |       CAST(SUM(e.units) AS BIGINT) AS n_units,
+       |       CAST(CAST(SUM(e.units) AS BIGINT) AS DOUBLE) / COUNT(*) AS units_per_word
+       |FROM dtok t JOIN enc e USING (w) GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+  }
+
+  /** Tokenizer bake-off: per source, words and subword units under the
+    * trained BPE (8 merges) vs the trained unigram-LM (3 EM rounds) —
+    * the fertility comparison a tokenizer selection actually runs.
+    * Both encoders are VOCABULARY-sized broadcasts against one exploded
+    * token pass (the corpus is scanned once; at 100 TB the cost is the
+    * explode, the models are kilobytes). The oracle replays BOTH
+    * training chains (8 BPE round CTEs + 3 unigram EM chains + the
+    * encode chain) over one shared `vocab`, so the comparison itself is
+    * hash-checked end-to-end. */
+  def tokenizerCompare(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bpe = graft.operators.Bpe.encodeVocab(docs, "text", rounds = BpeRounds)
+      .withColumnRenamed("units", "bu")
+    val uni = graft.operators.Unigram.encodeVocab(docs, "text",
+        iters = UnigramIters, topK = UnigramTopK)
+      .select(col("w"), col("units").as("uu"))
+    docs.select(col("source"), explode(graft.operators.TextOps.words(col("text"))).as("w"))
+      .join(broadcast(bpe), "w")
+      .join(broadcast(uni), "w")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("bu")).cast("bigint").as("bpe_units"),
+        sum(col("uu")).cast("bigint").as("uni_units"))
+      .select(col("source"), col("n_words"), col("bpe_units"), col("uni_units"),
+        (col("bpe_units").cast("double") / col("n_words")).as("bpe_fertility"),
+        (col("uni_units").cast("double") / col("n_words")).as("uni_fertility"))
+      .orderBy("source")
+  }
+
+  val tokenizerCompareSql: String =
+    s"""WITH ${bpeCtes(BpeRounds)},
+       |${unigramCtes(UnigramIters + 1, withVocab = false)},
+       |benc AS (SELECT w, len(list_filter(string_split(trim(s), ' '), x -> x != '')) AS bu
+       |         FROM v$BpeRounds),
+       |uenc AS (SELECT w, len(list_filter(string_split(seg, ' '), x -> x != '')) AS uu
+       |         FROM seg${UnigramIters + 1}),
+       |stok AS (SELECT source, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+       |         FROM documents)
+       |SELECT t.source, COUNT(*) AS n_words,
+       |       CAST(SUM(b.bu) AS BIGINT) AS bpe_units,
+       |       CAST(SUM(u.uu) AS BIGINT) AS uni_units,
+       |       CAST(CAST(SUM(b.bu) AS BIGINT) AS DOUBLE) / COUNT(*) AS bpe_fertility,
+       |       CAST(CAST(SUM(u.uu) AS BIGINT) AS DOUBLE) / COUNT(*) AS uni_fertility
+       |FROM stok t JOIN benc b USING (w) JOIN uenc u USING (w)
+       |GROUP BY t.source ORDER BY t.source""".stripMargin
+
   /** SFT loss-masking plan: split each document's token stream into a
     * prompt prefix (no loss) and a response suffix (loss) at a
     * deterministic hash-derived boundary — the per-example bookkeeping
@@ -3477,6 +3657,9 @@ object TextQueries {
     "temperature_mix" -> (temperatureMix _),
     "bpe_train" -> (bpeTrain _),
     "bpe_apply" -> (bpeApply _),
+    "unigram_train" -> (unigramTrain _),
+    "unigram_apply" -> (unigramApply _),
+    "tokenizer_compare" -> (tokenizerCompare _),
     "bm25_search" -> (bm25Search _),
     "phrase_search" -> (phraseSearch _),
     "epoch_shuffle" -> (epochShuffle _),
@@ -3561,6 +3744,9 @@ object TextQueries {
     "temperature_mix" -> temperatureMixSql,
     "bpe_train" -> bpeTrainSql,
     "bpe_apply" -> bpeApplySql,
+    "unigram_train" -> unigramTrainSql,
+    "unigram_apply" -> unigramApplySql,
+    "tokenizer_compare" -> tokenizerCompareSql,
     "bm25_search" -> bm25SearchSql,
     "phrase_search" -> phraseSearchSql,
     "epoch_shuffle" -> epochShuffleSql,
