@@ -332,12 +332,15 @@ class ShuffleBudgetSpec extends AnyFunSuite {
   // (35 static exchanges vs ~6 executed once caches materialize) — the
   // same overstatement exemption as the iterated operators below.
   // Iterated operators (graph_pagerank, dedup_components*,
-  // dedup_cluster_stats, graph_communities, bpe_train) are NOT pinned: their pre-execution
+  // dedup_cluster_stats, graph_communities, bpe_train, unigram_train /
+  // unigram_apply / tokenizer_compare) are NOT pinned: their pre-execution
   // plan string inlines every tracked-cache subtree per round (and
-  // bpe_train is a driver loop of per-round jobs, not one plan), so the
-  // static exchange count overstates what executes (cached rounds
+  // bpe_train / the unigram family are driver loops of per-round jobs,
+  // not one plan — constructing the final frame EXECUTES the EM rounds),
+  // so the static exchange count overstates what executes (cached rounds
   // materialize once) — the per-round budget is documented on the
-  // operators instead.
+  // operators instead (Unigram: vocab agg + seed agg once, then per EM
+  // round one explode agg over the VOCABULARY, never the corpus).
 
   test("shuffle count stays within the designed budget") {
     budgets.toSeq.sortBy(_._1).foreach { case (name, budget) =>
