@@ -1948,6 +1948,48 @@ object TextQueries {
        |FROM stok t JOIN benc b USING (w) JOIN uenc u USING (w)
        |GROUP BY t.source ORDER BY t.source""".stripMargin
 
+  /** SentencePiece-style character-coverage audit for the trained
+    * unigram model: per source, how many corpus characters land inside
+    * MULTI-char pieces vs fall back to single-char pieces — the
+    * coverage knob a tokenizer deployment tunes (heavy char-fallback on
+    * a source means the inventory under-serves it). Exact BIGINT
+    * character counts, one IEEE division for the ratio; the encoder is
+    * the same vocabulary-sized broadcast as `unigram_apply`, so the
+    * corpus pass is one explode + one map-side-combined aggregate. */
+  def unigramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val enc = graft.operators.Unigram.encodeVocab(docs, "text",
+        iters = UnigramIters, topK = UnigramTopK)
+      .select(col("w"),
+        length(col("w")).cast("bigint").as("nc"),
+        (length(col("w")) - size(org.apache.spark.sql.functions.filter(
+          split(col("seg"), " "), p => length(p) === 1))).cast("bigint").as("nm"))
+    docs.select(col("source"), explode(graft.operators.TextOps.words(col("text"))).as("w"))
+      .join(broadcast(enc), "w")
+      .groupBy("source")
+      .agg(sum(col("nc")).cast("bigint").as("n_chars"),
+        sum(col("nm")).cast("bigint").as("n_multi_chars"))
+      .select(col("source"), col("n_chars"), col("n_multi_chars"),
+        (col("n_multi_chars").cast("double") / col("n_chars")).as("multi_char_coverage"))
+      .orderBy("source")
+  }
+
+  val unigramCoverageSql: String = {
+    val last = UnigramIters + 1
+    s"""WITH ${unigramCtes(last)},
+       |enc AS (SELECT w, length(w)::BIGINT AS nc,
+       |          (length(w) - len(list_filter(string_split(seg, ' '),
+       |                                       p -> length(p) = 1)))::BIGINT AS nm
+       |        FROM seg$last),
+       |stok AS (SELECT source, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+       |         FROM documents)
+       |SELECT t.source, CAST(SUM(e.nc) AS BIGINT) AS n_chars,
+       |       CAST(SUM(e.nm) AS BIGINT) AS n_multi_chars,
+       |       CAST(CAST(SUM(e.nm) AS BIGINT) AS DOUBLE) /
+       |         CAST(SUM(e.nc) AS BIGINT) AS multi_char_coverage
+       |FROM stok t JOIN enc e USING (w) GROUP BY t.source ORDER BY t.source""".stripMargin
+  }
+
   /** SFT loss-masking plan: split each document's token stream into a
     * prompt prefix (no loss) and a response suffix (loss) at a
     * deterministic hash-derived boundary — the per-example bookkeeping
@@ -3660,6 +3702,7 @@ object TextQueries {
     "unigram_train" -> (unigramTrain _),
     "unigram_apply" -> (unigramApply _),
     "tokenizer_compare" -> (tokenizerCompare _),
+    "unigram_coverage" -> (unigramCoverage _),
     "bm25_search" -> (bm25Search _),
     "phrase_search" -> (phraseSearch _),
     "epoch_shuffle" -> (epochShuffle _),
@@ -3747,6 +3790,7 @@ object TextQueries {
     "unigram_train" -> unigramTrainSql,
     "unigram_apply" -> unigramApplySql,
     "tokenizer_compare" -> tokenizerCompareSql,
+    "unigram_coverage" -> unigramCoverageSql,
     "bm25_search" -> bm25SearchSql,
     "phrase_search" -> phraseSearchSql,
     "epoch_shuffle" -> epochShuffleSql,
