@@ -62,4 +62,80 @@ class EventTimePropertySpec extends AnyFunSuite {
       assert(got === reference, s"seed $seed diverged")
     }
   }
+
+  test("5 random disorder instances reproduce the ordered FIFO match set") {
+    import graft.streaming.FifoStream
+    val types = Array("view", "purchase")
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(2000L + seed)
+      // ~120 events, 5 users, hour-grid ts collisions, cent amounts that
+      // force lot splits and partial fills in both directions
+      val events = (1 to 120).map { i =>
+        Ev(i.toLong, new Timestamp(rnd.nextInt(73).toLong * H / 1000L),
+          70 + rnd.nextInt(5), types(rnd.nextInt(2)),
+          (1 + rnd.nextInt(400)) / 100.0)
+      }
+      val reference = FifoStream.matches(
+          spark.createDataset(events)(Encoders.product[Ev]).toDF())
+        .collect().map(m => (m.user_id, m.in_event, m.out_event, m.qty_cents, m.wait_us)).toSet
+
+      val shuffled = rnd.shuffle(events)
+      val batches = shuffled.grouped(1 + rnd.nextInt(40)).toSeq :+
+        Seq(ev(-1L, 3000 * H, -1L, "view")) :+
+        Seq(ev(-2L, 3001 * H, -1L, "view"))
+      val stream = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
+      val ckpt = Files.createTempDirectory(s"graft-et-fifo-prop-$seed").toString
+      val q = FifoStream.matchesEventTime(stream.toDF(), "1000 hours")
+        .writeStream.format("memory").queryName(s"et_fifo_prop_$seed")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+      try batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      val rows = spark.table(s"et_fifo_prop_$seed").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .filter(_._1 >= 0L)
+      assert(rows.length === rows.distinct.length, s"seed $seed emitted a match twice")
+      assert(rows.toSet === reference, s"seed $seed diverged")
+    }
+  }
+
+  test("5 random disorder instances reproduce the ordered SCD2 history") {
+    import graft.streaming.Scd2Stream
+    val types = Array("view", "click", "purchase")
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(3000L + seed)
+      val events = (1 to 120).map { i =>
+        ev(i.toLong, rnd.nextInt(73).toLong * H, 80 + rnd.nextInt(5),
+          types(rnd.nextInt(3)))
+      }
+      def collapse(rows: Seq[(Long, String, Long, Option[Long])]) = {
+        val closed = rows.collect { case (u, t, f, Some(to)) => (u, t, f, to) }
+        assert(closed.length === closed.distinct.length, s"seed $seed re-emitted a closed row")
+        val open = rows.collect { case (u, t, f, None) => (u, t, f) }
+          .groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._3) }
+        (closed.toSet, open)
+      }
+      val reference = collapse(Scd2Stream.history(
+          spark.createDataset(events)(Encoders.product[Ev]).toDF())
+        .collect().map(o => (o.user_id, o.event_type, o.from_us, o.to_us)).toSeq)
+
+      val shuffled = rnd.shuffle(events)
+      val batches = shuffled.grouped(1 + rnd.nextInt(40)).toSeq :+
+        Seq(ev(-1L, 3000 * H, -1L, "view")) :+
+        Seq(ev(-2L, 3001 * H, -1L, "view"))
+      val stream = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
+      val ckpt = Files.createTempDirectory(s"graft-et-scd2-prop-$seed").toString
+      val q = Scd2Stream.historyEventTime(stream.toDF(), "1000 hours")
+        .writeStream.format("memory").queryName(s"et_scd2_prop_$seed")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+      try batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      val got = collapse(spark.table(s"et_scd2_prop_$seed").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .filter(_._1 >= 0L).toSeq)
+      assert(got === reference, s"seed $seed diverged")
+    }
+  }
 }
