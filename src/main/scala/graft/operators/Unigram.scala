@@ -148,7 +148,7 @@ object Unigram {
     * score(j) · prob(w[j..k)), left-to-right products, ties to the
     * smallest j (longest last piece). Every cell is reachable because
     * single characters always carry non-zero smoothed probability. */
-  private[operators] def viterbi(w: String, probs: Map[String, Double]): Array[String] = {
+  private[graft] def viterbi(w: String, probs: Map[String, Double]): Array[String] = {
     val n = w.length
     val score = new Array[Double](n + 1)
     val back = new Array[Int](n + 1)

@@ -61,6 +61,54 @@ class UnigramSpec extends AnyFunSuite {
     assert(enc("abcd") === 1L)
   }
 
+  test("viterbi equals brute-force enumeration on 2000 random words (differential)") {
+    // Independent reference: enumerate EVERY segmentation into pieces of
+    // length 1..MaxPieceLen, score by the same left-to-right product,
+    // pick max score with ties to the lexicographically smallest
+    // cut-position sequence read right-to-left (= at every suffix the
+    // longest last piece — the DP's smallest-j rule). The DuckDB oracle
+    // replays the DP; this check derives the answer a different way.
+    val rnd = new scala.util.Random(77L)
+    val alphabet = "abcd"
+    def enumerate(w: String): Seq[List[(Int, Int)]] = {
+      def go(from: Int): Seq[List[(Int, Int)]] =
+        if (from == w.length) Seq(Nil)
+        else (1 to math.min(graft.operators.Unigram.MaxPieceLen, w.length - from))
+          .flatMap(l => go(from + l).map((from, from + l) :: _))
+      go(0)
+    }
+    (1 to 2000).foreach { _ =>
+      val w = (1 to (1 + rnd.nextInt(8)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      // random piece probabilities over all substrings (chars included so
+      // every cell is reachable), quantized so exact score ties OCCUR and
+      // the tie-break is actually exercised
+      val pieces = (for {
+        i <- 0 until w.length; l <- 1 to math.min(4, w.length - i)
+      } yield w.substring(i, i + l)).distinct
+      val probs = pieces.map(p => p -> (1 + rnd.nextInt(4)).toDouble / 8.0).toMap
+      def score(seg: List[(Int, Int)]): Double =
+        seg.foldLeft(1.0)((s, c) => s * probs(w.substring(c._1, c._2)))
+      // best = max score; ties: compare cut sequences from the END —
+      // a LATER last-cut start (= longer last piece) wins, recursively
+      def better(a: List[(Int, Int)], b: List[(Int, Int)]): Boolean = {
+        val (sa, sb) = (score(a), score(b))
+        if (sa != sb) sa > sb
+        else {
+          val (ra, rb) = (a.reverse.map(_._1), b.reverse.map(_._1))
+          ra.zip(rb).find { case (x, y) => x != y } match {
+            case Some((x, y)) => x < y // smaller j at the first divergent suffix cut
+            case None => ra.lengthCompare(rb.length) <= 0
+          }
+        }
+      }
+      val best = enumerate(w).reduceLeft((a, b) => if (better(a, b)) a else b)
+      val expected = best.map { case (f, t) => w.substring(f, t) }
+      val got = graft.operators.Unigram.viterbi(w, probs).toList
+      assert(got === expected, s"w=$w probs=$probs")
+    }
+  }
+
   test("scale smoke: trains over the synthetic corpus with no banned plan shapes") {
     val n = 20000L
     val d = spark.read.format("graft.sources.v2.SyntheticDocs")
