@@ -86,22 +86,28 @@ object Bench {
     // trio under "retried" so the artifact shows both measurements
     // instead of hiding the retry.
     val retried = scala.collection.mutable.LinkedHashMap.empty[String, IndexedSeq[Double]]
+    val retryErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = firstPass.map { case (name, first) =>
       if (first(0) <= 0.0 || first(2) / first(0) <= 3.0) name -> first
       else trio(name, SparkEntry.queries(name)) match {
         case Some(second) =>
-          val keepFirst =
+          // A degenerate zero-min retry trio gets the same keep-first
+          // treatment as a zero-min first trio (its spread ratio would be
+          // Inf/NaN and NaN comparisons are all false, silently keeping
+          // the degenerate trio otherwise).
+          val keepFirst = second(0) <= 0.0 ||
             first(2) / first(0) < second(2) / second(0) ||
               (first(2) / first(0) == second(2) / second(0) && first(1) <= second(1))
           if (keepFirst) { retried += name -> second; name -> first }
           else { retried += name -> first; name -> second }
         case None =>
           // The retry failed after the first pass succeeded four times
-          // (warm + trio): that failure is co-tenant noise by the same
-          // logic as the timing noise that triggered the retry. Keep the
-          // first-pass measurement and drop the spurious error entry so
-          // the artifact doesn't report a timed query as errored.
-          errors.remove(name)
+          // (warm + trio): keep the first-pass measurement — but PRESERVE
+          // the retry failure under "retry_errors" instead of erasing it,
+          // so a query that genuinely fails on re-execution (e.g.
+          // non-idempotent state left by a neighbor) is still visible in
+          // the artifact rather than reported as cleanly timed.
+          errors.remove(name).foreach(msg => retryErrors += name -> msg)
           name -> first
       }
     }
@@ -120,8 +126,10 @@ object Bench {
       } + "\""
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
+    val retryErrJson = retryErrors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2(1)).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"retried":$retriedJson,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"retried":$retriedJson,"errors":$errJson,"retry_errors":$retryErrJson,"sf":"$sfDir"}""")
     // The per-query line above can be tail-truncated by the driver's
     // stdout capture (BENCH_r03 lost its leading "total" field exactly
     // this way). This compact trailer is printed LAST so the tail always

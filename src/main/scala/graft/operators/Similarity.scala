@@ -620,4 +620,121 @@ object Similarity {
     assign.join(dropped, col(id) === col("id_b"), "left")
       .select(col(id), col("centroid_id"), col("id_b").isNull.as("is_kept"))
   }
+
+  /** Per-vector top-`probes` cell MEMBERSHIPS over the `k` deterministic
+    * seed centroids, cells over `maxCell` membership rows excluded — the
+    * multi-probe antidote to [[semDedup]]'s cell-boundary blindness
+    * (round-10 VERDICT 4): a duplicate pair straddling a Voronoi border
+    * still shares its SECOND-nearest cell with high probability, so
+    * probe-2 candidates recover most border pairs at ×probes membership
+    * rows (never all-pairs). Ranking is the bounded-heap
+    * [[TopKAggregator]] (ties → lowest centroid id, mirroring the
+    * oracle's row_number). `e` is the (id, v, nrm) relation. */
+  private[graft] def semDedupMembers(e: DataFrame, id: String, k: Int,
+      probes: Int, maxCell: Int): DataFrame = {
+    val c = e.filter(col(id) < k)
+      .select(col(id).as("c_id"), col("v").as("cv"), col("nrm").as("c_nrm"))
+    val m = e.select(col(id), col("v"), col("nrm"))
+      .crossJoin(broadcast(c))
+      .select(col(id),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("c_nrm"))).as("sim"),
+        col("c_id"))
+      .groupBy(id)
+      .agg(TopKAggregator.topK(probes)(col("c_id").cast("long"), col("sim")).as("tk"))
+      .select(col(id), explode(col("tk.ids")).as("centroid_id"))
+    val okCells = m.groupBy("centroid_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxCell).select("centroid_id")
+    graft.GraftCaches.track(
+      m.join(broadcast(okCells), "centroid_id").select(col(id), col("centroid_id")))
+  }
+
+  /** Honest-recall audit for the semantic-dedup candidate generation
+    * (round-10 VERDICT 4): of all TRUE duplicate pairs (cosine ≥
+    * `threshold` over every vector pair — the exact baseline), what
+    * fraction is reachable (a) within [[semDedup]]'s single top-1 cell
+    * and (b) within the probe-2 membership cells of
+    * [[semDedupMembers]]? One row: (n_true, n_caught_p1, n_caught_p2,
+    * recall_p1, recall_p2).
+    *
+    * The exact baseline is a BLOCKED all-pairs equi-join: each id hashes
+    * to one of `blocks` buckets, the left side explodes ×blocks keyed
+    * (own, other) and the right ×blocks keyed (other, own), so every
+    * unordered pair lands in EXACTLY one of blocks² reducer groups of
+    * (N/blocks)² work each — quadratic by intent (it is the truth
+    * relation) but spread across tasks, never a single-task Cartesian.
+    * At corpus scale the audit runs on a sample; the plan shape is the
+    * same. */
+  def semDedupRecall(corpus: DataFrame, id: String, vec: String,
+      threshold: Double, k: Int = 16, maxCell: Int = 200,
+      blocks: Int = 16): DataFrame = {
+    val e = graft.GraftCaches.track(
+      corpus.select(col(id), toDoubleVec(col(vec)).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v")))))
+    val g = e.withColumn("blk", pmod(col(id), lit(blocks)).cast("int"))
+    val left = g.select(col(id).as("id_a"), col("v").as("va"),
+        col("nrm").as("na"), col("blk").as("p"),
+        explode(sequence(lit(0), lit(blocks - 1))).as("q"))
+    val right = g.select(col(id).as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb"), col("blk").as("q"),
+        explode(sequence(lit(0), lit(blocks - 1))).as("p"))
+    val truth = graft.GraftCaches.track(
+      left.join(right, Seq("p", "q"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+        .select("id_a", "id_b"))
+    // (a) the top-1-cell reach, mirroring semDedup exactly (cells capped
+    // by ASSIGNMENT count, as there).
+    val c = e.filter(col(id) < k)
+      .select(col(id).as("c_id"), col("v").as("cv"), col("nrm").as("c_nrm"))
+    val assign = graft.GraftCaches.track(
+      assignTo(e, id, c).select(col(id), col("centroid_id")))
+    val ok1 = assign.groupBy("centroid_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxCell).select("centroid_id")
+    val m1 = assign.join(broadcast(ok1), "centroid_id")
+    val cand1 = m1.as("a")
+      .join(m1.as("b").withColumnRenamed(id, "id_b"), "centroid_id")
+      .filter(col(id) < col("id_b"))
+      .select(col(id).as("id_a"), col("id_b"))
+    // (b) the probe-2 membership reach (cells capped by MEMBERSHIP count).
+    val mm = semDedupMembers(e, id, k, probes = 2, maxCell = maxCell)
+    val cand2 = mm.as("a")
+      .join(mm.as("b").withColumnRenamed(id, "id_b"), "centroid_id")
+      .filter(col(id) < col("id_b"))
+      .select(col(id).as("id_a"), col("id_b")).distinct()
+    truth
+      .join(cand1.withColumn("c1", lit(1)), Seq("id_a", "id_b"), "left")
+      .join(cand2.withColumn("c2", lit(1)), Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("c1").isNotNull, 1L).otherwise(0L)).as("n_caught_p1"),
+        sum(when(col("c2").isNotNull, 1L).otherwise(0L)).as("n_caught_p2"))
+      .select(col("n_true"), col("n_caught_p1"), col("n_caught_p2"),
+        (col("n_caught_p1").cast("double") / col("n_true").cast("double")).as("recall_p1"),
+        (col("n_caught_p2").cast("double") / col("n_true").cast("double")).as("recall_p2"))
+  }
+
+  /** Semantic duplicate FAMILIES: probe-2 capped-cell candidates →
+    * cosine ≥ `threshold` verified edges → true connected components via
+    * the converged min-label fixpoint
+    * ([[graft.operators.Dedup.duplicateComponentsConverged]] — the same
+    * fold the text and perceptual dedup families ride), so a paraphrase
+    * chain A≈B≈C lands in ONE family with the min id as keeper even when
+    * A and C fall below the pairwise threshold. Returns (doc_id,
+    * comp_id, is_keeper) for every vector in the duplicate graph. */
+  def semDedupClusters(corpus: DataFrame, id: String, vec: String,
+      threshold: Double, k: Int = 16, maxCell: Int = 200): DataFrame = {
+    val e = graft.GraftCaches.track(
+      corpus.select(col(id), toDoubleVec(col(vec)).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v")))))
+    val mm = semDedupMembers(e, id, k, probes = 2, maxCell = maxCell)
+    val cand = mm.as("a")
+      .join(mm.as("b").withColumnRenamed(id, "id_b"), "centroid_id")
+      .filter(col(id) < col("id_b"))
+      .select(col(id).as("id_a"), col("id_b")).distinct()
+    val edges = cand
+      .join(e.select(col(id).as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(e.select(col(id).as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    Dedup.duplicateComponentsConverged(edges)
+  }
 }

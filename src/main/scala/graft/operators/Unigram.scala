@@ -121,17 +121,26 @@ object Unigram {
         .select(col("f"), explode(split(col("seg"), " ")).as("piece"))
         .groupBy("piece").agg(sum("f").as("cnt"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // The collect above fully consumed this round's broadcast; destroy
+      // it NOW instead of leaving one Broadcast per EM iteration for the
+      // ContextCleaner to find eventually (the GraftCaches release
+      // discipline applied to broadcasts — round-10 ADVICE).
+      bc.destroy()
       cnts = inventory.iterator.map(p => p -> counted.getOrElse(p, 0L)).toMap
       inventory.toSeq.sorted.foreach(p => log += ((it, p, cnts(p))))
     }
 
     // The trained tokenizer = one more Viterbi pass under the FINAL
-    // counts (the model the training loop converged to).
+    // counts (the model the training loop converged to). Pinned (eager
+    // localCheckpoint) so the broadcast it reads is fully consumed here
+    // and can be destroyed immediately — the lazy frame would otherwise
+    // keep the last broadcast alive until an arbitrary later action.
     val bc = spark.sparkContext.broadcast(smoothedProbs(cnts))
-    val finalSeg = vocab.as(wfEnc).map { wf =>
+    val finalSeg = graft.GraftCaches.pin(vocab.as(wfEnc).map { wf =>
       val pieces = viterbi(wf.w, bc.value)
       SegRow(wf.w, wf.f, pieces.mkString(" "), pieces.length)
-    }(segEnc).toDF().select(col("w"), col("seg"), col("units").cast("long"))
+    }(segEnc).toDF().select(col("w"), col("seg"), col("units").cast("long")))
+    bc.destroy()
     (log.toSeq, finalSeg)
   }
 

@@ -62,17 +62,28 @@ object GraphQueries {
     * previously documented but unenforced — a 10^8-node deployment would
     * wrap silently and rank garbage. The node count is checked BEFORE
     * iterating and raises with the documented remedy, mirroring
-    * BitmapStream's id-domain require. `nodeBound` lets the caller pass
-    * a cheap conservative OVER-estimate (e.g. dimension-table row counts
-    * — parquet-metadata-only) instead of the exact `deg.count()` pass,
-    * which measured ~2.5 s of pure guard overhead at sf0.1; a too-big
-    * bound can only over-fire, and a deployment actually near the bound
-    * needs the remedy regardless. */
-  def pagerankIterate(e0: DataFrame, nodeBound: Option[Long] = None): DataFrame = {
+    * BitmapStream's id-domain require. `nodeUpperBound` lets the caller
+    * pass a cheap conservative OVER-estimate (e.g. dimension-table row
+    * counts — parquet-metadata-only) instead of the exact `deg.count()`
+    * pass, which measured ~2.5 s of pure guard overhead at sf0.1; a
+    * too-big bound can only over-fire, and a deployment actually near
+    * the bound needs the remedy regardless. The name states the
+    * contract (round-10 ADVICE): an UNDER-estimate silently re-opens
+    * the wrap the guard exists to prevent — set
+    * `GRAFT_CHECK_NODE_BOUND=1` to cross-check the supplied bound
+    * against the exact `deg.count()` in debug runs. */
+  def pagerankIterate(e0: DataFrame, nodeUpperBound: Option[Long] = None): DataFrame = {
     val e = graft.GraftCaches.track(e0)
     val deg = graft.GraftCaches.track(
       e.groupBy("src").agg(count(lit(1)).as("d")))
-    val nNodes = nodeBound.getOrElse(deg.count())
+    val nNodes = nodeUpperBound.getOrElse(deg.count())
+    if (nodeUpperBound.isDefined && sys.env.get("GRAFT_CHECK_NODE_BOUND").contains("1")) {
+      val exact = deg.count()
+      require(nNodes >= exact,
+        s"pagerank: nodeUpperBound=$nNodes UNDER-estimates the exact node " +
+          s"count $exact — the bound must be conservative or the int64 guard " +
+          "is void")
+    }
     require(nNodes <= MaxNodesAtScale,
       s"pagerank: $nNodes nodes (or bound) exceeds the int64-safe bound $MaxNodesAtScale " +
         s"at rank scale R0=$R0 (85 * N * R0 must stay below 2^63). " +

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -4451,23 +4452,50 @@ object Relational {
       |         / CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS top_quintile_share
       |FROM q""".stripMargin
 
+  /** Hard per-basket cap for [[basketPairs]]: an order keeps only its
+    * [[BasketCap]] LOWEST part keys before pairing (deterministic, the
+    * oracle mirrors the same row_number), so the orderkey self-join is
+    * bounded at C(cap,2) pairs per order NO MATTER how pathological a
+    * mega-basket gets — the maxBucket/capped-LSH discipline applied to
+    * the one remaining quadratic-in-group-size query (round-10 VERDICT
+    * 3). TPC-H baskets are ≤7 items, so the cap never binds on the
+    * fixture shape; it exists for the hot key the fixtures don't have.
+    * Public so the mega-basket spec derives its fixture from it. */
+  val BasketCap: Int = 32
+
   /** Market-basket association over order line items: for every pair of
     * parts bought together in one order, support (co-occurrence count)
     * and lift against the parts' independent order frequencies — the
     * classic co-purchase screen. The per-order pair expansion is bounded
-    * by the order's item count (≤7 at TPC-H shape), so the orderkey
-    * self-join can never quadratic-blow a hot key; ONE tracked distinct
-    * relation feeds the pair join, the per-part frequencies, and the
-    * order total (the 1-row scalar cross-broadcast, whitelisted); lift's
-    * division is the single IEEE op. TakeOrdered keeps the top 20. */
-  def basketPairs(spark: SparkSession, dir: String): DataFrame = {
-    val op = graft.GraftCaches.track(
+    * by [[BasketCap]] (see there); ONE tracked distinct relation feeds
+    * the pair join, the per-part frequencies, and the order total (the
+    * 1-row scalar cross-broadcast, whitelisted); lift's division is the
+    * single IEEE op. TakeOrdered keeps the top 20. */
+  def basketPairs(spark: SparkSession, dir: String): DataFrame =
+    basketPairsFrom(
       Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct())
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
+      cap = BasketCap)
+
+  /** The capped pair core behind [[basketPairs]], over any (ok, pk)
+    * relation — factored out so the mega-basket spec can feed a
+    * synthetic hot order and assert the C(cap,2) bound directly.
+    * Part frequencies and the order total are counted over the FULL
+    * distinct relation (the cap prunes only the pair expansion —
+    * support for surviving pairs stays exact; lift denominators are
+    * uncapped by design). */
+  private[graft] def basketPairsFrom(items: DataFrame, cap: Int): DataFrame = {
+    val op = graft.GraftCaches.track(items.distinct())
     val cnt = op.groupBy("pk").agg(count(lit(1)).as("c"))
     val nOrders = op.select(countDistinct("ok").as("n_orders"))
-    op.as("a").join(op.as("b"),
+    // The cap prefilter: rank within order by pk ASC (hash-partitioned
+    // window — each order is one group, never a global sort).
+    val capped = op
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("ok").orderBy(col("pk").asc)))
+      .filter(col("rn") <= cap)
+      .select("ok", "pk")
+    capped.as("a").join(capped.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
       .agg(count(lit(1)).as("pair_cnt"))
@@ -4482,12 +4510,16 @@ object Relational {
   }
 
   val basketPairsSql: String =
-    """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       |cnt AS (SELECT pk, COUNT(*) AS c FROM op GROUP BY pk),
       |n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM op),
+      |capped AS (
+      |  SELECT ok, pk FROM (
+      |    SELECT ok, pk, row_number() OVER (PARTITION BY ok ORDER BY pk ASC) AS rn
+      |    FROM op) t WHERE rn <= $BasketCap),
       |pairs AS (
       |  SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS pair_cnt
-      |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      |  FROM capped a JOIN capped b ON a.ok = b.ok AND a.pk < b.pk
       |  GROUP BY 1, 2)
       |SELECT p1, p2, pair_cnt, c1.c AS c1, c2.c AS c2,
       |  CAST(pair_cnt * n_orders AS DOUBLE) / CAST(c1.c * c2.c AS DOUBLE) AS lift
@@ -4495,6 +4527,35 @@ object Relational {
       |JOIN cnt c1 ON c1.pk = pairs.p1
       |JOIN cnt c2 ON c2.pk = pairs.p2
       |ORDER BY pair_cnt DESC, p1, p2 LIMIT 20""".stripMargin
+
+  /** One-line skew audit for the basket family (the `lsh_bucket_profile`
+    * discipline): basket-size histogram over the distinct (order, part)
+    * relation, with the pair cost each size bucket would contribute
+    * uncapped vs under [[BasketCap]] — the artifact that shows WHERE the
+    * cap bites before anyone pays the quadratic price. */
+  def basketSizeProfile(spark: SparkSession, dir: String): DataFrame = {
+    val op = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    op.groupBy("ok").agg(count(lit(1)).as("basket_size"))
+      .groupBy("basket_size").agg(count(lit(1)).as("n_orders"))
+      .select(col("basket_size"), col("n_orders"),
+        (col("basket_size") * (col("basket_size") - 1) / 2 * col("n_orders"))
+          .cast("bigint").as("pairs_uncapped"),
+        (least(col("basket_size"), lit(BasketCap.toLong)) *
+          (least(col("basket_size"), lit(BasketCap.toLong)) - 1) / 2 * col("n_orders"))
+          .cast("bigint").as("pairs_capped"))
+      .orderBy("basket_size")
+  }
+
+  val basketSizeProfileSql: String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |sz AS (SELECT ok, COUNT(*) AS basket_size FROM op GROUP BY ok)
+      |SELECT basket_size, COUNT(*) AS n_orders,
+      |  CAST(basket_size * (basket_size - 1) // 2 * COUNT(*) AS BIGINT) AS pairs_uncapped,
+      |  CAST(LEAST(basket_size, $BasketCap) * (LEAST(basket_size, $BasketCap) - 1) // 2
+      |       * COUNT(*) AS BIGINT) AS pairs_capped
+      |FROM sz GROUP BY basket_size ORDER BY basket_size""".stripMargin
 
   /** Order-to-ship lag in BUSINESS DAYS (weekends excluded) — the SLA
     * histogram a fulfilment report needs; calendar days over-penalize
@@ -4750,6 +4811,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "exact_quantiles" -> (exactQuantiles _),
     "basket_pairs" -> (basketPairs _),
+    "basket_size_profile" -> (basketSizeProfile _),
     "business_day_lag" -> (businessDayLag _),
     "target_encode_loo" -> (targetEncodeLoo _),
     "percent_rank_parts" -> (percentRankParts _),
@@ -4873,6 +4935,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "basket_pairs" -> basketPairsSql,
+    "basket_size_profile" -> basketSizeProfileSql,
     "business_day_lag" -> businessDayLagSql,
     "target_encode_loo" -> targetEncodeLooSql,
     "percent_rank_parts" -> percentRankPartsSql,

@@ -1782,13 +1782,35 @@ object TextQueries {
     * are one division per piece per round and the DP's fixed-order score
     * products, both replayed literally by the oracle. */
   def unigramTrain(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Unigram.train(Tables.documents(spark, dir), "text",
+    graft.operators.Unigram.train(requireDpUnroll(Tables.documents(spark, dir)), "text",
         iters = UnigramIters, topK = UnigramTopK)
       .orderBy("iter", "piece")
 
   private val UnigramIters = 3
   private val UnigramTopK = 48
   private val UnigramDpUnroll = 12
+
+  /** Guard the oracle's silent length bound (round-10 ADVICE): the
+    * DuckDB replay unrolls the Viterbi DP to [[UnigramDpUnroll]]
+    * positions, so a corpus word longer than that is simply DROPPED
+    * from the oracle's segmentation union while the engine's DP (which
+    * is unbounded) still counts it — a hash mismatch with a
+    * very-hard-to-diagnose cause. Fail LOUDLY here instead: one tiny
+    * max-length aggregate over the exploded words (the corpus is about
+    * to be scanned several times for training anyway) converts the
+    * "fixture max word length is 8" assumption into an enforced
+    * precondition. Returns `docs` for chaining. */
+  private def requireDpUnroll(docs: DataFrame): DataFrame = {
+    val row = docs
+      .select(explode(graft.operators.TextOps.words(col("text"))).as("w"))
+      .agg(max(length(col("w")))).head()
+    val maxLen = if (row.isNullAt(0)) 0 else row.getInt(0)
+    require(maxLen <= UnigramDpUnroll,
+      s"unigram oracle DP is unrolled to $UnigramDpUnroll positions but the " +
+        s"corpus has a word of length $maxLen — raise UnigramDpUnroll or the " +
+        "oracle will silently drop the over-length word's counts")
+    docs
+  }
 
   /** Shared CTE chain for the unigram oracle family: vocab → substring
     * seeds → c0 (top-K ∪ single chars) → per round t: smoothed probs
@@ -1876,7 +1898,7 @@ object TextQueries {
     * per-document DP). The oracle replays the training chains plus the
     * final encode chain and reads its per-word unit counts. */
   def unigramApply(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = requireDpUnroll(Tables.documents(spark, dir))
     val enc = graft.operators.Unigram.encodeVocab(docs, "text",
       iters = UnigramIters, topK = UnigramTopK)
     docs.select(col("doc_id"), explode(graft.operators.TextOps.words(col("text"))).as("w"))
@@ -1912,7 +1934,7 @@ object TextQueries {
     * encode chain) over one shared `vocab`, so the comparison itself is
     * hash-checked end-to-end. */
   def tokenizerCompare(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = requireDpUnroll(Tables.documents(spark, dir))
     val bpe = graft.operators.Bpe.encodeVocab(docs, "text", rounds = BpeRounds)
       .withColumnRenamed("units", "bu")
     val uni = graft.operators.Unigram.encodeVocab(docs, "text",
@@ -1957,7 +1979,7 @@ object TextQueries {
     * the same vocabulary-sized broadcast as `unigram_apply`, so the
     * corpus pass is one explode + one map-side-combined aggregate. */
   def unigramCoverage(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = requireDpUnroll(Tables.documents(spark, dir))
     val enc = graft.operators.Unigram.encodeVocab(docs, "text",
         iters = UnigramIters, topK = UnigramTopK)
       .select(col("w"),

@@ -76,6 +76,12 @@ class PlanGuardSpec extends AnyFunSuite {
       // 16-tiny-centroid broadcast nested loop as the ivf_* family; the
       // within-cell pair stage itself is an equi-join on centroid_id.
       "semdedup",
+      // semdedup_recall / semdedup_clusters: the same 16-tiny-centroid
+      // assignment broadcast (twice in recall: top-1 + probe-2 paths);
+      // the exact truth baseline is the BLOCKED all-pairs equi-join on
+      // (p, q) — never a Cartesian — and candidate pairing is an
+      // equi-join on centroid_id.
+      "semdedup_recall", "semdedup_clusters",
       // embedding_drift: the ivf_* 16-tiny-centroid assignment broadcast
       // plus the 1-row cohort-totals scalar cross-broadcast.
       "embedding_drift",
@@ -212,6 +218,69 @@ class PlanGuardSpec extends AnyFunSuite {
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name plan has an unexpected BroadcastNestedLoopJoin")
     }
+  }
+
+  // Global-sort discipline (round-10 VERDICT 5): Spark's RangePartitioning
+  // exchange SAMPLES its child to pick range bounds, then executes it again
+  // to shuffle — so everything between the range exchange and the nearest
+  // re-readable boundary runs TWICE. Round 3 measured exactly this class:
+  // range_join's trailing orderBy re-executed a whole join stage in the
+  // sampling pass (15 s → 0.7 s once fixed). Re-readable boundaries make
+  // the double execution cheap: another Exchange (shuffle files are
+  // re-read, not recomputed), an InMemoryTableScan (cached), an RDDScan
+  // (pinned localCheckpoint), or a limit (bounded rows). What must NOT sit
+  // un-boundaried under a range exchange is recompute-expensive work: a
+  // join, a Generate (explode), or a window — that is the regression this
+  // rule makes structural.
+  private val sortOverExpensiveAllowed: Map[String, String] = Map(
+    "funnel_by_cohort" ->
+      "the trailing sort sits above the stack() Generate over the |cohorts| x 3 funnel matrix — cohort months are calendar-bounded, and the Generate's input is the cohort aggregate (re-read from its own shuffle in the sampling pass)",
+    "stream_delta_compress" ->
+      "the trailing sort sits above the totals ⋈ kept join of two |event_type|-row (=5) aggregates — both sides re-read from their own shuffles; the re-probed relation is bounded by the type alphabet")
+
+  test("RangePartitioning exchanges sit above re-readable boundaries, not raw joins/explodes/windows") {
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.{Exchange, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.{RDDScanExec, GlobalLimitExec, LocalLimitExec, TakeOrderedAndProjectExec, CollectLimitExec, GenerateExec}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case other => other
+    }
+    // True if recompute-expensive work is reachable from `p` without
+    // crossing a re-readable boundary.
+    def expensiveBeneath(p: SparkPlan): Boolean = p match {
+      case _: Exchange | _: InMemoryTableScanExec | _: RDDScanExec => false
+      case _: GlobalLimitExec | _: LocalLimitExec | _: CollectLimitExec |
+           _: TakeOrderedAndProjectExec => false
+      case _: BaseJoinExec | _: GenerateExec | _: WindowExec => true
+      case other => other.children.exists(expensiveBeneath)
+    }
+    def offendingSorts(p: SparkPlan): Int = {
+      val self = p match {
+        case s: ShuffleExchangeExec
+            if s.outputPartitioning.isInstanceOf[RangePartitioning] &&
+              expensiveBeneath(s.child) => 1
+        case _ => 0
+      }
+      self + p.children.map(offendingSorts).sum +
+        p.subqueries.map(q => offendingSorts(unwrap(q))).sum
+    }
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan =
+        try unwrap(SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan)
+        finally GraftCaches.releaseAll()
+      val n = offendingSorts(plan)
+      if (n > 0 && !sortOverExpensiveAllowed.contains(name)) Some(s"$name($n)") else None
+    }
+    assert(offenders.isEmpty,
+      s"range-exchange directly over join/explode/window (the sampling pass " +
+        s"re-executes that stage; pin or aggregate first): ${offenders.mkString(", ")}")
   }
 
   test("point/range lookups push predicates into the parquet scan") {
