@@ -621,6 +621,18 @@ object Similarity {
       .select(col(id), col("centroid_id"), col("id_b").isNull.as("is_kept"))
   }
 
+  /** Cell count for the semDedup family that SCALES with the corpus:
+    * n/62 cells target ~62 top-1 assignments (~124 probe-2 memberships)
+    * per cell — comfortably under the family's 200-row cell cap, so
+    * candidate generation stays non-degenerate as the corpus grows (a
+    * FIXED k=16 at 20k vectors puts ~1250 members in every cell, the cap
+    * excludes all of them, and the dedup silently finds nothing — the
+    * sf1 scale run surfaced exactly this). The floor of 16 keeps every
+    * historical fixture SF at the original seeding; the DuckDB oracles
+    * mirror the same GREATEST(16, count/62) in SQL, so the formula
+    * itself is hash-checked. */
+  def autoCells(n: Long): Int = math.max(16L, n / 62L).toInt
+
   /** Per-vector top-`probes` cell MEMBERSHIPS over the `k` deterministic
     * seed centroids, cells over `maxCell` membership rows excluded — the
     * multi-probe antidote to [[semDedup]]'s cell-boundary blindness

@@ -264,6 +264,15 @@ object MediaStreamQueries {
     * (56-bit space), and a skewed bucket (constant-signal payloads) caps
     * the same way the LSH maxBucket family does.
     *
+    * BANDING CHOICE, measured (round-10 VERDICT 2): the alternative
+    * lossless-to-d<=13 scheme — 14 exact 4-bit bands, NO probe
+    * expansion — was benchmarked head-to-head at 50k synthetic docs
+    * (identical 472,447-row pair output): 7x8 multi-probe 44.0/44.8 s
+    * vs 14x4 exact 63.6/63.0 s. The x9 probe rows are cheaper than the
+    * 16x-bigger buckets: expected bucket-pair volume is
+    * 7·9·N²/256 ≈ 0.25·N² for 7x8+probe vs 14·N²/16 ≈ 0.88·N² for
+    * 14x4, and the join output dominates. The x9 shape stays.
+    *
     * TEXT-AS-BYTES CONTRACT: the fixture's `text` column stands in for
     * decoded media bytes, and the native expression pools UTF-8 BYTES
     * (`cast("binary")`) while DuckDB's string functions see code points

@@ -938,13 +938,23 @@ object SimilarityQueries {
     * oracle's HAVING mirrors the cap). Emits (vec_id, centroid_id,
     * is_kept) for the full corpus. No trailing sort: the pair-verify
     * join is not pinned, and the driver compare sorts rows itself. */
-  def semDedupQ(spark: SparkSession, dir: String): DataFrame =
-    Similarity.semDedup(Tables.embeddings(spark, dir), "vec_id", "embedding",
-      threshold = 0.3)
+  def semDedupQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.semDedup(emb, "vec_id", "embedding",
+      threshold = 0.3, k = Similarity.autoCells(emb.count()))
+  }
+
+  /** The semDedup family's centroid relation: cell count scales with the
+    * corpus ([[Similarity.autoCells]] — GREATEST(16, n/62)), unlike the
+    * ivf_* family's deliberately FIXED 16 (its probe curves and recall
+    * audits are defined against a constant index shape). */
+  private val cAutoCte: String =
+    """c AS (SELECT vec_id AS c_id, embedding AS cv, nrm AS c_nrm FROM e0
+      |      WHERE vec_id < GREATEST(16, (SELECT COUNT(*) FROM e0) // 62))""".stripMargin
 
   val semDedupSql: String =
     s"""WITH $eCte,
-       |$cCte,
+       |$cAutoCte,
        |a AS (SELECT vec_id, c_id AS centroid_id FROM (
        |  SELECT s.*, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) AS rn
        |  FROM (SELECT e.vec_id, c.c_id, ${cosSql("e.embedding", "c.cv", "e.nrm", "c.c_nrm")} AS sim
@@ -975,9 +985,11 @@ object SimilarityQueries {
     * near-dup corpus pairs at tau >= 0.9 where members are nearly
     * collinear and land in the same (or the probe-adjacent) cell — the
     * regime SemDeDup is built for. */
-  def semDedupRecallQ(spark: SparkSession, dir: String): DataFrame =
-    Similarity.semDedupRecall(Tables.embeddings(spark, dir), "vec_id", "embedding",
-      threshold = 0.3)
+  def semDedupRecallQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.semDedupRecall(emb, "vec_id", "embedding",
+      threshold = 0.3, k = Similarity.autoCells(emb.count()))
+  }
 
   /** Shared oracle CTE chain for the probe-2 membership relation:
     * centroid sims (16 seed centroids), per-vector (sim DESC, c_id ASC)
@@ -994,7 +1006,7 @@ object SimilarityQueries {
 
   val semDedupRecallSql: String =
     s"""WITH $eCte,
-       |$cCte,
+       |$cAutoCte,
        |$probe2Ctes,
        |a AS (SELECT vec_id, c_id AS centroid_id FROM r2 WHERE rn = 1),
        |ok1 AS (SELECT centroid_id FROM a GROUP BY centroid_id HAVING COUNT(*) <= 200),
@@ -1023,14 +1035,16 @@ object SimilarityQueries {
     * resolution the drop-lower-id rule of `semdedup` can't express. The
     * oracle recomputes the components with a recursive reachability
     * closure (deliberately different math than the Spark fixpoint). */
-  def semDedupClustersQ(spark: SparkSession, dir: String): DataFrame =
-    Similarity.semDedupClusters(Tables.embeddings(spark, dir), "vec_id", "embedding",
-        threshold = 0.3)
+  def semDedupClustersQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.semDedupClusters(emb, "vec_id", "embedding",
+        threshold = 0.3, k = Similarity.autoCells(emb.count()))
       .orderBy("doc_id")
+  }
 
   val semDedupClustersSql: String =
     s"""WITH RECURSIVE $eCte,
-       |$cCte,
+       |$cAutoCte,
        |$probe2Ctes,
        |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
        |         FROM mm x JOIN mm y ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id),

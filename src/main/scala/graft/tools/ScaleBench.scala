@@ -1,0 +1,115 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Empirical scaling curve (round-10 VERDICT 1): run the most expensive
+  * queries at TWO generated scale points (default sf0.1 and sf1 — 10x
+  * data) and report per-query growth ratios, converting the "this plan
+  * survives a 100x scale-up" design claims from argued (ScaleSmoke plan
+  * asserts, shuffle budgets) into measured. A query whose time grows
+  * ~linearly with data (ratio ≈ 10 on 10x, modulo fixed per-job overhead
+  * that makes small-SF medians look worse) scales; super-linear growth
+  * is the finding this artifact exists to surface.
+  *
+  * Protocol per (query, sf): one untimed warm run (JIT + codegen), then
+  * median of 3 timed runs with cache release + GC between — graft.Bench's
+  * measurement discipline verbatim. Output: one JSON line with
+  * per-query [a_median, b_median, ratio] plus both full trios.
+  *
+  * Usage: `runMain graft.tools.ScaleBench <dirA> <dirB> <outFile>`
+  * (dirA = smaller SF). Queries come from SPARK_GRAFT_ONLY or default to
+  * the round-10 bench's 25 slowest (minus `pagerank_suppliers`, whose
+  * int64 rank-domain guard FIRES BY DESIGN at sf1: the purchase graph
+  * has ~165k nodes > the documented ~108k bound at R0=1e12 — the
+  * documented remedy is dropping R0, which changes the oracle, so the
+  * exclusion is recorded in the artifact instead). */
+object ScaleBench {
+
+  val DefaultQueries: Seq[String] = Seq(
+    "media_neardup_clusters", "media_neardup_pairs", "weighted_median_by_group",
+    "corpus_pipeline", "basket_pairs", "ivf_probe_curve", "tokenizer_compare",
+    "abc_classification", "graph_pagerank", "dedup_spans", "ppjoin_pairs",
+    "dedup_rate_by_source", "ivfpq_recall", "robust_outliers",
+    "dedup_method_agreement", "ngram_novelty", "rank_metrics",
+    "graph_edge_support", "dedup_cluster_stats", "revenue_by_nation",
+    "token_coverage", "bpe_apply", "try_cast_defaults", "contrastive_pairs",
+    "bpe_train",
+    // The round-11 semantic-dedup additions ride the scale run too: the
+    // adaptive cell count (Similarity.autoCells) exists precisely so
+    // these stay non-degenerate at sf1 — measure that, don't assume it.
+    "semdedup", "semdedup_clusters", "semdedup_recall")
+
+  private def trio(spark: SparkSession, name: String, dir: String,
+      errors: scala.collection.mutable.Map[String, String]): Option[IndexedSeq[Double]] = {
+    def run(): Boolean =
+      try {
+        graft.SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        true
+      } catch { case e: Throwable =>
+        errors.getOrElseUpdate(s"$name@$dir",
+          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}")
+        false
+      }
+    val warmOk = run()
+    val timed =
+      if (!warmOk) None
+      else Some((1 to 3).map { _ =>
+        spark.catalog.clearCache()
+        graft.GraftCaches.releaseAll()
+        System.gc()
+        val t0 = System.nanoTime()
+        run()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted.toIndexedSeq)
+    spark.catalog.clearCache()
+    graft.GraftCaches.releaseAll()
+    System.gc()
+    if (errors.contains(s"$name@$dir")) None else timed
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(dirA, dirB, outFile) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.GraftSession.builder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(DefaultQueries)
+      .filter(graft.SparkEntry.queries.contains)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val rows = names.flatMap { name =>
+      val a = trio(spark, name, dirA, errors)
+      val b = trio(spark, name, dirB, errors)
+      println(f"[scale] $name%-28s a=${a.fold("ERR")(t => f"${t(1)}%.2f")}" +
+        f" b=${b.fold("ERR")(t => f"${t(1)}%.2f")}")
+      (a, b) match {
+        case (Some(ta), Some(tb)) => Some((name, ta, tb))
+        case _ => None
+      }
+    }
+    def jarr(t: IndexedSeq[Double]) = t.mkString("[", ",", "]")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qJson = rows.map { case (n, ta, tb) =>
+      val ratio = if (ta(1) > 0) tb(1) / ta(1) else Double.NaN
+      s"${jstr(n)}:{" +
+        s""""a_median":${ta(1)},"b_median":${tb(1)},"ratio":$ratio,""" +
+        s""""a_trio":${jarr(ta)},"b_trio":${jarr(tb)}}"""
+    }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
+    val excluded =
+      """{"pagerank_suppliers":"int64 rank-domain guard fires by design at sf1: ~165k graph nodes exceed the ~108k bound at R0=1e12 (GraphQueries.MaxNodesAtScale); remedy documented there"}"""
+    val json =
+      s"""{"metric":"scale_growth","dir_a":${jstr(dirA)},"dir_b":${jstr(dirB)},""" +
+        s""""data_ratio":10.0,"n_queries":${rows.size},"queries":$qJson,""" +
+        s""""excluded":$excluded,"errors":$errJson}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    println(json)
+    spark.stop()
+  }
+}
