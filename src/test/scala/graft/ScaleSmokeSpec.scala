@@ -201,6 +201,35 @@ class ScaleSmokeSpec extends AnyFunSuite {
     GraftCaches.releaseAll()
   }
 
+  test(s"SemDeDup probe-2 clusters stay non-degenerate at ${nVecs / 5} vectors (round-11)") {
+    // The round-11 autoCells discipline measured, not assumed: with the
+    // corpus-scaled cell count (n/62) the probe-2 membership relation
+    // must keep most cells UNDER the cap — a fixed k=16 at this size put
+    // ~1250 members in every cell and the cap silently emptied candidate
+    // generation. Centered vectors (like the fixture embeddings, unlike
+    // the [0,1) uniform ones above) spread across cells.
+    val n = nVecs / 5
+    val v = synthVecs(n).select(col("vec_id"),
+      transform(col("embedding"), x => x - lit(0.5f)).as("embedding"))
+    val k = Similarity.autoCells(n)
+    val e = v.select(col("vec_id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+    val members = Similarity.semDedupMembers(e, "vec_id", k, probes = 2, maxCell = 200)
+    val mc = timed(s"semDedupMembers(k=$k, probe-2) over $n vectors")(members.count())
+    assert(mc > n,
+      s"probe-2 memberships ($mc) must exceed n=$n — most cells under the cap, " +
+        "candidate generation non-degenerate")
+    GraftCaches.releaseAll()
+    val clusters = Similarity.semDedupClusters(v, "vec_id", "embedding",
+      threshold = 0.9, k = k)
+    val plan = clusters.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "CartesianProduct in plan")
+    val c = timed(s"semDedupClusters over $n vectors")(clusters.count())
+    assert(c >= 0L)
+    GraftCaches.releaseAll()
+  }
+
   /** Synthetic events parquet (1M rows, 5k users, 30-day span) written
     * once per test: the event-stream operators read the REAL fixture
     * path (`Tables.events`), so the smoke drives the exact shipped query
