@@ -2955,7 +2955,13 @@ object TextQueries {
     flagged.crossJoin(member.agg(count(lit(1)).as("n_member")))
       .select(col("n_member"), col("n_probe"), col("n_nonmember"), col("n_fp"),
         col("n_false_neg"),
-        (col("n_fp").cast("double") / col("n_nonmember").cast("double")).as("fpr"))
+        // NULL, not an ANSI divide-by-zero: on a saturated small-vocab
+        // corpus every probe shingle can be a member (n_nonmember = 0 —
+        // the sf1 scale run hit exactly this) and an undefined FPR is
+        // the honest answer, not a crash. Oracle mirrors the CASE.
+        when(col("n_nonmember") > 0,
+          col("n_fp").cast("double") / col("n_nonmember").cast("double"))
+          .as("fpr"))
   }
 
   val bloomFprSql: String =
@@ -2990,7 +2996,8 @@ object TextQueries {
       |  FROM fl),
       |mc AS (SELECT COUNT(*) AS n_member FROM m)
       |SELECT n_member, n_probe, n_nonmember, n_fp, n_false_neg,
-      |  CAST(n_fp AS DOUBLE) / CAST(n_nonmember AS DOUBLE) AS fpr
+      |  CASE WHEN n_nonmember > 0
+      |       THEN CAST(n_fp AS DOUBLE) / CAST(n_nonmember AS DOUBLE) END AS fpr
       |FROM a, mc""".stripMargin
 
   /** Rank-based quantile normalization of the quality composite WITHIN
