@@ -111,6 +111,19 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "filter_funnel" -> 5,      // content-hash window + two 1-row folds + quota agg
     "semdedup" -> 11,          // static count inlines the tracked assign/vector caches
                                // per reference (cell pair join + verify + left join)
+    "semdedup_recall" -> 20,   // static count inlines the tracked vector/truth/assign/
+                               // membership caches per reference: blocked all-pairs
+                               // truth join + top-1 and probe-2 candidate self-joins
+                               // + the two left joins + 1-row recall fold
+    "semdedup_clusters" -> 1,  // the probe-2 candidate build, verify, and component
+                               // fixpoint all run at CONSTRUCTION (pinned rounds —
+                               // the rfm_segments shape); the final plan reads the
+                               // converged label relation + one result sort
+    "basket_size_profile" -> 4,// (ok,pk) distinct + basket-size agg + size-bucket agg
+                               // + result sort
+    "basket_pairs" -> 12,      // static count inlines the tracked (ok,pk) distinct
+                               // per reference (cap window + both pair sides + freq
+                               // aggs + order total) + pair agg + top-20 heap
     "knn_label_noise" -> 7,    // capped band self-join + pair scoring rejoins +
                                // per-vector heap + label joins (tracked subtrees inlined)
     "asof_join_nearest" -> 1,  // ONE key exchange; both direction windows re-sort in place
