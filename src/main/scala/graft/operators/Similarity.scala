@@ -631,7 +631,12 @@ object Similarity {
     * historical fixture SF at the original seeding; the DuckDB oracles
     * mirror the same GREATEST(16, count/62) in SQL, so the formula
     * itself is hash-checked. */
-  def autoCells(n: Long): Int = math.max(16L, n / 62L).toInt
+  def autoCells(n: Long): Int =
+    // Int-clamped (round-11 ADVICE): past ~62·2^31 vectors the Long→Int
+    // cast would wrap negative and the `id < k` centroid filter would
+    // select nothing — clamp keeps the formula total (at that corpus
+    // size Int.MaxValue cells is the right answer anyway).
+    math.min(math.max(16L, n / 62L), Int.MaxValue.toLong).toInt
 
   /** Per-vector top-`probes` cell MEMBERSHIPS over the `k` deterministic
     * seed centroids, cells over `maxCell` membership rows excluded — the
@@ -717,11 +722,23 @@ object Similarity {
       .join(cand1.withColumn("c1", lit(1)), Seq("id_a", "id_b"), "left")
       .join(cand2.withColumn("c2", lit(1)), Seq("id_a", "id_b"), "left")
       .agg(count(lit(1)).as("n_true"),
-        sum(when(col("c1").isNotNull, 1L).otherwise(0L)).as("n_caught_p1"),
-        sum(when(col("c2").isNotNull, 1L).otherwise(0L)).as("n_caught_p2"))
+        // coalesce: SUM over an empty truth relation is NULL in both
+        // engines — pin it to 0 so the column stays integral either way
+        coalesce(sum(when(col("c1").isNotNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_caught_p1"),
+        coalesce(sum(when(col("c2").isNotNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_caught_p2"))
       .select(col("n_true"), col("n_caught_p1"), col("n_caught_p2"),
-        (col("n_caught_p1").cast("double") / col("n_true").cast("double")).as("recall_p1"),
-        (col("n_caught_p2").cast("double") / col("n_true").cast("double")).as("recall_p2"))
+        // NULL, not 0/0, when the corpus has no true pairs at the
+        // threshold (the τ=0.9 audit over a near-random corpus): recall
+        // of an empty truth relation is undefined, and the oracle's
+        // CASE mirrors the same NULL — the bloom_fpr precedent.
+        when(col("n_true") === 0, lit(null).cast("double"))
+          .otherwise(col("n_caught_p1").cast("double") / col("n_true").cast("double"))
+          .as("recall_p1"),
+        when(col("n_true") === 0, lit(null).cast("double"))
+          .otherwise(col("n_caught_p2").cast("double") / col("n_true").cast("double"))
+          .as("recall_p2"))
   }
 
   /** Semantic duplicate FAMILIES: probe-2 capped-cell candidates →

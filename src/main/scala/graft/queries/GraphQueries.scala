@@ -9,15 +9,18 @@ import graft.sources.Tables
   * from orders × lineitem). Sibling of the LSH-document-graph family in
   * DedupQueries (`graph_pagerank` there quantizes a double rank to 1e-9
   * per round); this family is engine-exact by construction: ranks are
-  * INTEGER-SCALED (1e12 = 1.0) and every update is BIGINT arithmetic —
-  * `contrib = r DIV outdeg`, `next = 0.15·R0 + (85 · Σcontrib) DIV 100`
-  * — so five power-iteration rounds produce bit-identical BIGINTs in
-  * Spark and DuckDB with no cross-row double accumulation anywhere (the
-  * classic float PageRank is order-sensitive and could never hash-match
-  * across engines). The deliberate trade is documented: integer floor
-  * per edge loses < outdeg units of mass per node per round — at the
-  * 1e12 scale that is a 1e-10 relative perturbation, irrelevant to
-  * ranking and priceless for cross-engine verifiability.
+  * INTEGER-SCALED (R0 units == 1.0, R0 adaptive per [[adaptiveR0]], at
+  * most 1e12) and every update is BIGINT arithmetic — `contrib = r DIV
+  * outdeg`, `next = 0.15·R0 + (85 · Σcontrib) DIV 100` — so five
+  * power-iteration rounds produce bit-identical BIGINTs in Spark and
+  * DuckDB with no cross-row double accumulation anywhere (the classic
+  * float PageRank is order-sensitive and could never hash-match across
+  * engines). The deliberate trade is documented: integer floor per edge
+  * loses < outdeg units of mass per node per round — at the finest 1e12
+  * scale that is a 1e-10 relative perturbation, and even at the
+  * coarsest admissible scale (R0=100, reached only near 10^15 nodes)
+  * it stays a 1e-2-per-edge effect, irrelevant to ranking and priceless
+  * for cross-engine verifiability.
   *
   * Scale shape: one distinct edge build (orders ⋈ lineitem, shuffle on
   * orderkey), then per round a (src → rank) hash join + grouped BIGINT
@@ -26,16 +29,43 @@ import graft.sources.Tables
   * cust·2 / supp·2+1 to keep the two id spaces disjoint. */
 object GraphQueries {
 
-  /** Rank scale (1e12 == 1.0). Overflow bound, stated honestly: a
-    * node's update computes 85 · Σ_in (r DIV d), and Σ_in is bounded by
-    * the graph's total mass N·R0 — so int64 needs N·R0·85 < 2^63,
-    * i.e. N < ~10^5 at this scale. The fixture graph is ~1.6k nodes; a
-    * 10^8-node deployment drops R0 to 1e9 (same algebra, coarser
-    * granularity) or lifts the per-node sum to DECIMAL(38,0) in both
-    * engines. ENFORCED by the node-count require in [[pagerankIterate]]
-    * (fail loudly over wrap silently). */
-  private val R0 = 1000000000000L // rank scale: 1e12 == 1.0
-  private val Base = 150000000000L // 0.15 · R0
+  /** Finest rank scale (1e12 == 1.0) — used whenever the graph is small
+    * enough for it. Overflow bound, stated honestly: a node's update
+    * computes 85 · Σ_in (r DIV d), and Σ_in is bounded by the graph's
+    * total mass N·R0 — so int64 needs N·R0·85 < 2^63. Rounds 9–11 simply
+    * REFUSED graphs past N ≈ 1.08e5 at R0=1e12; round 12 implements the
+    * remedy that guard message named: [[adaptiveR0]] picks the largest
+    * power-of-ten scale that keeps the mass bound int64-safe (same
+    * integer algebra, coarser granularity), so the engine runs up to
+    * N ≈ 1.08e15 nodes ([[MaxNodesAdaptive]]) and only refuses past
+    * THAT — at which point the documented remedy is the DECIMAL(38,0)
+    * contribution-sum lift. */
+  private val R0Max = 1000000000000L // finest rank scale: 1e12 == 1.0
+  /** Coarsest scale we accept before refusing: at R0=100 a rank unit is
+    * 1% of a node's initial mass — coarser than that and five rounds of
+    * integer floors would visibly distort the ranking itself. */
+  private val R0Min = 100L
+
+  /** Largest power-of-ten rank scale (≤ 1e12) whose total graph mass
+    * keeps the per-node update 85·Σ_in(r DIV d) ≤ 85·N·R0 inside int64.
+    * Derivation is pure integer arithmetic (no log10 doubles — a float
+    * boundary could disagree with the oracle's integer CTE): largest
+    * p ∈ {100, 1000, …, 1e12} with p ≤ 2^63 DIV (85·N). The DuckDB
+    * oracle computes the identical maximum over the identical
+    * power-of-ten relation, so both engines derive the same scale from
+    * the same row counts. Loud failure past [[MaxNodesAdaptive]]. */
+  def adaptiveR0(nodes: Long): Long = {
+    require(nodes >= 1, s"pagerank: node count/bound must be >= 1, got $nodes")
+    require(nodes <= MaxNodesAdaptive,
+      s"pagerank: $nodes nodes (or bound) exceeds the adaptive int64-safe " +
+        s"bound $MaxNodesAdaptive (even the coarsest rank scale R0=$R0Min " +
+        "would overflow 85 * N * R0 past 2^63). Lift the per-node " +
+        "contribution sum to DECIMAL(38,0) in both engines.")
+    val cap = Long.MaxValue / (85L * nodes)
+    var p = R0Min
+    while (p * 10L <= cap && p < R0Max) p *= 10L
+    p
+  }
 
   /** Undirected (mirrored) customer↔supplier edge relation + out-degrees. */
   private def edges(spark: SparkSession, dir: String): DataFrame = {
@@ -48,11 +78,17 @@ object GraphQueries {
       .unionByName(bought.select(col("s").as("src"), col("c").as("dst")))
   }
 
-  /** Largest node count int64 can carry at this rank scale: a node's
-    * update computes 85 · Σ_in (r DIV d) and Σ_in ≤ total mass N·R0, so
-    * N ≤ 2^63 / (85·R0) ≈ 1.08·10^5. Public so the guard spec derives
-    * its over-bound fixture from the same constant. */
-  val MaxNodesAtScale: Long = Long.MaxValue / (85L * R0)
+  /** Largest node count int64 carries at the FINEST scale (R0=1e12):
+    * N ≤ 2^63 / (85·1e12) ≈ 1.08·10^5. Past this, [[adaptiveR0]] steps
+    * the scale down a decade at a time instead of refusing (the round-12
+    * change); kept public so specs can pin the scale-transition point. */
+  val MaxNodesAtScale: Long = Long.MaxValue / (85L * R0Max)
+
+  /** Largest node count the adaptive scale carries before even R0=100
+    * overflows: N ≤ 2^63 / (85·100) ≈ 1.08·10^15. The loud-refusal
+    * bound; the remedy past it is the DECIMAL(38,0) lift. Public so the
+    * guard spec derives its over-bound fixture from the same constant. */
+  val MaxNodesAdaptive: Long = Long.MaxValue / (85L * R0Min)
 
   /** The guarded integer power iteration over a mirrored edge relation
     * `(src, dst)` — factored out of [[pagerankSuppliers]] so the
@@ -84,11 +120,11 @@ object GraphQueries {
           s"count $exact — the bound must be conservative or the int64 guard " +
           "is void")
     }
-    require(nNodes <= MaxNodesAtScale,
-      s"pagerank: $nNodes nodes (or bound) exceeds the int64-safe bound $MaxNodesAtScale " +
-        s"at rank scale R0=$R0 (85 * N * R0 must stay below 2^63). " +
-        "Drop R0 to 1e9 (same algebra, coarser granularity) or lift the " +
-        "per-node contribution sum to DECIMAL(38,0) in both engines.")
+    // Adaptive rank scale (round-12, replacing the round-9..11 refusal):
+    // largest power-of-ten R0 keeping 85·N·R0 < 2^63. Refuses (loudly,
+    // with the DECIMAL remedy) only past MaxNodesAdaptive ≈ 1.08e15.
+    val r0 = adaptiveR0(nNodes)
+    val base = r0 / 100L * 15L // 0.15·R0, exact for any power of ten ≥ 100
     // Degree-annotated edges built ONCE (every round would otherwise
     // re-run the e ⋈ deg join — at graph scale that join is as big as
     // the round itself).
@@ -97,49 +133,73 @@ object GraphQueries {
     // node set is stable across rounds and no dangling handling is
     // needed (the honest caveat: a directed deployment adds the
     // dangling-mass redistribution term).
-    var r = deg.select(col("src").as("node"), lit(R0).as("r"))
+    var r = deg.select(col("src").as("node"), lit(r0).as("r"))
     (1 to 5).foreach { _ =>
       r = graft.GraftCaches.pin(
         ed.join(r, col("node") === col("src"))
           .select(col("dst"), expr("r DIV d").as("contrib"))
           .groupBy("dst")
-          .agg((lit(Base) + expr("85 * sum(contrib) DIV 100")).as("r"))
+          .agg((lit(base) + expr("85 * sum(contrib) DIV 100")).as("r"))
           .select(col("dst").as("node"), col("r")))
     }
-    r
+    // The scale the ranks are expressed in rides along so the output is
+    // self-describing (rank 1.0 == rank_r0 units) — and so the oracle,
+    // which derives the identical scale in SQL, hash-checks the
+    // derivation itself, not just the ranks.
+    r.withColumn("rank_r0", lit(r0))
   }
 
   /** Five integer power-iteration rounds; top-20 suppliers by rank.
     * Guard bound = |customer| + |supplier| (parquet-metadata counts,
-    * no data read) — every graph node is one of the two. */
+    * no data read) — every graph node is one of the two. The SAME bound
+    * feeds [[adaptiveR0]], and the oracle derives R0 from the identical
+    * `COUNT(customer) + COUNT(supplier)`, so both engines land on the
+    * same scale without any value passing between them. At the driver
+    * SFs (≤ 16k nodes) the scale stays the finest 1e12; at generated
+    * sf1 (~160k nodes) both sides step down to 1e11 and the query RUNS —
+    * the round-9..11 guard refused here. */
   def pagerankSuppliers(spark: SparkSession, dir: String): DataFrame =
     pagerankIterate(edges(spark, dir), Some(
       Tables.customer(spark, dir).count() + Tables.supplier(spark, dir).count()))
       .filter(pmod(col("node"), lit(2)) === 1)
-      .select(expr("node DIV 2").as("supp_id"), col("r").as("rank_e12"))
-      .orderBy(col("rank_e12").desc, col("supp_id"))
+      .select(expr("node DIV 2").as("supp_id"), col("r").as("rank_scaled"),
+        col("rank_r0"))
+      .orderBy(col("rank_scaled").desc, col("supp_id"))
       .limit(20)
 
   private def prRoundSql(k: Int): String =
     s"""r$k AS (
        |  SELECT e.dst AS node,
-       |    ${Base} + 85 * SUM(r.r // deg.d) // 100 AS r
+       |    (SELECT base FROM r0s) + 85 * SUM(r.r // deg.d) // 100 AS r
        |  FROM e JOIN r${k - 1} r ON r.node = e.src JOIN deg ON deg.src = e.src
        |  GROUP BY e.dst)""".stripMargin
 
+  /** Oracle twin. `r0s` mirrors [[adaptiveR0]] in pure integer SQL: the
+    * node bound is the same customer+supplier row count the engine
+    * uses, `pw` enumerates the same power-of-ten candidates, and the
+    * MAX under `p <= 2^63 // (85·n)` is the same "largest safe scale".
+    * `base` = 0.15·R0 via `r0//100*15` (exact for powers of ten ≥ 100,
+    * same expression as the engine). */
   val pagerankSuppliersSql: String =
-    s"""WITH bought AS MATERIALIZED (
+    s"""WITH nb AS (
+       |  SELECT (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM supplier) AS n),
+       |pw(p) AS (VALUES ${(2 to 12).map(k => s"(CAST(1${"0" * k} AS BIGINT))").mkString(", ")}),
+       |r0s AS (
+       |  SELECT MAX(p) AS r0, MAX(p) // 100 * 15 AS base
+       |  FROM pw, nb WHERE p <= 9223372036854775807 // (85 * nb.n)),
+       |bought AS MATERIALIZED (
        |  SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2+1 AS s
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
        |e AS MATERIALIZED (
        |  SELECT c AS src, s AS dst FROM bought
        |  UNION ALL SELECT s, c FROM bought),
        |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
-       |r0 AS (SELECT src AS node, ${R0}::BIGINT AS r FROM deg),
+       |r0 AS (SELECT src AS node, (SELECT r0 FROM r0s) AS r FROM deg),
        |${(1 to 5).map(prRoundSql).mkString(",\n")}
-       |SELECT CAST(node // 2 AS BIGINT) AS supp_id, CAST(r AS BIGINT) AS rank_e12
+       |SELECT CAST(node // 2 AS BIGINT) AS supp_id, CAST(r AS BIGINT) AS rank_scaled,
+       |  CAST((SELECT r0 FROM r0s) AS BIGINT) AS rank_r0
        |FROM r5 WHERE node % 2 = 1
-       |ORDER BY rank_e12 DESC, supp_id LIMIT 20""".stripMargin
+       |ORDER BY rank_scaled DESC, supp_id LIMIT 20""".stripMargin
 
   /** Degree profile of the same graph: how concentrated purchasing is —
     * the audit that tells you whether the rank iteration (or any

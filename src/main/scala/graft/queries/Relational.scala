@@ -4481,9 +4481,14 @@ object Relational {
     * relation — factored out so the mega-basket spec can feed a
     * synthetic hot order and assert the C(cap,2) bound directly.
     * Part frequencies and the order total are counted over the FULL
-    * distinct relation (the cap prunes only the pair expansion —
-    * support for surviving pairs stays exact; lift denominators are
-    * uncapped by design). */
+    * distinct relation; the cap prunes only the pair expansion, so
+    * pair_cnt is support over the CAPPED relation — a surviving pair
+    * loses the co-occurrences from orders where one member ranked past
+    * the cap (BasketPairsSpec shows pair (498,499) counted once instead
+    * of twice when order 1's copy is capped away). Only the part
+    * frequencies and the order total remain uncapped by design; the
+    * oracle mirrors the identical row_number prefilter, so the capped
+    * semantics are what's hash-checked. */
   private[graft] def basketPairsFrom(items: DataFrame, cap: Int): DataFrame = {
     val op = graft.GraftCaches.track(items.distinct())
     val cnt = op.groupBy("pk").agg(count(lit(1)).as("c"))

@@ -984,11 +984,31 @@ object SimilarityQueries {
     * is weak similarity that doesn't co-locate in Voronoi cells. A real
     * near-dup corpus pairs at tau >= 0.9 where members are nearly
     * collinear and land in the same (or the probe-adjacent) cell — the
-    * regime SemDeDup is built for. */
+    * regime SemDeDup is built for. Round 11's own lesson was that such
+    * arguments get MEASURED: `semdedup_recall_t9` below runs the same
+    * audit at τ=0.9, and FixtureGen plants clustered cosine-≈0.95
+    * near-dups so the generated corpora have a non-empty τ=0.9 truth
+    * relation (SemDedupPlantedRecallSpec pins probe-2 recall there;
+    * measured with seed centroids: 0.967 at 2k vectors / 60 planted
+    * true pairs, 0.921 at 20k vectors / 594 pairs — already 2–4× the
+    * τ=0.3 reach, confirming the regime argument directionally). On the
+    * driver fixtures (no planted pairs) the τ=0.9 truth relation is
+    * empty and the recalls are NULL by construction. */
   def semDedupRecallQ(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.semDedupRecall(emb, "vec_id", "embedding",
       threshold = 0.3, k = Similarity.autoCells(emb.count()))
+  }
+
+  /** The τ=0.9 twin of [[semDedupRecallQ]] — the regime semantic dedup
+    * is actually run in (SemDeDup, Abbas et al. 2023, dedups at cosine
+    * ≥ ~0.95). Driver fixtures have no such pairs (recalls NULL, counts
+    * 0 — the query is the measurement apparatus); FixtureGen corpora
+    * plant them, and the scale run + spec measure recall there. */
+  def semDedupRecallT9Q(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.semDedupRecall(emb, "vec_id", "embedding",
+      threshold = 0.9, k = Similarity.autoCells(emb.count()))
   }
 
   /** Shared oracle CTE chain for the probe-2 membership relation:
@@ -1004,7 +1024,11 @@ object SimilarityQueries {
        |okm AS (SELECT centroid_id FROM m2 GROUP BY centroid_id HAVING COUNT(*) <= 200),
        |mm AS (SELECT m2.vec_id, m2.centroid_id FROM m2 JOIN okm USING (centroid_id))""".stripMargin
 
-  val semDedupRecallSql: String =
+  /** Parameterized by threshold (the τ=0.3 historical audit and the
+    * τ=0.9 planted-near-dup regime share every other line). Empty truth
+    * → counts 0 (COALESCE) and recalls NULL (CASE), mirroring the
+    * engine's coalesce/when exactly. */
+  private def semDedupRecallSqlFor(threshold: Double): String =
     s"""WITH $eCte,
        |$cAutoCte,
        |$probe2Ctes,
@@ -1013,21 +1037,26 @@ object SimilarityQueries {
        |m1 AS (SELECT a.vec_id, a.centroid_id FROM a JOIN ok1 USING (centroid_id)),
        |truth AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
        |          FROM e0 x JOIN e0 y ON x.vec_id < y.vec_id
-       |          WHERE ${cosSql("x.embedding", "y.embedding", "x.nrm", "y.nrm")} >= 0.3),
+       |          WHERE ${cosSql("x.embedding", "y.embedding", "x.nrm", "y.nrm")} >= $threshold),
        |c1 AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
        |       FROM m1 x JOIN m1 y ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id),
        |c2 AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
        |       FROM mm x JOIN mm y ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id)
        |SELECT COUNT(*) AS n_true,
-       |  CAST(SUM(CASE WHEN c1.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught_p1,
-       |  CAST(SUM(CASE WHEN c2.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught_p2,
-       |  CAST(SUM(CASE WHEN c1.id_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / CAST(COUNT(*) AS DOUBLE) AS recall_p1,
-       |  CAST(SUM(CASE WHEN c2.id_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / CAST(COUNT(*) AS DOUBLE) AS recall_p2
+       |  COALESCE(CAST(SUM(CASE WHEN c1.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_caught_p1,
+       |  COALESCE(CAST(SUM(CASE WHEN c2.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_caught_p2,
+       |  CASE WHEN COUNT(*) = 0 THEN NULL
+       |    ELSE CAST(SUM(CASE WHEN c1.id_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) END AS recall_p1,
+       |  CASE WHEN COUNT(*) = 0 THEN NULL
+       |    ELSE CAST(SUM(CASE WHEN c2.id_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) END AS recall_p2
        |FROM truth
        |LEFT JOIN c1 ON c1.id_a = truth.id_a AND c1.id_b = truth.id_b
        |LEFT JOIN c2 ON c2.id_a = truth.id_a AND c2.id_b = truth.id_b""".stripMargin
+
+  val semDedupRecallSql: String = semDedupRecallSqlFor(0.3)
+  val semDedupRecallT9Sql: String = semDedupRecallSqlFor(0.9)
 
   /** Semantic duplicate families (SemDeDup + components): probe-2
     * capped-cell candidates, cosine >= 0.3 verified edges, converged
@@ -1393,6 +1422,7 @@ object SimilarityQueries {
     "knn_label_noise" -> (knnLabelNoiseQ _),
     "semdedup" -> (semDedupQ _),
     "semdedup_recall" -> (semDedupRecallQ _),
+    "semdedup_recall_t9" -> (semDedupRecallT9Q _),
     "semdedup_clusters" -> (semDedupClustersQ _),
     "retrieve_rerank" -> (retrieveRerank _),
     "rrf_fusion" -> (rrfFusion _),
@@ -1430,6 +1460,7 @@ object SimilarityQueries {
     "knn_label_noise" -> knnLabelNoiseSql,
     "semdedup" -> semDedupSql,
     "semdedup_recall" -> semDedupRecallSql,
+    "semdedup_recall_t9" -> semDedupRecallT9Sql,
     "semdedup_clusters" -> semDedupClustersSql,
     "retrieve_rerank" -> retrieveRerankSql,
     "rrf_fusion" -> rrfFusionSql,

@@ -156,8 +156,14 @@ object FixtureGen {
     val n = (50000 * sf).toLong
     // ~0.2% of docs are EXACT duplicates of their predecessor (the
     // driver fixture has 8 dup texts per 5000 docs) — dedup families
-    // need a non-empty duplicate relation to measure.
-    val seed = when(pmod(hash(col("id"), lit(32)), lit(500)) === 0 && col("id") > 0,
+    // need a non-empty duplicate relation to measure. Only ODD ids can
+    // be duplicates and they always seed from the (even, therefore
+    // never-redirected) id-1, so the "exact duplicate of its source"
+    // invariant holds unconditionally (round-11 ADVICE: the old id-1
+    // seed could itself be a redirected doc, silently breaking it).
+    // Gate 1/250 on the odd half ≈ the same 0.2% overall rate.
+    val seed = when(pmod(hash(col("id"), lit(32)), lit(250)) === 0
+        && pmod(col("id"), lit(2)) === 1,
       col("id") - 1).otherwise(col("id"))
     spark.range(n)
       .withColumn("s", seed)
@@ -173,13 +179,36 @@ object FixtureGen {
       .withColumn("n_chars", length(col("text")))
   }
 
-  def embeddings(spark: SparkSession, sf: Double): DataFrame =
-    spark.range((20000 * sf).toLong).select(
-      col("id").as("vec_id"),
-      transform(sequence(lit(0), lit(63)),
-        j => ((pmod(hash(col("id"), j, lit(37)), lit(1000)) - lit(500)).cast("float")
-          / lit(1350.0f))).as("embedding"),
-      pmod(hash(col("id"), lit(38)), lit(10)).cast("int").as("label"))
+  /** Embeddings with PLANTED clustered near-duplicates (round-11 VERDICT
+    * 2): ~3% of vectors copy a source vector's components plus small
+    * per-dimension noise, landing at cosine ≈ 0.95–0.97 to the source —
+    * the τ≥0.9 regime semantic dedup actually runs in, which the base
+    * near-random distribution cannot produce. Source selection is
+    * transitively safe by construction: only ids with id%4 ≠ 0 can be
+    * redirected, and they always seed from the preceding multiple of 4
+    * (never itself redirected), so every planted pair is GUARANTEED
+    * near-collinear — up to 3 copies of one source form a cluster.
+    * Geometry: base components are uniform in ±0.37 (‖base‖ ≈ 1.71 over
+    * 64 dims); noise is uniform in ±0.1 (‖noise‖ ≈ 0.46), so
+    * copy↔source cosine ≈ 1/√(1+0.27²) ≈ 0.965 and copy↔copy ≈ 0.93. */
+  def embeddings(spark: SparkSession, sf: Double): DataFrame = {
+    val near = pmod(hash(col("id"), lit(40)), lit(25)) === 0 &&
+      pmod(col("id"), lit(4)) =!= 0
+    spark.range((20000 * sf).toLong)
+      .withColumn("nr", near)
+      .withColumn("s", when(near, col("id") - pmod(col("id"), lit(4)))
+        .otherwise(col("id")))
+      .select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          j => ((pmod(hash(col("s"), j, lit(37)), lit(1000)) - lit(500)).cast("float")
+            / lit(1350.0f))
+            + when(col("nr"),
+                (pmod(hash(col("id"), j, lit(42)), lit(200)) - lit(100)).cast("float")
+                  / lit(1000.0f))
+              .otherwise(lit(0.0f))).as("embedding"),
+        pmod(hash(col("id"), lit(38)), lit(10)).cast("int").as("label"))
+  }
 
   def writeAll(spark: SparkSession, sf: Double, outDir: String): Unit = {
     val tables: Seq[(String, DataFrame)] = Seq(

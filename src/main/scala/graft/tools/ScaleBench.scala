@@ -18,11 +18,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: `runMain graft.tools.ScaleBench <dirA> <dirB> <outFile>`
   * (dirA = smaller SF). Queries come from SPARK_GRAFT_ONLY or default to
-  * the round-10 bench's 25 slowest (minus `pagerank_suppliers`, whose
-  * int64 rank-domain guard FIRES BY DESIGN at sf1: the purchase graph
-  * has ~165k nodes > the documented ~108k bound at R0=1e12 — the
-  * documented remedy is dropping R0, which changes the oracle, so the
-  * exclusion is recorded in the artifact instead). */
+  * the round-10 bench's 25 slowest plus the round-11/12 additions.
+  * `pagerank_suppliers` — excluded in round 11 because its flat int64
+  * guard refused sf1's ~165k-node graph — is IN the default list since
+  * round 12's adaptive rank scale (GraphQueries.adaptiveR0): the guard
+  * now steps the scale down instead of refusing, and this artifact is
+  * where that claim gets measured. */
 object ScaleBench {
 
   val DefaultQueries: Seq[String] = Seq(
@@ -37,7 +38,9 @@ object ScaleBench {
     // The round-11 semantic-dedup additions ride the scale run too: the
     // adaptive cell count (Similarity.autoCells) exists precisely so
     // these stay non-degenerate at sf1 — measure that, don't assume it.
-    "semdedup", "semdedup_clusters", "semdedup_recall")
+    "semdedup", "semdedup_clusters", "semdedup_recall",
+    // Round 12: the adaptive-R0 pagerank must prove it runs at sf1.
+    "pagerank_suppliers")
 
   private def trio(spark: SparkSession, name: String, dir: String,
       errors: scala.collection.mutable.Map[String, String]): Option[IndexedSeq[Double]] = {
@@ -75,9 +78,11 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_SCALE_ALL=1 measures the ENTIRE query surface (every
     // SparkEntry query at both SFs) — the strongest form of the growth
-    // artifact; queries whose guards legitimately fire at the larger SF
-    // (pagerank_suppliers' int64 bound) land in "errors", which is the
-    // artifact RECORDING the guard doing its job, not a failure.
+    // artifact; a query whose guard legitimately fires at the larger SF
+    // lands in "errors", which is the artifact RECORDING the guard
+    // doing its job, not a failure. (As of round 12 no default-list
+    // query is expected there: pagerank's adaptive scale removed the
+    // last by-design refusal.)
     val names =
       if (sys.env.get("SPARK_GRAFT_SCALE_ALL").contains("1"))
         graft.SparkEntry.queries.keys.toSeq.sorted
@@ -110,12 +115,18 @@ object ScaleBench {
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
-    val excluded =
-      """{"pagerank_suppliers":"int64 rank-domain guard fires by design at sf1: ~165k graph nodes exceed the ~108k bound at R0=1e12 (GraphQueries.MaxNodesAtScale); remedy documented there"}"""
+    // data_ratio is MEASURED, not asserted (round-11 ADVICE): lineitem
+    // row counts at both dirs, parquet-metadata-only. A run against any
+    // SF pair reports its own honest ratio.
+    val dataRatio = {
+      val a = spark.read.parquet(s"$dirA/lineitem.parquet").count()
+      val b = spark.read.parquet(s"$dirB/lineitem.parquet").count()
+      if (a > 0) b.toDouble / a else Double.NaN
+    }
     val json =
       s"""{"metric":"scale_growth","dir_a":${jstr(dirA)},"dir_b":${jstr(dirB)},""" +
-        s""""data_ratio":10.0,"n_queries":${rows.size},"queries":$qJson,""" +
-        s""""excluded":$excluded,"errors":$errJson}"""
+        s""""data_ratio":$dataRatio,"n_queries":${rows.size},"queries":$qJson,""" +
+        s""""errors":$errJson}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     println(json)
     spark.stop()
