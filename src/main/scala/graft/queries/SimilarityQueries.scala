@@ -941,16 +941,33 @@ object SimilarityQueries {
   def semDedupQ(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.semDedup(emb, "vec_id", "embedding",
-      threshold = 0.3, k = Similarity.autoCells(emb.count()))
+      threshold = 0.3, k = Similarity.autoCells(emb.count()),
+      trainIters = SemTrainIters)
   }
+
+  /** Lloyd iterations for the semDedup family (round-12): the τ=0.9
+    * planted-near-dup audit measured probe-2 recall 0.921 with raw
+    * lowest-id seeds at 20k vectors vs 0.976 after ONE training step
+    * (0.988 after two) — and training made the family FASTER (balanced
+    * cells → fewer cap exclusions, less pair-join skew). One step is
+    * the chosen operating point; see Similarity.semDedupCentroids. */
+  private val SemTrainIters = 1
 
   /** The semDedup family's centroid relation: cell count scales with the
     * corpus ([[Similarity.autoCells]] — GREATEST(16, n/62)), unlike the
     * ivf_* family's deliberately FIXED 16 (its probe curves and recall
-    * audits are defined against a constant index shape). */
+    * audits are defined against a constant index shape). Seeds `c` are
+    * refined by [[SemTrainIters]] unrolled Lloyd steps into `ct` — the
+    * same quantized-exact-mean CTE chain ivf_train_assign hash-checks
+    * (step index 9x avoids that chain's a1/d1/m1 names, which the
+    * recall SQL uses for its own CTEs). */
   private val cAutoCte: String =
     """c AS (SELECT vec_id AS c_id, embedding AS cv, nrm AS c_nrm FROM e0
-      |      WHERE vec_id < GREATEST(16, (SELECT COUNT(*) FROM e0) // 62))""".stripMargin
+      |      WHERE vec_id < GREATEST(16, (SELECT COUNT(*) FROM e0) // 62))""".stripMargin +
+      ",\n" + (1 to SemTrainIters)
+        .map(i => lloydStepCtes(90 + i, if (i == 1) "c" else s"ct${i - 1}",
+          if (i == SemTrainIters) "ct" else s"ct$i"))
+        .mkString(",\n")
 
   val semDedupSql: String =
     s"""WITH $eCte,
@@ -958,7 +975,7 @@ object SimilarityQueries {
        |a AS (SELECT vec_id, c_id AS centroid_id FROM (
        |  SELECT s.*, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) AS rn
        |  FROM (SELECT e.vec_id, c.c_id, ${cosSql("e.embedding", "c.cv", "e.nrm", "c.c_nrm")} AS sim
-       |        FROM e0 e CROSS JOIN c) s) t WHERE rn = 1),
+       |        FROM e0 e CROSS JOIN ct c) s) t WHERE rn = 1),
        |ok AS (SELECT centroid_id FROM a GROUP BY centroid_id HAVING COUNT(*) <= 200),
        |m AS (SELECT a.vec_id, a.centroid_id FROM a JOIN ok USING (centroid_id)),
        |p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
@@ -978,8 +995,10 @@ object SimilarityQueries {
     * cell-boundary loss is a measured artifact, not a guess.
     *
     * Measured at sf0.01 (500 vectors, 990 true pairs): recall_p1 =
-    * 0.2253, recall_p2 = 0.4980 — probe-2 doubles the reach. The low
-    * absolute numbers are a property of the FIXTURE, stated honestly:
+    * 0.2556, recall_p2 = 0.5838 with the round-12 one-Lloyd-step
+    * trained centroids (seed centroids measured 0.2253/0.4980 in round
+    * 11 — training helps even here). The low absolute numbers are a
+    * property of the FIXTURE, stated honestly:
     * these embeddings are near-random, so a cosine-0.3 "duplicate" pair
     * is weak similarity that doesn't co-locate in Voronoi cells. A real
     * near-dup corpus pairs at tau >= 0.9 where members are nearly
@@ -997,7 +1016,8 @@ object SimilarityQueries {
   def semDedupRecallQ(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.semDedupRecall(emb, "vec_id", "embedding",
-      threshold = 0.3, k = Similarity.autoCells(emb.count()))
+      threshold = 0.3, k = Similarity.autoCells(emb.count()),
+      trainIters = SemTrainIters)
   }
 
   /** The τ=0.9 twin of [[semDedupRecallQ]] — the regime semantic dedup
@@ -1008,7 +1028,8 @@ object SimilarityQueries {
   def semDedupRecallT9Q(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.semDedupRecall(emb, "vec_id", "embedding",
-      threshold = 0.9, k = Similarity.autoCells(emb.count()))
+      threshold = 0.9, k = Similarity.autoCells(emb.count()),
+      trainIters = SemTrainIters)
   }
 
   /** Shared oracle CTE chain for the probe-2 membership relation:
@@ -1016,7 +1037,7 @@ object SimilarityQueries {
     * ranks, rn<=2 memberships, cells capped at 200 MEMBERSHIP rows. */
   private val probe2Ctes: String =
     s"""s2 AS (SELECT e.vec_id, c.c_id, ${cosSql("e.embedding", "c.cv", "e.nrm", "c.c_nrm")} AS sim
-       |      FROM e0 e CROSS JOIN c),
+       |      FROM e0 e CROSS JOIN ct c),
        |r2 AS (SELECT vec_id, c_id,
        |        row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) AS rn
        |      FROM s2),
@@ -1067,7 +1088,8 @@ object SimilarityQueries {
   def semDedupClustersQ(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.semDedupClusters(emb, "vec_id", "embedding",
-        threshold = 0.3, k = Similarity.autoCells(emb.count()))
+        threshold = 0.3, k = Similarity.autoCells(emb.count()),
+        trainIters = SemTrainIters)
       .orderBy("doc_id")
   }
 

@@ -76,12 +76,14 @@ class PlanGuardSpec extends AnyFunSuite {
       // 16-tiny-centroid broadcast nested loop as the ivf_* family; the
       // within-cell pair stage itself is an equi-join on centroid_id.
       "semdedup",
-      // semdedup_recall / semdedup_clusters: the same 16-tiny-centroid
-      // assignment broadcast (twice in recall: top-1 + probe-2 paths);
-      // the exact truth baseline is the BLOCKED all-pairs equi-join on
-      // (p, q) — never a Cartesian — and candidate pairing is an
-      // equi-join on centroid_id.
-      "semdedup_recall", "semdedup_clusters",
+      // semdedup_recall / semdedup_clusters: the same tiny-centroid
+      // assignment broadcast (twice in recall: top-1 + probe-2 paths,
+      // plus the one-Lloyd-step training assignment since round 12 —
+      // still a ≤n/62-row centroid relation broadcast onto one corpus
+      // scan); the exact truth baseline is the BLOCKED all-pairs
+      // equi-join on (p, q) — never a Cartesian — and candidate pairing
+      // is an equi-join on centroid_id.
+      "semdedup_recall", "semdedup_recall_t9", "semdedup_clusters",
       // embedding_drift: the ivf_* 16-tiny-centroid assignment broadcast
       // plus the 1-row cohort-totals scalar cross-broadcast.
       "embedding_drift",

@@ -52,6 +52,25 @@ class SemDedupPlantedRecallSpec extends AnyFunSuite {
         s"got $recallP2 over $nTrue true pairs")
   }
 
+  test("one Lloyd training step does not lose recall and keeps it above 0.95") {
+    // The query layer runs the family with trainIters=1 (sf1 measured:
+    // seed 0.921 → trained 0.976 over 594 true pairs). Pin the trained
+    // path at this spec's corpus size too: >= the seed recall, >= 0.95.
+    val emb = FixtureGen.embeddings(spark, 0.1)
+    val seed = Similarity.semDedupRecall(emb, "vec_id", "embedding",
+      threshold = 0.9, k = Similarity.autoCells(2000L)).head()
+    GraftCaches.releaseAll()
+    val trained = Similarity.semDedupRecall(emb, "vec_id", "embedding",
+      threshold = 0.9, k = Similarity.autoCells(2000L), trainIters = 1).head()
+    GraftCaches.releaseAll()
+    assert(trained.getAs[Long]("n_true") === seed.getAs[Long]("n_true"),
+      "truth relation is training-invariant")
+    val rs = seed.getAs[Double]("recall_p2")
+    val rt = trained.getAs[Double]("recall_p2")
+    assert(rt >= 0.95, s"trained probe-2 recall must clear 0.95, got $rt")
+    assert(rt >= rs - 1e-9, s"training must not lose recall: seed=$rs trained=$rt")
+  }
+
   test("tau=0.9 audit on a corpus with NO planted pairs yields 0 counts and NULL recalls") {
     import spark.implicits._
     // strip the planted copies by keeping only source-eligible ids

@@ -109,12 +109,20 @@ class ShuffleBudgetSpec extends AnyFunSuite {
                                // scale; the per-doc agg is the only exchange
     "source_quota_cap" -> 1,   // ONE source-keyed exchange; bounded-heap partial top-K
     "filter_funnel" -> 5,      // content-hash window + two 1-row folds + quota agg
-    "semdedup" -> 11,          // static count inlines the tracked assign/vector caches
-                               // per reference (cell pair join + verify + left join)
-    "semdedup_recall" -> 20,   // static count inlines the tracked vector/truth/assign/
+    "semdedup" -> 26,          // static count inlines the tracked assign/vector caches
+                               // per reference (cell pair join + verify + left join);
+                               // round 12 adds the ONE-Lloyd-step centroid training
+                               // (dims agg + per-cell collect fold, tracked but
+                               // string-inlined per centroid reference) — executed
+                               // once the caches materialize: the training shuffles
+                               // run exactly once, k·dim-grouped rows only
+    "semdedup_recall" -> 44,   // static count inlines the tracked vector/truth/assign/
                                // membership caches per reference: blocked all-pairs
                                // truth join + top-1 and probe-2 candidate self-joins
-                               // + the two left joins + 1-row recall fold
+                               // + the two left joins + 1-row recall fold; +Lloyd
+                               // training chain inlined under both candidate paths
+                               // (executed once — same overstatement as semdedup)
+    "semdedup_recall_t9" -> 44,// identical plan to semdedup_recall at τ=0.9
     "semdedup_clusters" -> 1,  // the probe-2 candidate build, verify, and component
                                // fixpoint all run at CONSTRUCTION (pinned rounds —
                                // the rfm_segments shape); the final plan reads the
