@@ -3681,6 +3681,18 @@ object Relational {
     * min-price fold over the qualifying levels. No interpolation, no
     * IEEE ordering hazards — ties are resolved by the level collapse
     * itself. */
+  /* Variance investigation (r9–r12): driver bench trios for this query
+   * spread >7x across rounds 9/11 ([2.62, 9.24, 14.82] in r11) while
+   * solo and scale runs stayed calm — suspected spill/GC in the grouped
+   * decimal PrefixScan. Round-12 measurements on a quiet box: full
+   * 349-query loaded run trio [2.37, 2.50, 3.27] (max/min 1.38, no
+   * retry), 15-heavy-query loaded composition [2.37, 2.43, 2.58], solo
+   * [3.37, 3.67, 3.79] — the SOLO session was the slowest of the three,
+   * and the full-surface session the fastest. The spread does not
+   * correlate with composition or with this plan; it tracks the box's
+   * session state (the same cross-family drift §SURVEY 7.32 pins for
+   * the stream_* queries). Plan left as-is: grouped two-phase decimal
+   * scan + broadcast totals, no partition-less window. */
   def weightedMedianByGroup(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.PrefixScan
     // The per-flag cumulative weight rides the GROUPED decimal
