@@ -223,7 +223,15 @@ object FixtureGen {
       "documents" -> documents(spark, sf),
       "embeddings" -> embeddings(spark, sf))
     tables.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      // Fixed 32-file layout regardless of the GENERATOR's parallelism
+      // (round-12 lesson: a regeneration at 8 threads silently wrote
+      // 8-file tables, capping every downstream scan at 8-way
+      // parallelism on the 32-core box and inflating the scale
+      // artifact's large-SF medians up to 9x on unchanged queries —
+      // the fixture layout, not the engine, was being measured). 32
+      // matches local[32] and spark.sql.shuffle.partitions; row
+      // CONTENT stays purely id-determined either way.
+      df.repartition(32).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       println(s"[fixturegen] $name written to $outDir/$name.parquet")
     }
   }
