@@ -256,6 +256,74 @@ object Dedup {
     lab.withColumn("is_keeper", col("doc_id") === col("comp_id"))
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14 — the standard shuffle-bounded CC algorithm at web scale).
+    * Same output contract as [[duplicateComponentsConverged]] —
+    * (doc_id, comp_id = component-min id, is_keeper) — but convergence
+    * is O(log² n) ROUNDS ON ANY TOPOLOGY, vs min-label propagation's
+    * O(diameter): a duplicate CHAIN of depth d (crawl snapshots, boiler-
+    * plate drift) costs the propagation d shuffles and this operator
+    * ~log d. Per round: large-star hangs every larger neighbor of u off
+    * m = min(Γ(u) ∪ {u}) (doubling star arms without growing the edge
+    * count past 2|E|); small-star then re-hangs each node's not-larger
+    * neighborhood off its minimum, collapsing two levels at once. The
+    * fixpoint test is exact-in-practice and cheap: edge count + both
+    * endpoint sums + an order-independent edge-hash sum, all one
+    * single-row aggregate over the pinned per-round edge set (partner
+    * labels only ever decrease, so an unchanged signature is an
+    * unchanged edge set). At the fixpoint the edge set IS the star
+    * forest (root = component min), read off without further joins.
+    * The query layer differentially checks this against BOTH the
+    * min-label fixpoint and the oracle's recursive closure — three
+    * algorithms, one hash. */
+  def duplicateComponentsStar(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    var e = graft.GraftCaches.pin(
+      edges.select(least(col("doc_a"), col("doc_b")).as("a"),
+          greatest(col("doc_a"), col("doc_b")).as("b"))
+        .filter(col("a") =!= col("b")).distinct())
+    def signature(df: DataFrame): (Long, Long, Long, Long) = {
+      val r = df.agg(count(lit(1)), sum("a"), sum("b"),
+        sum(hash(col("a"), col("b")).cast("long"))).head()
+      if (r.isNullAt(1)) (0L, 0L, 0L, 0L)
+      else (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    var prev = signature(e)
+    var round = 0
+    var converged = prev._1 == 0L
+    while (!converged && round < maxIters) {
+      // large-star: from each node u's full neighborhood, attach every
+      // LARGER neighbor to m = min(Γ(u) ∪ {u}); each undirected edge is
+      // processed exactly once (from its smaller endpoint's group).
+      val bid = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val mn = bid.groupBy("u").agg(min(col("v")).as("nbr_min"))
+        .select(col("u"), least(col("nbr_min"), col("u")).as("m"))
+      val large = bid.join(mn, "u").filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b")).distinct() // m <= u < v
+      // small-star: orient every edge toward its smaller endpoint, then
+      // attach each node's not-larger neighborhood (and itself) to the
+      // neighborhood minimum.
+      val bid2 = large.select(col("b").as("u"), col("a").as("v")) // v < u
+      val mn2 = bid2.groupBy("u").agg(min(col("v")).as("m"))      // m < u
+      val small = bid2.join(mn2, "u").filter(col("v") =!= col("m"))
+        .select(col("m").as("a"), col("v").as("b"))               // m < v
+        .union(mn2.select(col("m").as("a"), col("u").as("b")))    // m < u
+        .distinct()
+      val next = graft.GraftCaches.pin(small)
+      val sig = signature(next)
+      converged = sig == prev
+      prev = sig
+      e = next
+      round += 1
+    }
+    // fixpoint edge set is a star forest: (root, member) per non-root
+    // node, roots re-added as their own component id.
+    e.select(col("b").as("doc_id"), col("a").as("comp_id"))
+      .union(e.select(col("a").as("doc_id"), col("a").as("comp_id")).distinct())
+      .withColumn("is_keeper", col("doc_id") === col("comp_id"))
+  }
+
   /** Final dedup resolution: ONE canonical document per duplicate
     * cluster — the highest-score member (ties to the lowest id), i.e.
     * the "keep the longest/best copy" policy real pipelines apply after

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.TopKAggregator
+import graft.functions.{PolyHash, TopKAggregator}
 
 /** Similarity search over embedding columns (`array<float>`).
   *
@@ -703,15 +703,34 @@ object Similarity {
     * unordered pair lands in EXACTLY one of blocks² reducer groups of
     * (N/blocks)² work each — quadratic by intent (it is the truth
     * relation) but spread across tasks, never a single-task Cartesian.
-    * At corpus scale the audit runs on a sample; the plan shape is the
-    * same. */
+    *
+    * At corpus scale the audit runs on a SAMPLE (round-12 VERDICT 2 —
+    * previously prose, now the `truthSamplePpm` parameter): when
+    * truthSamplePpm < 1,000,000, only vectors whose deterministic
+    * PolyHash-Bernoulli draw (`polyhash(id || ":t9s") % 1e6`) lands
+    * under the threshold feed the truth relation — both endpoints of a
+    * counted pair must be sampled, so the quadratic stage runs on
+    * (ppm/1e6·N)² instead of N². The CANDIDATE relations are still built
+    * from the FULL corpus (cells, caps, and memberships are the
+    * apparatus being audited — sampling must shrink the measurement,
+    * never the thing measured), and recall over the sampled truth is an
+    * unbiased estimate of full-truth recall. The hash is the engine's
+    * cross-engine-reproducible PolyHash, so a DuckDB oracle derives the
+    * identical sample from the identical ids. Default 1,000,000 = full
+    * truth (every driver-SF gate runs unsampled). */
   def semDedupRecall(corpus: DataFrame, id: String, vec: String,
       threshold: Double, k: Int = 16, maxCell: Int = 200,
-      blocks: Int = 16, trainIters: Int = 0): DataFrame = {
+      blocks: Int = 16, trainIters: Int = 0,
+      truthSamplePpm: Int = 1000000): DataFrame = {
     val e = graft.GraftCaches.track(
       corpus.select(col(id), toDoubleVec(col(vec)).as("v"))
         .withColumn("nrm", sqrt(dot(col("v"), col("v")))))
-    val g = e.withColumn("blk", pmod(col(id), lit(blocks)).cast("int"))
+    val sampled =
+      if (truthSamplePpm >= 1000000) e
+      else e.filter(
+        pmod(PolyHash.hash(concat(col(id).cast("string"), lit(":t9s"))),
+          lit(1000000L)) < truthSamplePpm)
+    val g = sampled.withColumn("blk", pmod(col(id), lit(blocks)).cast("int"))
     val left = g.select(col(id).as("id_a"), col("v").as("va"),
         col("nrm").as("na"), col("blk").as("p"),
         explode(sequence(lit(0), lit(blocks - 1))).as("q"))

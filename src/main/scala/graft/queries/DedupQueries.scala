@@ -296,6 +296,23 @@ object DedupQueries {
        |SELECT doc_id, MIN(lab) AS comp_id, doc_id = MIN(lab) AS is_keeper
        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Connected components by alternating large-star/small-star rounds
+    * (Dedup.duplicateComponentsStar) over the SAME candidate edge graph
+    * as dedup_components_converged — the O(log² n)-round algorithm a
+    * 100 TB dedup runs when duplicate chains can be deeper than the
+    * min-label fixpoint's O(diameter) shuffle budget tolerates. Three
+    * independent computations of the same relation now share one hash:
+    * the star rounds here, the min-label fixpoint in
+    * dedup_components_converged, and the oracle's recursive closure. */
+  def dedupComponentsStar(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateComponentsStar(
+        Dedup.lshCandidatePairs(Tables.documents(spark, dir), "doc_id", "text"))
+      .orderBy("doc_id")
+
+  /** Same closure as the converged oracle: components are algorithm-
+    * independent, so the recursive-reachability rebuild is shared. */
+  val dedupComponentsStarSql: String = dedupComponentsConvergedSql
+
   /** Cluster → canonical-document resolution: per duplicate cluster keep
     * the longest member (ties to the lowest id) — the final "write the
     * deduplicated corpus" stage, composed from the same 3-round label
@@ -1761,6 +1778,7 @@ object DedupQueries {
     "graph_edge_support" -> (graphEdgeSupport _),
     "dedup_components" -> (dedupComponents _),
     "dedup_components_converged" -> (dedupComponentsConverged _),
+    "dedup_components_star" -> (dedupComponentsStar _),
     "dedup_minhash_estimate" -> (minhashEstimate _),
     "benchmark_overlap" -> (benchmarkOverlap _),
     "dedup_exact" -> (dedupExact _),
@@ -1804,6 +1822,7 @@ object DedupQueries {
     "graph_edge_support" -> graphEdgeSupportSql,
     "dedup_components" -> dedupComponentsSql,
     "dedup_components_converged" -> dedupComponentsConvergedSql,
+    "dedup_components_star" -> dedupComponentsStarSql,
     "dedup_minhash_estimate" -> minhashEstimateSql,
     "benchmark_overlap" -> benchmarkOverlapSql,
     "dedup_exact" -> dedupExactSql,

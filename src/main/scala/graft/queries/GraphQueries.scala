@@ -55,7 +55,13 @@ object GraphQueries {
     * power-of-ten relation, so both engines derive the same scale from
     * the same row counts. Loud failure past [[MaxNodesAdaptive]]. */
   def adaptiveR0(nodes: Long): Long = {
-    require(nodes >= 1, s"pagerank: node count/bound must be >= 1, got $nodes")
+    require(nodes >= 0, s"pagerank: node count/bound must be >= 0, got $nodes")
+    // n == 0 → finest scale (round-12 ADVICE): an empty edge relation
+    // should yield an empty rank relation, not an IllegalArgumentException
+    // — the pre-round-12 flat guard accepted it, and every downstream
+    // join over zero edges is empty at ANY scale. The loud refusal is
+    // reserved for genuinely over-bound graphs.
+    if (nodes == 0) return R0Max
     require(nodes <= MaxNodesAdaptive,
       s"pagerank: $nodes nodes (or bound) exceeds the adaptive int64-safe " +
         s"bound $MaxNodesAdaptive (even the coarsest rank scale R0=$R0Min " +

@@ -3020,6 +3020,59 @@ object Relational {
       |       CAST(SUM(delta) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS active
       |FROM d ORDER BY day""".stripMargin
 
+  /** CDC MERGE (upsert-with-delete) applied as one relational pass: a
+    * deterministic changeset over the customer dimension — DELETE every
+    * key ≡ 0 (mod 13), UPDATE (acctbal += 100) every remaining key ≡ 0
+    * (mod 7), INSERT a fresh key ≡ 3 (mod 1000) shifted past the key
+    * space — merged into the base table with full-outer semantics:
+    * unchanged rows pass through, updates replace, deletes vanish,
+    * inserts append. This is `MERGE INTO` (Delta/Iceberg's upsert
+    * primitive) expressed engine-portably: ONE shuffle on the merge key,
+    * no per-row driver logic, and the row-provenance column makes every
+    * branch of the merge hash-checked. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val deletes = base.filter(pmod(col("c_custkey"), lit(13)) === 0)
+      .select(col("c_custkey"), lit(null).cast("string").as("new_name"),
+        lit(null).cast("double").as("new_acctbal"), lit("D").as("op"))
+    val updates = base.filter(pmod(col("c_custkey"), lit(13)) =!= 0 &&
+        pmod(col("c_custkey"), lit(7)) === 0)
+      .select(col("c_custkey"), col("c_name").as("new_name"),
+        (col("c_acctbal") + 100.0).as("new_acctbal"), lit("U").as("op"))
+    val inserts = base.filter(pmod(col("c_custkey"), lit(1000)) === 3)
+      .select((col("c_custkey") + 10000000L).as("c_custkey"),
+        concat(lit("Customer#new"), col("c_custkey")).as("new_name"),
+        lit(0.0).as("new_acctbal"), lit("I").as("op"))
+    val changes = deletes.unionByName(updates).unionByName(inserts)
+    base.join(changes, Seq("c_custkey"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "D")
+      .select(col("c_custkey"),
+        coalesce(col("new_name"), col("c_name")).as("c_name"),
+        coalesce(col("new_acctbal"), col("c_acctbal")).as("c_acctbal"),
+        coalesce(col("op"), lit("K")).as("row_src"))
+      .orderBy("c_custkey")
+  }
+
+  val mergeUpsertSql: String =
+    """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+      |changes AS (
+      |  SELECT c_custkey, NULL::VARCHAR AS new_name, NULL::DOUBLE AS new_acctbal, 'D' AS op
+      |  FROM base WHERE c_custkey % 13 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_acctbal + 100.0, 'U'
+      |  FROM base WHERE c_custkey % 13 <> 0 AND c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, 'Customer#new' || CAST(c_custkey AS VARCHAR), 0.0, 'I'
+      |  FROM base WHERE c_custkey % 1000 = 3)
+      |SELECT COALESCE(b.c_custkey, c.c_custkey) AS c_custkey,
+      |       COALESCE(c.new_name, b.c_name) AS c_name,
+      |       COALESCE(c.new_acctbal, b.c_acctbal) AS c_acctbal,
+      |       COALESCE(c.op, 'K') AS row_src
+      |FROM base b FULL OUTER JOIN changes c ON b.c_custkey = c.c_custkey
+      |WHERE COALESCE(c.op, '') <> 'D'
+      |ORDER BY c_custkey""".stripMargin
+
   /** Fact→SCD2 dimension lookup: every event of the audited users
     * attaches the dimension VERSION valid at its own timestamp (the
     * type-change rows `scd2_history` derives are the dimension; the
@@ -4911,6 +4964,7 @@ object Relational {
     "set_op_users" -> (setOpUsers _),
     "funnel_stages" -> (funnelStages _),
     "time_gap_fill" -> (timeGapFill _),
+    "merge_upsert" -> (mergeUpsert _),
     "range_join" -> (rangeJoin _),
     "skew_salted_join" -> (skewSaltedJoin _),
     "skew_distinct_count" -> (skewDistinctCount _),
@@ -5036,6 +5090,7 @@ object Relational {
     "set_op_users" -> setOpUsersSql,
     "funnel_stages" -> funnelStagesSql,
     "time_gap_fill" -> timeGapFillSql,
+    "merge_upsert" -> mergeUpsertSql,
     "range_join" -> rangeJoinSql,
     "skew_salted_join" -> skewSaltedJoinSql,
     "skew_distinct_count" -> skewDistinctCountSql,

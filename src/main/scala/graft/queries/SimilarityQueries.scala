@@ -962,8 +962,11 @@ object SimilarityQueries {
     * (step index 9x avoids that chain's a1/d1/m1 names, which the
     * recall SQL uses for its own CTEs). */
   private val cAutoCte: String =
+    // LEAST mirrors Similarity.autoCells' Int clamp (round-12 ADVICE):
+    // without it the two engines would derive different centroid counts
+    // past ~62·2^31 vectors — the clamp is part of the shared formula.
     """c AS (SELECT vec_id AS c_id, embedding AS cv, nrm AS c_nrm FROM e0
-      |      WHERE vec_id < GREATEST(16, (SELECT COUNT(*) FROM e0) // 62))""".stripMargin +
+      |      WHERE vec_id < LEAST(GREATEST(16, (SELECT COUNT(*) FROM e0) // 62), 2147483647))""".stripMargin +
       ",\n" + (1 to SemTrainIters)
         .map(i => lloydStepCtes(90 + i, if (i == 1) "c" else s"ct${i - 1}",
           if (i == SemTrainIters) "ct" else s"ct$i"))
@@ -1015,10 +1018,30 @@ object SimilarityQueries {
     * empty and the recalls are NULL by construction. */
   def semDedupRecallQ(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
     Similarity.semDedupRecall(emb, "vec_id", "embedding",
-      threshold = 0.3, k = Similarity.autoCells(emb.count()),
-      trainIters = SemTrainIters)
+      threshold = 0.3, k = Similarity.autoCells(n),
+      trainIters = SemTrainIters, truthSamplePpm = truthPpm(n))
   }
+
+  /** Truth-sample target for the recall audits (round-12 VERDICT 2,
+    * directive #2): the blocked all-pairs truth relation is N²/blocks²
+    * by design — the measurement apparatus, not the dedup itself — and
+    * at sf3 (60k vectors) it already dominated the audit's wall clock
+    * (sf1→sf3 segment ratio 4.66 on 3× data). When this env-provided
+    * target is set, the truth relation runs on a deterministic
+    * PolyHash-Bernoulli sample of ~target vectors (ppm =
+    * min(1e6, 1e6·target/N) — both engines derive the identical ppm
+    * from the identical COUNT in pure integer arithmetic), capping the
+    * quadratic stage at ~target² regardless of corpus growth. Unset
+    * (the driver gates) = full truth, bit-identical to round 12. */
+  private val SemTruthTarget: Long =
+    sys.env.get("SPARK_GRAFT_SEM_TRUTH_TARGET")
+      .map(_.trim.toLong).filter(_ > 0).getOrElse(0L)
+
+  private def truthPpm(n: Long): Int =
+    if (SemTruthTarget <= 0 || n <= 0) 1000000
+    else math.min(1000000L, 1000000L * SemTruthTarget / n).toInt
 
   /** The τ=0.9 twin of [[semDedupRecallQ]] — the regime semantic dedup
     * is actually run in (SemDeDup, Abbas et al. 2023, dedups at cosine
@@ -1027,9 +1050,25 @@ object SimilarityQueries {
     * plant them, and the scale run + spec measure recall there. */
   def semDedupRecallT9Q(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
     Similarity.semDedupRecall(emb, "vec_id", "embedding",
-      threshold = 0.9, k = Similarity.autoCells(emb.count()),
-      trainIters = SemTrainIters)
+      threshold = 0.9, k = Similarity.autoCells(n),
+      trainIters = SemTrainIters, truthSamplePpm = truthPpm(n))
+  }
+
+  /** Standing cross-engine gate for the truth-SAMPLING path itself: the
+    * τ=0.3 audit with a FIXED half-corpus sample (ppm = 500,000 — no env
+    * dependence, so the driver's sf0.01 correctness run hash-checks the
+    * sampled truth relation every round, not only when a scale run sets
+    * the target). At sf0.01 the sample keeps ~250 of 500 vectors and
+    * ~1/4 of the 990 true pairs — a non-degenerate sampled truth whose
+    * counts and recalls must match DuckDB's rebuild of the identical
+    * PolyHash-Bernoulli draw bit for bit. */
+  def semDedupRecallSampledQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.semDedupRecall(emb, "vec_id", "embedding",
+      threshold = 0.3, k = Similarity.autoCells(emb.count()),
+      trainIters = SemTrainIters, truthSamplePpm = 500000)
   }
 
   /** Shared oracle CTE chain for the probe-2 membership relation:
@@ -1045,19 +1084,36 @@ object SimilarityQueries {
        |okm AS (SELECT centroid_id FROM m2 GROUP BY centroid_id HAVING COUNT(*) <= 200),
        |mm AS (SELECT m2.vec_id, m2.centroid_id FROM m2 JOIN okm USING (centroid_id))""".stripMargin
 
+  /** DuckDB rebuild of the engine's PolyHash-Bernoulli truth-sample draw
+    * (`polyhash(vec_id || ":t9s") % 1e6` — the hash_sample machinery's
+    * list_reduce fold, same salt, same modulus). */
+  private def truthSampleSql(ppmSql: String): String =
+    s"""tsam AS (SELECT * FROM e0
+       |  WHERE list_reduce(list_prepend(0::BIGINT, list_transform(
+       |          string_split(CAST(vec_id AS VARCHAR) || ':t9s',''), c -> ascii(c)::BIGINT)),
+       |          (a,b) -> (a*31+b) % ${graft.functions.PolyHash.Mod}) % 1000000 < ($ppmSql)),""".stripMargin
+
   /** Parameterized by threshold (the τ=0.3 historical audit and the
-    * τ=0.9 planted-near-dup regime share every other line). Empty truth
-    * → counts 0 (COALESCE) and recalls NULL (CASE), mirroring the
-    * engine's coalesce/when exactly. */
-  private def semDedupRecallSqlFor(threshold: Double): String =
+    * τ=0.9 planted-near-dup regime share every other line) and by an
+    * optional truth-sample ppm EXPRESSION (SQL, evaluated by DuckDB —
+    * either a literal or the LEAST/COUNT derivation mirroring
+    * [[truthPpm]]). None = full truth, byte-identical to the round-12
+    * oracle. Empty truth → counts 0 (COALESCE) and recalls NULL (CASE),
+    * mirroring the engine's coalesce/when exactly. */
+  private def semDedupRecallSqlFor(threshold: Double,
+      samplePpmSql: Option[String] = None): String = {
+    val (sampleCte, truthSrc) = samplePpmSql match {
+      case Some(ppm) => (truthSampleSql(ppm) + "\n", "tsam")
+      case None => ("", "e0")
+    }
     s"""WITH $eCte,
        |$cAutoCte,
        |$probe2Ctes,
-       |a AS (SELECT vec_id, c_id AS centroid_id FROM r2 WHERE rn = 1),
+       |${sampleCte}a AS (SELECT vec_id, c_id AS centroid_id FROM r2 WHERE rn = 1),
        |ok1 AS (SELECT centroid_id FROM a GROUP BY centroid_id HAVING COUNT(*) <= 200),
        |m1 AS (SELECT a.vec_id, a.centroid_id FROM a JOIN ok1 USING (centroid_id)),
        |truth AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
-       |          FROM e0 x JOIN e0 y ON x.vec_id < y.vec_id
+       |          FROM $truthSrc x JOIN $truthSrc y ON x.vec_id < y.vec_id
        |          WHERE ${cosSql("x.embedding", "y.embedding", "x.nrm", "y.nrm")} >= $threshold),
        |c1 AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
        |       FROM m1 x JOIN m1 y ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id),
@@ -1075,9 +1131,18 @@ object SimilarityQueries {
        |FROM truth
        |LEFT JOIN c1 ON c1.id_a = truth.id_a AND c1.id_b = truth.id_b
        |LEFT JOIN c2 ON c2.id_a = truth.id_a AND c2.id_b = truth.id_b""".stripMargin
+  }
 
-  val semDedupRecallSql: String = semDedupRecallSqlFor(0.3)
-  val semDedupRecallT9Sql: String = semDedupRecallSqlFor(0.9)
+  /** When the scale harness sets SPARK_GRAFT_SEM_TRUTH_TARGET, the
+    * oracles derive the identical ppm from their own COUNT(*) — integer
+    * division both sides, no value passed between engines. */
+  private val envPpmSql: Option[String] =
+    if (SemTruthTarget <= 0) None
+    else Some(s"LEAST(1000000, (1000000 * $SemTruthTarget) // (SELECT COUNT(*) FROM e0))")
+
+  val semDedupRecallSql: String = semDedupRecallSqlFor(0.3, envPpmSql)
+  val semDedupRecallT9Sql: String = semDedupRecallSqlFor(0.9, envPpmSql)
+  val semDedupRecallSampledSql: String = semDedupRecallSqlFor(0.3, Some("500000"))
 
   /** Semantic duplicate families (SemDeDup + components): probe-2
     * capped-cell candidates, cosine >= 0.3 verified edges, converged
@@ -1445,6 +1510,7 @@ object SimilarityQueries {
     "semdedup" -> (semDedupQ _),
     "semdedup_recall" -> (semDedupRecallQ _),
     "semdedup_recall_t9" -> (semDedupRecallT9Q _),
+    "semdedup_recall_sampled" -> (semDedupRecallSampledQ _),
     "semdedup_clusters" -> (semDedupClustersQ _),
     "retrieve_rerank" -> (retrieveRerank _),
     "rrf_fusion" -> (rrfFusion _),
@@ -1483,6 +1549,7 @@ object SimilarityQueries {
     "semdedup" -> semDedupSql,
     "semdedup_recall" -> semDedupRecallSql,
     "semdedup_recall_t9" -> semDedupRecallT9Sql,
+    "semdedup_recall_sampled" -> semDedupRecallSampledSql,
     "semdedup_clusters" -> semDedupClustersSql,
     "retrieve_rerank" -> retrieveRerankSql,
     "rrf_fusion" -> rrfFusionSql,

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic synthetic fixture generator for SCALE measurement
@@ -152,6 +152,26 @@ object FixtureGen {
         .as("props"))
   }
 
+  /** The planting predicates, published as the single source of truth
+    * (round-12 ADVICE: SemDedupPlantedRecallSpec used to re-derive them
+    * from duplicated magic constants, so a generator tweak could
+    * silently decouple the spec's notion of "planted" from the
+    * generator's — now both read THESE). A document id is a planted
+    * exact duplicate iff [[isPlantedDocDup]]; its source is
+    * [[docDupSourceId]] (the preceding even id, never itself planted).
+    * An embedding id is a planted near-duplicate iff
+    * [[isPlantedNearDup]]; its source is [[nearDupSourceId]] (the
+    * preceding multiple of 4, never itself planted). */
+  def isPlantedDocDup(id: Column): Column =
+    pmod(hash(id, lit(32)), lit(250)) === 0 && pmod(id, lit(2)) === 1
+
+  def docDupSourceId(id: Column): Column = id - lit(1)
+
+  def isPlantedNearDup(id: Column): Column =
+    pmod(hash(id, lit(40)), lit(25)) === 0 && pmod(id, lit(4)) =!= 0
+
+  def nearDupSourceId(id: Column): Column = id - pmod(id, lit(4))
+
   def documents(spark: SparkSession, sf: Double): DataFrame = {
     val n = (50000 * sf).toLong
     // ~0.2% of docs are EXACT duplicates of their predecessor (the
@@ -162,9 +182,8 @@ object FixtureGen {
     // invariant holds unconditionally (round-11 ADVICE: the old id-1
     // seed could itself be a redirected doc, silently breaking it).
     // Gate 1/250 on the odd half ≈ the same 0.2% overall rate.
-    val seed = when(pmod(hash(col("id"), lit(32)), lit(250)) === 0
-        && pmod(col("id"), lit(2)) === 1,
-      col("id") - 1).otherwise(col("id"))
+    val seed = when(isPlantedDocDup(col("id")),
+      docDupSourceId(col("id"))).otherwise(col("id"))
     spark.range(n)
       .withColumn("s", seed)
       .select(
@@ -192,11 +211,10 @@ object FixtureGen {
     * 64 dims); noise is uniform in ±0.1 (‖noise‖ ≈ 0.46), so
     * copy↔source cosine ≈ 1/√(1+0.27²) ≈ 0.965 and copy↔copy ≈ 0.93. */
   def embeddings(spark: SparkSession, sf: Double): DataFrame = {
-    val near = pmod(hash(col("id"), lit(40)), lit(25)) === 0 &&
-      pmod(col("id"), lit(4)) =!= 0
+    val near = isPlantedNearDup(col("id"))
     spark.range((20000 * sf).toLong)
       .withColumn("nr", near)
-      .withColumn("s", when(near, col("id") - pmod(col("id"), lit(4)))
+      .withColumn("s", when(near, nearDupSourceId(col("id")))
         .otherwise(col("id")))
       .select(
         col("id").as("vec_id"),
@@ -210,31 +228,47 @@ object FixtureGen {
         pmod(hash(col("id"), lit(38)), lit(10)).cast("int").as("label"))
   }
 
-  def writeAll(spark: SparkSession, sf: Double, outDir: String): Unit = {
-    val tables: Seq[(String, DataFrame)] = Seq(
-      "region" -> region(spark),
-      "nation" -> nation(spark),
-      "customer" -> customer(spark, sf),
-      "supplier" -> supplier(spark, sf),
-      "part" -> part(spark, sf),
-      "orders" -> orders(spark, sf),
-      "lineitem" -> lineitem(spark, sf),
-      "events" -> events(spark, sf),
-      "documents" -> documents(spark, sf),
-      "embeddings" -> embeddings(spark, sf))
-    tables.foreach { case (name, df) =>
-      // Fixed 32-file layout regardless of the GENERATOR's parallelism
-      // (round-12 lesson: a regeneration at 8 threads silently wrote
-      // 8-file tables, capping every downstream scan at 8-way
-      // parallelism on the 32-core box and inflating the scale
-      // artifact's large-SF medians up to 9x on unchanged queries —
-      // the fixture layout, not the engine, was being measured). 32
-      // matches local[32] and spark.sql.shuffle.partitions; row
-      // CONTENT stays purely id-determined either way.
-      df.repartition(32).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+  /** The ten-table star schema, in write order. Public so ScaleBench's
+    * artifact header and FixtureLayoutSpec enumerate the SAME tables the
+    * generator writes. */
+  val TableNames: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  /** The 32-file layout contract: every generated table is written as
+    * exactly this many parquet files regardless of the generator
+    * session's parallelism. 32 matches local[32] and
+    * spark.sql.shuffle.partitions — a table with fewer files caps every
+    * downstream scan below the box's parallelism (the round-12 lesson:
+    * an 8-file regeneration inflated large-SF medians up to 9× on
+    * unchanged queries; the fixture layout, not the engine, was being
+    * measured). FixtureLayoutSpec asserts the written count; ScaleBench
+    * records per-table counts in its artifact header. */
+  val LayoutFiles: Int = 32
+
+  def tableFor(spark: SparkSession, name: String, sf: Double): DataFrame =
+    name match {
+      case "region" => region(spark)
+      case "nation" => nation(spark)
+      case "customer" => customer(spark, sf)
+      case "supplier" => supplier(spark, sf)
+      case "part" => part(spark, sf)
+      case "orders" => orders(spark, sf)
+      case "lineitem" => lineitem(spark, sf)
+      case "events" => events(spark, sf)
+      case "documents" => documents(spark, sf)
+      case "embeddings" => embeddings(spark, sf)
+      case other => throw new IllegalArgumentException(s"unknown fixture table $other")
+    }
+
+  def writeAll(spark: SparkSession, sf: Double, outDir: String): Unit =
+    TableNames.foreach { name =>
+      // Fixed LayoutFiles-file layout regardless of the GENERATOR's
+      // parallelism; row CONTENT stays purely id-determined either way.
+      tableFor(spark, name, sf).repartition(LayoutFiles)
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       println(s"[fixturegen] $name written to $outDir/$name.parquet")
     }
-  }
 
   def main(args: Array[String]): Unit = {
     val Array(sfStr, outDir) = args

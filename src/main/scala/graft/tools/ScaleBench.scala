@@ -123,9 +123,23 @@ object ScaleBench {
       val b = spark.read.parquet(s"$dirB/lineitem.parquet").count()
       if (a > 0) b.toDouble / a else Double.NaN
     }
+    // Per-table parquet file counts ride in the artifact header
+    // (round-12 VERDICT directive 4): the round-12 measurement bug —
+    // 8-file fixtures capping scans at 8-way parallelism and inflating
+    // large-SF medians up to 9× — is invisible in the timings alone. A
+    // mis-laid-out run is now self-identifying from its own header;
+    // FixtureLayoutSpec pins the generator side of the same contract.
+    def fileCountsJson(dir: String): String =
+      FixtureGen.TableNames.map { t =>
+        val files = Option(new java.io.File(s"$dir/$t.parquet").listFiles())
+          .map(_.count(f => f.isFile && f.getName.endsWith(".parquet")))
+          .getOrElse(-1)
+        s"${jstr(t)}:$files"
+      }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"scale_growth","dir_a":${jstr(dirA)},"dir_b":${jstr(dirB)},""" +
-        s""""data_ratio":$dataRatio,"n_queries":${rows.size},"queries":$qJson,""" +
+        s""""data_ratio":$dataRatio,"files_a":${fileCountsJson(dirA)},""" +
+        s""""files_b":${fileCountsJson(dirB)},"n_queries":${rows.size},"queries":$qJson,""" +
         s""""errors":$errJson}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     println(json)

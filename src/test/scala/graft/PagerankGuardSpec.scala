@@ -48,6 +48,18 @@ class PagerankGuardSpec extends AnyFunSuite {
     assert(GraphQueries.adaptiveR0(GraphQueries.MaxNodesAdaptive) === 100L)
   }
 
+  test("an EMPTY edge relation yields an empty rank relation, not an exception") {
+    // round-12 ADVICE: adaptiveR0's nodes >= 1 require turned the
+    // degenerate-input path (deg.count() == 0, no bound supplied) into
+    // an IllegalArgumentException where the pre-round-12 flat guard
+    // returned empty. n == 0 now maps to the finest scale and the
+    // iteration over zero edges is empty at any scale.
+    assert(GraphQueries.adaptiveR0(0L) === 1000000000000L)
+    val empty = star(3L).filter(lit(false))
+    assert(GraphQueries.pagerankIterate(empty).count() === 0L)
+    GraftCaches.releaseAll()
+  }
+
   test("a graph past even the coarsest scale fails loudly with the DECIMAL remedy") {
     val over = GraphQueries.MaxNodesAdaptive + 10L
     // the bound path carries the over-count; the physical graph stays tiny

@@ -83,7 +83,10 @@ class PlanGuardSpec extends AnyFunSuite {
       // scan); the exact truth baseline is the BLOCKED all-pairs
       // equi-join on (p, q) — never a Cartesian — and candidate pairing
       // is an equi-join on centroid_id.
-      "semdedup_recall", "semdedup_recall_t9", "semdedup_clusters",
+      // semdedup_recall_sampled: identical shape with the truth relation
+      // filtered to the deterministic hash sample first.
+      "semdedup_recall", "semdedup_recall_t9", "semdedup_recall_sampled",
+      "semdedup_clusters",
       // embedding_drift: the ivf_* 16-tiny-centroid assignment broadcast
       // plus the 1-row cohort-totals scalar cross-broadcast.
       "embedding_drift",

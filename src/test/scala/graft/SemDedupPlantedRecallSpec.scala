@@ -23,9 +23,11 @@ class SemDedupPlantedRecallSpec extends AnyFunSuite {
     // redirected ids: id%4 != 0 gated 1/25 — join each to its source
     // (the preceding multiple of 4) and check the pair cosine directly
     val e = emb.select($"vec_id", Similarity.toDoubleVec($"embedding").as("v"))
-    val planted = e.filter(pmod(hash($"vec_id", lit(40)), lit(25)) === 0 &&
-        pmod($"vec_id", lit(4)) =!= 0)
-      .select($"vec_id", ($"vec_id" - pmod($"vec_id", lit(4))).as("src_id"), $"v")
+    // the planted/source predicates come FROM FixtureGen (round-12
+    // ADVICE: re-deriving them from copied magic constants let a future
+    // generator tweak silently decouple the spec from the generator)
+    val planted = e.filter(FixtureGen.isPlantedNearDup($"vec_id"))
+      .select($"vec_id", FixtureGen.nearDupSourceId($"vec_id").as("src_id"), $"v")
     val n = planted.count()
     assert(n > 20, s"expected ~60 planted near-dups in 2000 vectors, got $n")
     val cos = planted.join(e.select($"vec_id".as("src_id"), $"v".as("sv")), "src_id")
@@ -71,6 +73,66 @@ class SemDedupPlantedRecallSpec extends AnyFunSuite {
     assert(rt >= rs - 1e-9, s"training must not lose recall: seed=$rs trained=$rt")
   }
 
+  test("20k regime: one Lloyd step lifts probe-2 recall to >= 0.95 and >= seed (round-12 pin)") {
+    // Round 12's justification for SemTrainIters = 1 lived in scaladoc
+    // prose and a discarded audit session (seed 0.921 → trained 0.976
+    // at 20k vectors / 594 true pairs, full truth). Pin it executable
+    // (round-12 VERDICT directive 3): at the REGIME SIZE — where seeds
+    // measurably fail the 0.95 bar — the trained path must clear it and
+    // must not lose recall vs seeds. A future centroid, training, or
+    // fixture change that undoes the win now fails here, not in a
+    // scale-run postmortem. (~2×30 s: the audit's blocked truth join at
+    // 20k vectors, priced in — this is the regime measurement itself.)
+    val emb = FixtureGen.embeddings(spark, 1.0) // 20000 vectors
+    val seed = Similarity.semDedupRecall(emb, "vec_id", "embedding",
+      threshold = 0.9, k = Similarity.autoCells(20000L)).head()
+    GraftCaches.releaseAll()
+    val trained = Similarity.semDedupRecall(emb, "vec_id", "embedding",
+      threshold = 0.9, k = Similarity.autoCells(20000L), trainIters = 1).head()
+    GraftCaches.releaseAll()
+    val nTrue = trained.getAs[Long]("n_true")
+    assert(nTrue === seed.getAs[Long]("n_true"), "truth relation is training-invariant")
+    assert(nTrue > 400, s"~594 planted true pairs expected at 20k vectors, got $nTrue")
+    val rs = seed.getAs[Double]("recall_p2")
+    val rt = trained.getAs[Double]("recall_p2")
+    assert(rt >= 0.95,
+      s"trained probe-2 recall at the 20k regime must clear 0.95 " +
+        s"(round-12 measured 0.976), got $rt over $nTrue pairs")
+    assert(rt >= rs - 1e-9,
+      s"training must not lose recall at 20k: seed=$rs trained=$rt")
+  }
+
+  test("truth sampling: recall over a hash-sampled truth tracks the full-truth recall") {
+    // Round-12 VERDICT directive 2: the sample mode is now a parameter,
+    // not prose. At 2k vectors, sample the truth at ppm=500000 (~half
+    // the corpus, ~1/4 of the true pairs) and require (a) a
+    // non-degenerate sampled truth, (b) sampled-truth recall within
+    // ±0.05 of the full-truth recall (small-sample tolerance: ~15 of 60
+    // pairs survive), (c) ppm=1e6 is the identity — bit-equal to the
+    // unsampled audit.
+    val emb = FixtureGen.embeddings(spark, 0.1) // 2000 vectors
+    val full = Similarity.semDedupRecall(emb, "vec_id", "embedding",
+      threshold = 0.9, k = Similarity.autoCells(2000L), trainIters = 1).head()
+    GraftCaches.releaseAll()
+    val ident = Similarity.semDedupRecall(emb, "vec_id", "embedding",
+      threshold = 0.9, k = Similarity.autoCells(2000L), trainIters = 1,
+      truthSamplePpm = 1000000).head()
+    GraftCaches.releaseAll()
+    assert(ident === full, "ppm=1e6 must be the identity (no filter at all)")
+    val sampled = Similarity.semDedupRecall(emb, "vec_id", "embedding",
+      threshold = 0.9, k = Similarity.autoCells(2000L), trainIters = 1,
+      truthSamplePpm = 500000).head()
+    GraftCaches.releaseAll()
+    val nFull = full.getAs[Long]("n_true")
+    val nSam = sampled.getAs[Long]("n_true")
+    assert(nSam > 0 && nSam < nFull,
+      s"half-corpus sample must keep SOME but not ALL true pairs: $nSam of $nFull")
+    val rFull = full.getAs[Double]("recall_p2")
+    val rSam = sampled.getAs[Double]("recall_p2")
+    assert(math.abs(rSam - rFull) <= 0.05 || rSam >= rFull,
+      s"sampled-truth recall must track full-truth recall: full=$rFull sampled=$rSam over $nSam pairs")
+  }
+
   test("tau=0.9 audit on a corpus with NO planted pairs yields 0 counts and NULL recalls") {
     import spark.implicits._
     // strip the planted copies by keeping only source-eligible ids
@@ -94,9 +156,8 @@ class SemDedupPlantedRecallSpec extends AnyFunSuite {
     // odd ids redirect, seeding from even id-1 — verify text equality
     // for EVERY planted duplicate, not probabilistically.
     val docs = FixtureGen.documents(spark, 0.2) // 10k docs
-    val dups = docs.filter(pmod(hash($"doc_id", lit(32)), lit(250)) === 0 &&
-        pmod($"doc_id", lit(2)) === 1)
-      .select($"doc_id", ($"doc_id" - 1).as("src_id"), $"text")
+    val dups = docs.filter(FixtureGen.isPlantedDocDup($"doc_id"))
+      .select($"doc_id", FixtureGen.docDupSourceId($"doc_id").as("src_id"), $"text")
     val n = dups.count()
     assert(n > 5, s"expected ~20 planted exact dups in 10k docs, got $n")
     val mismatches = dups

@@ -39,6 +39,12 @@ def main() -> int:
         rows[name] = {
             "t_a": a["a_median"], "t_b": a["b_median"],
             "t_b2": q["a_median"], "t_c": q["b_median"],
+            # the third point the fit actually uses (ab.b * bc ratio) —
+            # emitted so a reader plotting the curve sees the fitted
+            # series, not an inconsistent mix of sessions (round-12
+            # ADVICE): t_c is segment-2's raw measurement, t_c_chained
+            # is that measurement re-based onto segment-1's session.
+            "t_c_chained": ys[2],
             "ratio_ab": a["ratio"], "ratio_bc": q["ratio"],
             "exponent": round(slope, 3),
         }
