@@ -40,7 +40,12 @@ object ScaleBench {
     // these stay non-degenerate at sf1 — measure that, don't assume it.
     "semdedup", "semdedup_clusters", "semdedup_recall",
     // Round 12: the adaptive-R0 pagerank must prove it runs at sf1.
-    "pagerank_suppliers")
+    "pagerank_suppliers",
+    // Round 13: the sampled-truth recall audits, the star-round
+    // components (tracked against the min-label fixpoint on the same
+    // edge graph), and the CDC merge.
+    "semdedup_recall_t9", "semdedup_recall_sampled",
+    "dedup_components_converged", "dedup_components_star", "merge_upsert")
 
   private def trio(spark: SparkSession, name: String, dir: String,
       errors: scala.collection.mutable.Map[String, String]): Option[IndexedSeq[Double]] = {

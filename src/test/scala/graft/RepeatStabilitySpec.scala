@@ -38,7 +38,10 @@ class RepeatStabilitySpec extends AnyFunSuite {
     // round-5 additions: iterated LPA, PrefixScan-ranked, eval compositions
     "graph_communities", "padding_waste", "key_skew_profile",
     "ivf_recall", "lsh_quality", "corpus_overlap", "decayed_engagement",
-    "reservoir_per_group")
+    "reservoir_per_group",
+    // round-13: star-round components iterate to a signature fixpoint —
+    // pin that two interleaved runs converge to identical relations
+    "dedup_components_star")
 
   test("two interleaved executions of each query yield identical canonical hashes") {
     val qs = SparkEntry.queries
