@@ -317,6 +317,17 @@ object Dedup {
       e = next
       round += 1
     }
+    // LOUD failure on exhaustion (post-review): a non-fixpoint edge set
+    // is NOT a star forest — the read-off below would emit the same
+    // doc_id under multiple comp_ids with multiple keepers, silently
+    // violating the shared output contract. The algorithm converges in
+    // O(log² n) alternations, so 20 rounds covers any graph this engine
+    // can hold; hitting the cap means a bug (or a signature collision),
+    // and the remedy is raising maxIters, not trusting the output.
+    require(converged,
+      s"duplicateComponentsStar: no fixpoint after $maxIters large/small-star " +
+        "rounds - the edge set is not yet a star forest and the component " +
+        "read-off would be malformed. Raise maxIters.")
     // fixpoint edge set is a star forest: (root, member) per non-root
     // node, roots re-added as their own component id.
     e.select(col("b").as("doc_id"), col("a").as("comp_id"))

@@ -192,7 +192,7 @@ object GraphQueries {
        |pw(p) AS (VALUES ${(2 to 12).map(k => s"(CAST(1${"0" * k} AS BIGINT))").mkString(", ")}),
        |r0s AS (
        |  SELECT MAX(p) AS r0, MAX(p) // 100 * 15 AS base
-       |  FROM pw, nb WHERE p <= 9223372036854775807 // (85 * nb.n)),
+       |  FROM pw, nb WHERE p <= 9223372036854775807 // (85 * GREATEST(nb.n, 1))),
        |bought AS MATERIALIZED (
        |  SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2+1 AS s
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),

@@ -3040,8 +3040,13 @@ object Relational {
         pmod(col("c_custkey"), lit(7)) === 0)
       .select(col("c_custkey"), col("c_name").as("new_name"),
         (col("c_acctbal") + 100.0).as("new_acctbal"), lit("U").as("op"))
+    // Insert keys shift by 1e10 — past the key domain of any SF this
+    // fixture family reaches (collision would need 10^10 customers, SF
+    // ~67k; post-review note: a colliding insert would silently act as
+    // an update, and the oracle would replicate the same collision, so
+    // the offset must clear the domain rather than rely on the gate).
     val inserts = base.filter(pmod(col("c_custkey"), lit(1000)) === 3)
-      .select((col("c_custkey") + 10000000L).as("c_custkey"),
+      .select((col("c_custkey") + 10000000000L).as("c_custkey"),
         concat(lit("Customer#new"), col("c_custkey")).as("new_name"),
         lit(0.0).as("new_acctbal"), lit("I").as("op"))
     val changes = deletes.unionByName(updates).unionByName(inserts)
@@ -3063,7 +3068,7 @@ object Relational {
       |  SELECT c_custkey, c_name, c_acctbal + 100.0, 'U'
       |  FROM base WHERE c_custkey % 13 <> 0 AND c_custkey % 7 = 0
       |  UNION ALL
-      |  SELECT c_custkey + 10000000, 'Customer#new' || CAST(c_custkey AS VARCHAR), 0.0, 'I'
+      |  SELECT c_custkey + 10000000000, 'Customer#new' || CAST(c_custkey AS VARCHAR), 0.0, 'I'
       |  FROM base WHERE c_custkey % 1000 = 3)
       |SELECT COALESCE(b.c_custkey, c.c_custkey) AS c_custkey,
       |       COALESCE(c.new_name, b.c_name) AS c_name,

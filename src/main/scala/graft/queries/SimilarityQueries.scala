@@ -1138,7 +1138,11 @@ object SimilarityQueries {
     * division both sides, no value passed between engines. */
   private val envPpmSql: Option[String] =
     if (SemTruthTarget <= 0) None
-    else Some(s"LEAST(1000000, (1000000 * $SemTruthTarget) // (SELECT COUNT(*) FROM e0))")
+    // GREATEST(1, ...) mirrors truthPpm's n <= 0 -> full-truth branch
+    // (post-review): on an empty corpus the engine skips the filter
+    // while a bare COUNT would make DuckDB divide by zero; with the
+    // floor both sides degenerate to ppm = 1e6 = keep-everything.
+    else Some(s"LEAST(1000000, (1000000 * $SemTruthTarget) // GREATEST(1, (SELECT COUNT(*) FROM e0)))")
 
   val semDedupRecallSql: String = semDedupRecallSqlFor(0.3, envPpmSql)
   val semDedupRecallT9Sql: String = semDedupRecallSqlFor(0.9, envPpmSql)

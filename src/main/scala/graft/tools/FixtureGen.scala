@@ -261,11 +261,31 @@ object FixtureGen {
       case other => throw new IllegalArgumentException(s"unknown fixture table $other")
     }
 
+  /** Parquet data-file count of one written table — the single
+    * implementation behind both ScaleBench's artifact header and
+    * FixtureLayoutSpec (post-review: two verbatim copies would let the
+    * header and the spec drift apart). -1 = table directory absent. */
+  def parquetFileCount(dir: String, table: String): Int =
+    Option(new java.io.File(s"$dir/$table.parquet").listFiles())
+      .map(_.count(f => f.isFile && f.getName.endsWith(".parquet")))
+      .getOrElse(-1)
+
   def writeAll(spark: SparkSession, sf: Double, outDir: String): Unit =
     TableNames.foreach { name =>
       // Fixed LayoutFiles-file layout regardless of the GENERATOR's
-      // parallelism; row CONTENT stays purely id-determined either way.
-      tableFor(spark, name, sf).repartition(LayoutFiles)
+      // parallelism, via RANGE partitioning on each table's leading key
+      // column (post-review: plain repartition(32) is ROUND-ROBIN with a
+      // per-input-partition offset — on a small table it can leave
+      // output slots empty and Spark skips empty partitions at write,
+      // so an 8-thread generator wrote supplier@sf0.01 as 31 files).
+      // Range partitioning over >= LayoutFiles distinct key values fills
+      // every partition by construction, is independent of the
+      // generator session's parallelism, and clusters each file by key
+      // (parquet min/max skipping friendly). Row CONTENT stays purely
+      // id-determined either way; tables with fewer distinct keys than
+      // LayoutFiles (region, nation) honestly write fewer files.
+      val df = tableFor(spark, name, sf)
+      df.repartitionByRange(LayoutFiles, col(df.columns.head))
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       println(s"[fixturegen] $name written to $outDir/$name.parquet")
     }

@@ -136,10 +136,7 @@ object ScaleBench {
     // FixtureLayoutSpec pins the generator side of the same contract.
     def fileCountsJson(dir: String): String =
       FixtureGen.TableNames.map { t =>
-        val files = Option(new java.io.File(s"$dir/$t.parquet").listFiles())
-          .map(_.count(f => f.isFile && f.getName.endsWith(".parquet")))
-          .getOrElse(-1)
-        s"${jstr(t)}:$files"
+        s"${jstr(t)}:${FixtureGen.parquetFileCount(dir, t)}"
       }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"scale_growth","dir_a":${jstr(dirA)},"dir_b":${jstr(dirB)},""" +

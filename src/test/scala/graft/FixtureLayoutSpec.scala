@@ -23,18 +23,21 @@ class FixtureLayoutSpec extends AnyFunSuite {
   test("every generated at-scale table is written as exactly LayoutFiles parquet files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-layout-").toString
     try {
-      // sf0.01: every SCALING table carries >= 150 rows, so round-robin
-      // repartition leaves no partition empty and the writer emits all
-      // 32 files. The row-bounded dimensions (region 5, nation 25) CANNOT
-      // reach 32 — Spark skips empty partitions at write — so their
-      // honest contract is 1..32 files; they are KB-sized and broadcast
-      // everywhere, never a scan-parallelism bottleneck.
+      // sf0.01: every SCALING table carries >= 100 rows (supplier is the
+      // smallest at 100), i.e. more distinct leading-key values than
+      // LayoutFiles, so range partitioning fills every output slot —
+      // INDEPENDENT of session parallelism (post-review: the previous
+      // round-robin layout passed at this spec's 4 cores but wrote
+      // supplier@sf0.01 as 31 files under the 8-thread generator; range
+      // partitioning removes the parallelism dependence the spec could
+      // not see). The row-bounded dimensions (region 5, nation 25)
+      // CANNOT reach 32 — Spark skips empty partitions at write — so
+      // their honest contract is 1..32 files; they are KB-sized and
+      // broadcast everywhere, never a scan-parallelism bottleneck.
       FixtureGen.writeAll(spark, 0.01, dir)
       val tiny = Set("region", "nation")
       val bad = FixtureGen.TableNames.flatMap { t =>
-        val files = Option(new java.io.File(s"$dir/$t.parquet").listFiles())
-          .map(_.count(f => f.isFile && f.getName.endsWith(".parquet")))
-          .getOrElse(0)
+        val files = FixtureGen.parquetFileCount(dir, t)
         val ok =
           if (tiny(t)) files >= 1 && files <= FixtureGen.LayoutFiles
           else files == FixtureGen.LayoutFiles

@@ -21,13 +21,19 @@ class StarComponentsSpec extends AnyFunSuite {
     pairs.toDF("doc_a", "doc_b")
   }
 
-  private def comps(df: DataFrame): Map[Long, (Long, Boolean)] =
-    df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+  /** Full multiset of rows, sorted — NOT a doc_id-keyed map (post-review:
+    * a map collapses duplicate doc_id rows, which is exactly the
+    * malformed-output mode a premature star fixpoint would produce). */
+  private def comps(df: DataFrame): Seq[(Long, Long, Boolean)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSeq.sorted
 
   private def check(pairs: Seq[(Long, Long)]): Unit = {
     val star = comps(Dedup.duplicateComponentsStar(edgesOf(pairs)))
     val fixp = comps(Dedup.duplicateComponentsConverged(edgesOf(pairs), maxIters = 64))
     GraftCaches.releaseAll()
+    assert(star.map(_._1).distinct.size === star.size,
+      s"star output must have exactly one row per doc: $star")
     assert(star === fixp, s"star vs min-label fixpoint disagree on $pairs")
   }
 
