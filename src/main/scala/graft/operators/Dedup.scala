@@ -253,6 +253,20 @@ object Dedup {
       lab = next
       round += 1
     }
+    // LOUD failure on exhaustion (round-14, mirroring the star
+    // operator's contract): min-label propagation moves the component
+    // minimum ONE HOP per round, so a duplicate chain deeper than
+    // maxIters leaves far nodes carrying a non-minimum comp_id — labels
+    // that silently violate "comp_id = min doc id of the component" and
+    // split one cluster into several keepers. The remedy for deep
+    // chains is [[duplicateComponentsStar]] (O(log d) alternations),
+    // not a silent partial answer; StarComponentsSpec plants a
+    // 512-deep chain proving exactly this divergence.
+    require(converged,
+      s"duplicateComponentsConverged: labels still changing after $maxIters " +
+        "min-label rounds - the graph has a component of diameter > maxIters " +
+        "and the partial labels would split it. Raise maxIters or use " +
+        "duplicateComponentsStar (O(log diameter) rounds).")
     lab.withColumn("is_keeper", col("doc_id") === col("comp_id"))
   }
 
@@ -328,6 +342,25 @@ object Dedup {
       s"duplicateComponentsStar: no fixpoint after $maxIters large/small-star " +
         "rounds - the edge set is not yet a star forest and the component " +
         "read-off would be malformed. Raise maxIters.")
+    // The fixpoint test above is a 4-field SIGNATURE (count + endpoint
+    // sums + hash-sum); a collision would silently accept a non-star
+    // edge set and the read-off would emit duplicate doc_id rows with
+    // multiple keepers (round-13 ADVICE). So assert the star-forest
+    // SHAPE exactly before reading it off: every member hangs off
+    // exactly one root, and no root is itself a member. Both checks run
+    // on the FINAL edge set only (|E| = members, one aggregate + one
+    // broadcast-sized semi-join) — negligible next to any round.
+    val dup = e.groupBy("b").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).count()
+    require(dup == 0L,
+      "duplicateComponentsStar: fixpoint signature collision - a member " +
+        "node carries two roots; the converged edge set is not a star forest.")
+    val rootAsMember = e.select(col("a").as("n")).distinct()
+      .join(e.select(col("b").as("n")), Seq("n"), "left_semi").limit(1).count()
+    require(rootAsMember == 0L,
+      "duplicateComponentsStar: fixpoint signature collision - a root " +
+        "appears as another star's member; the converged edge set is not " +
+        "a star forest.")
     // fixpoint edge set is a star forest: (root, member) per non-root
     // node, roots re-added as their own component id.
     e.select(col("b").as("doc_id"), col("a").as("comp_id"))

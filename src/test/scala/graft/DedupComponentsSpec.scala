@@ -83,16 +83,21 @@ class DedupComponentsSpec extends AnyFunSuite {
     GraftCaches.releaseAll()
   }
 
-  test("converged variant honors the hard cap") {
+  test("converged variant fails LOUDLY when the cap is hit, never returns partial labels") {
     import spark.implicits._
     val chain = (1L to 8L).sliding(2).map(s => (s(0), s(1))).toSeq
       .toDF("doc_a", "doc_b")
-    // maxIters=2 behaves exactly like the fixed 2-round operator
-    val capped = Dedup.duplicateComponentsConverged(chain, maxIters = 2).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val fixed2 = Dedup.duplicateComponents(chain, iters = 2).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(capped === fixed2)
+    // maxIters=2 cannot resolve a diameter-7 chain; since round 14 the
+    // operator throws instead of silently returning the same split
+    // labels the fixed-2 operator documents as a trade-off (a caller
+    // who asked to "iterate until stable" must never get unstable
+    // labels back). The bounded-by-contract variant stays available as
+    // duplicateComponents(iters = n).
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.duplicateComponentsConverged(chain, maxIters = 2).collect()
+    }
+    assert(ex.getMessage.contains("duplicateComponentsConverged"))
+    assert(ex.getMessage.contains("duplicateComponentsStar"))
     GraftCaches.releaseAll()
   }
 }

@@ -53,6 +53,30 @@ class StarComponentsSpec extends AnyFunSuite {
       (7L, 8L), (8L, 7L), (1000L, 999L)))
   }
 
+  test("512-deep chain: min-label's default cap fails loudly, star closes in <= 10 alternations") {
+    // The executable form of the star operator's raison d'être
+    // (round-13 VERDICT 5): a duplicate CHAIN of depth d — crawl
+    // snapshots, boilerplate drift — costs min-label propagation d
+    // shuffle rounds (the minimum travels one hop per round), so at the
+    // default maxIters = 20 a 512-deep chain MUST abort rather than
+    // split the cluster; large/small-star alternation collapses the
+    // same chain in O(log d) rounds, so maxIters = 10 (< log2(512)^2,
+    // and well under the default 20) must fully resolve it.
+    val chain = (0L until 512L).map(i => (i, i + 1))
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.duplicateComponentsConverged(edgesOf(chain)).collect()
+    }
+    GraftCaches.releaseAll()
+    assert(ex.getMessage.contains("diameter"),
+      s"expected the diameter-exhaustion message, got: ${ex.getMessage}")
+    val star = Dedup.duplicateComponentsStar(edgesOf(chain), maxIters = 10).collect()
+    GraftCaches.releaseAll()
+    assert(star.map(_.getLong(0)).toSeq.sorted === (0L to 512L).toSeq,
+      "every chain node labeled exactly once")
+    assert(star.forall(_.getLong(1) === 0L), "one component rooted at the chain min")
+    assert(star.count(_.getBoolean(2)) === 1, "exactly one keeper")
+  }
+
   test("empty edge relation yields an empty component relation") {
     assert(Dedup.duplicateComponentsStar(edgesOf(Seq.empty)).count() === 0L)
     GraftCaches.releaseAll()
