@@ -29,12 +29,30 @@ object GraftCaches {
   private val tracked = new ConcurrentLinkedQueue[DataFrame]()
   private val pinnedRdds = new ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
 
+  // Lifetime creation counters (never reset): Bench diffs them around
+  // each query to attribute working-set volume per query (round-13
+  // VERDICT 2 — the driver/solo gap concentrates on the cache-heavy
+  // family, so the artifact must show WHICH queries build how much).
+  // There is no hit/miss notion to count: the registry is deliberately
+  // build-and-release (Verify/Bench release between queries), so every
+  // pin/track is a fresh materialization — creation volume IS the
+  // cache pressure a query contributes to a shared session.
+  private val pinsTotal = new java.util.concurrent.atomic.AtomicLong
+  private val tracksTotal = new java.util.concurrent.atomic.AtomicLong
+
+  /** Cumulative [[pin]] calls this JVM — monotone; diff around a query. */
+  def pinsCreated: Long = pinsTotal.get()
+
+  /** Cumulative [[track]] calls this JVM — monotone; diff around a query. */
+  def tracksCreated: Long = tracksTotal.get()
+
   /** Persist `df` (MEMORY_AND_DISK: a working set larger than executor
     * storage spills instead of evicting mid-job) and register it for
     * [[releaseAll]]. Returns the persisted frame. */
   def track(df: DataFrame): DataFrame = {
     df.persist(StorageLevel.MEMORY_AND_DISK)
     tracked.add(df)
+    tracksTotal.incrementAndGet()
     df
   }
 
@@ -61,6 +79,7 @@ object GraftCaches {
     cp.queryExecution.logical.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => pinnedRdds.add(lr.rdd)
     }
+    pinsTotal.incrementAndGet()
     cp
   }
 
