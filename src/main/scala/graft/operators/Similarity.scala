@@ -725,6 +725,65 @@ object Similarity {
     val e = graft.GraftCaches.track(
       corpus.select(col(id), toDoubleVec(col(vec)).as("v"))
         .withColumn("nrm", sqrt(dot(col("v"), col("v")))))
+    // ONE ranked N×cells pass feeds BOTH reaches (round 14): the audit
+    // previously ran the corpus×centroids cosine pass twice — assignTo
+    // for the top-1 reach, semDedupMembers for probe-2 — and, because
+    // each call built its own semDedupCentroids relation, Lloyd training
+    // ran twice too. The oracle always derived both from ONE r2 ranking
+    // CTE; the engine now mirrors that: TopKAggregator's (sim desc,
+    // c_id asc) order is exactly assignTo's struct-max tie-break, so
+    // rank 0 IS the top-1 assignment — byte-identical relations, one
+    // assignment pass and one training chain instead of two of each
+    // (the pass is the audit family's dominant super-linear stage:
+    // N×cells with cells ∝ N).
+    recallAudit(e, id, rankedExact(e, id, k, trainIters),
+      threshold, maxCell, blocks, truthSamplePpm)
+  }
+
+  /** [[semDedupRecall]] with the candidate generation running on the
+    * TWO-LEVEL assignment ([[semDedupRanked2L]]): same 5-column audit
+    * contract, same exact truth relation — what changes is the thing
+    * being audited (the coarse-pruned reach instead of the exhaustive
+    * one), so the recall deltas between this and [[semDedupRecall]] ARE
+    * the measured price of the sub-quadratic assignment. */
+  def semDedupRecall2L(corpus: DataFrame, id: String, vec: String,
+      threshold: Double, k: Int = 16, maxCell: Int = 200,
+      blocks: Int = 16, trainIters: Int = 0,
+      truthSamplePpm: Int = 1000000): DataFrame = {
+    val e = graft.GraftCaches.track(
+      corpus.select(col(id), toDoubleVec(col(vec)).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v")))))
+    recallAudit(e, id, semDedupRanked2L(e, id, k, trainIters),
+      threshold, maxCell, blocks, truthSamplePpm)
+  }
+
+  /** The exact (exhaustive) ranked assignment: every vector × every
+    * centroid, one broadcast nested-loop pass, top-2 cells per vector
+    * with rank. N×cells cosines — with cells ∝ N (autoCells) this is
+    * the family's quadratic stage; [[semDedupRanked2L]] is the
+    * sub-quadratic alternative. */
+  private def rankedExact(e: DataFrame, id: String, k: Int,
+      trainIters: Int): DataFrame = {
+    val c = semDedupCentroids(e, id, k, trainIters)
+    graft.GraftCaches.track(
+      e.select(col(id), col("v"), col("nrm"))
+        .crossJoin(broadcast(c))
+        .select(col(id),
+          (dot(col("v"), col("cv")) / (col("nrm") * col("c_nrm"))).as("sim"),
+          col("c_id"))
+        .groupBy(id)
+        .agg(graft.functions.TopKAggregator.topK(2)(
+          col("c_id").cast("long"), col("sim")).as("tk"))
+        .select(col(id), posexplode(col("tk.ids")))
+        .withColumnRenamed("pos", "rnk").withColumnRenamed("col", "centroid_id"))
+  }
+
+  /** Shared audit tail: blocked (optionally PolyHash-sampled) exact
+    * truth vs the top-1 (`rnk = 0`) and probe-2 reaches of `ranked`
+    * ((id, rnk, centroid_id), rnk ∈ {0, 1}). */
+  private def recallAudit(e: DataFrame, id: String, ranked: DataFrame,
+      threshold: Double, maxCell: Int, blocks: Int,
+      truthSamplePpm: Int): DataFrame = {
     val sampled =
       if (truthSamplePpm >= 1000000) e
       else e.filter(
@@ -744,9 +803,8 @@ object Similarity {
         .select("id_a", "id_b"))
     // (a) the top-1-cell reach, mirroring semDedup exactly (cells capped
     // by ASSIGNMENT count, as there; same seed-or-trained centroids).
-    val c = semDedupCentroids(e, id, k, trainIters)
-    val assign = graft.GraftCaches.track(
-      assignTo(e, id, c).select(col(id), col("centroid_id")))
+    val assign = ranked.filter(col("rnk") === 0)
+      .select(col(id), col("centroid_id"))
     val ok1 = assign.groupBy("centroid_id").agg(count(lit(1)).as("n"))
       .filter(col("n") <= maxCell).select("centroid_id")
     val m1 = assign.join(broadcast(ok1), "centroid_id")
@@ -755,8 +813,11 @@ object Similarity {
       .filter(col(id) < col("id_b"))
       .select(col(id).as("id_a"), col("id_b"))
     // (b) the probe-2 membership reach (cells capped by MEMBERSHIP count).
-    val mm = semDedupMembers(e, id, k, probes = 2, maxCell = maxCell,
-      trainIters = trainIters)
+    val m2 = ranked.select(col(id), col("centroid_id"))
+    val okm = m2.groupBy("centroid_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxCell).select("centroid_id")
+    val mm = m2.join(broadcast(okm), "centroid_id")
+      .select(col(id), col("centroid_id"))
     val cand2 = mm.as("a")
       .join(mm.as("b").withColumnRenamed(id, "id_b"), "centroid_id")
       .filter(col(id) < col("id_b"))
@@ -782,6 +843,139 @@ object Similarity {
         when(col("n_true") === 0, lit(null).cast("double"))
           .otherwise(col("n_caught_p2").cast("double") / col("n_true").cast("double"))
           .as("recall_p2"))
+  }
+
+  /** Coarse cell count for the two-level assignment: ~√cells coarse
+    * groups (floor 4), so the two probe passes cost N·√cells + N·~2·
+    * (cells/√cells) = O(N^1.5/√62) cosines instead of the exhaustive
+    * N·cells = N²/62 — the standard IVF coarse-quantizer shape. Integer
+    * in, integer out, ceil(sqrt) is IEEE-identical in DuckDB, so the
+    * oracle derives the same count from the same corpus COUNT. */
+  def coarseCells(k: Int): Int =
+    math.max(4, math.ceil(math.sqrt(k.toDouble)).toInt)
+
+  /** Coarse groups probed per vector in the two-level assignment,
+    * chosen from the measured recall curve at the 20k planted τ=0.9
+    * regime (SemDedupPlantedRecallSpec): on the ISOTROPIC fixture —
+    * hash-random vectors, the coarse quantizer's adversarial worst case
+    * since there is no cluster structure to learn and a cosine-0.95
+    * pair's coarse rankings diverge at the margin — 2 probes measured
+    * 0.72 and 4 probes 0.803 vs the exhaustive 0.976. On a CLUSTERED
+    * corpus (the regime SemDeDup itself presumes) 4 probes measured
+    * 0.982 vs exact 1.000 over the planted pairs — the prune is ~free
+    * where the design applies, and the isotropic price is pinned as
+    * data. Cost stays sub-quadratic: ~4N√k dots + N·k cheap contains
+    * vs N·k full dots. */
+  val CoarseProbes: Int = 4
+
+  /** TWO-LEVEL ranked assignment — the sub-quadratic scale path for the
+    * semDedup family (round 14). [[autoCells]] makes cells ∝ N (forced
+    * by the 200-row cell cap), so the exhaustive assignment pass is
+    * N²/62 cosines — measured as the family's dominant growth once the
+    * truth stage was sampled (bare `semdedup` grew 2.37× on 3× data).
+    * Standard remedy (IVF coarse quantizer; Johnson et al., "Billion-
+    * scale similarity search with GPUs", the faiss IVF design): route
+    * each vector through ~√cells COARSE groups first, then rank only
+    * the centroids of its top-2 coarse groups.
+    *
+    * Determinism/oracle contract: coarse centroids = the √k lowest-id
+    * trained centroids; each centroid joins its nearest coarse group
+    * (cos, ties → lowest g_id); each vector probes its top-
+    * [[CoarseProbes]] coarse groups (same tie rule). Every decision is
+    * the same argmax/row_number the family already mirrors in SQL, so
+    * the relation is hash-checkable end to end.
+    *
+    * Scale shape: the coarse pass is a broadcast nested loop over the
+    * √k-row cc relation (N·√k cheap dots); the cell pass is an
+    * equi-join chain that generates only ~[[CoarseProbes]]·N·√k
+    * candidate rows (vs the exhaustive pass's N·k) — sub-quadratic in
+    * BOTH rows and dot work — at the price of one linear corpus
+    * shuffle (the join of the candidate ids back to their vectors).
+    * Candidate rows at 60k vectors: 58M exhaustive → ~7M two-level,
+    * and the gap widens as √N. */
+  private[graft] def semDedupRanked2L(e: DataFrame, id: String, k: Int,
+      trainIters: Int, coarseProbes: Int = CoarseProbes): DataFrame = {
+    val ct = semDedupCentroids(e, id, k, trainIters)
+    val gK = coarseCells(k)
+    val cc = ct.filter(col("c_id") < gK)
+      .select(col("c_id").as("g_id"), col("cv").as("gv"),
+        col("c_nrm").as("g_nrm"))
+    // centroid → coarse group: k×√k argmax (struct-max, ties → lowest
+    // g_id — assignTo's exact shape).
+    val cg = ct.crossJoin(broadcast(cc))
+      .select(col("c_id"),
+        struct((dot(col("cv"), col("gv")) / (col("c_nrm") * col("g_nrm"))).as("s"),
+          (-col("g_id")).as("ng")).as("sc"))
+      .groupBy("c_id").agg(max(col("sc")).as("m"))
+      .select(col("c_id"), (-col("m.ng")).as("g_id"))
+    // vector → top-CoarseProbes coarse groups: N×√k.
+    val vg = e.select(col(id), col("v"), col("nrm"))
+      .crossJoin(broadcast(cc))
+      .select(col(id),
+        (dot(col("v"), col("gv")) / (col("nrm") * col("g_nrm"))).as("sim"),
+        col("g_id"))
+      .groupBy(id)
+      .agg(graft.functions.TopKAggregator.topK(coarseProbes)(
+        col("g_id").cast("long"), col("sim")).as("tk"))
+      .select(col(id), explode(col("tk.ids")).as("g_id"))
+    // vector → top-2 cells among the centroids of its coarse groups.
+    // JOIN formulation, not crossJoin+filter (round-14 measurement): a
+    // broadcast nested loop with a contains-prune still GENERATES N×k
+    // rows — sub-quadratic dot work but quadratic row work, and at 20k
+    // vectors the row generation already dominated (2L slower absolute
+    // than exhaustive despite 6× less dot work). The equi-join chain
+    // generates only N·probes·(k/√k) candidate rows: vg explodes to
+    // (id, g_id), broadcast-joins the k-row (c_id → g_id) map, the
+    // corpus joins ONCE by id (the only added shuffle — linear in
+    // corpus bytes), and centroid vectors attach from a broadcast.
+    // Same candidate set, same oracle, sub-quadratic rows AND dots.
+    val candC = vg.join(broadcast(cg.select(col("g_id"), col("c_id"))), "g_id")
+      .select(col(id), col("c_id"))
+    graft.GraftCaches.track(
+      candC.join(e.select(col(id), col("v"), col("nrm")), Seq(id))
+        .join(broadcast(ct), "c_id")
+        .select(col(id),
+          (dot(col("v"), col("cv")) / (col("nrm") * col("c_nrm"))).as("sim"),
+          col("c_id"))
+        .groupBy(id)
+        .agg(graft.functions.TopKAggregator.topK(2)(
+          col("c_id").cast("long"), col("sim")).as("tk"))
+        .select(col(id), posexplode(col("tk.ids")))
+        .withColumnRenamed("pos", "rnk").withColumnRenamed("col", "centroid_id"))
+  }
+
+  /** [[semDedup]] with the two-level assignment: identical output
+    * contract ((id, centroid_id, is_kept) for every corpus vector,
+    * lowest id survives per duplicate group, assignment-count cell cap)
+    * — the centroid each vector lands in is the top-1 of its coarse-
+    * pruned candidate set instead of the global argmax. The dedup
+    * semantics a user cares about (which vectors are dropped) shift
+    * only where the two assignments disagree — `semdedup_recall_2l`
+    * measures exactly that reach difference. */
+  def semDedup2L(corpus: DataFrame, id: String, vec: String,
+      threshold: Double, k: Int = 16, maxCell: Int = 200,
+      trainIters: Int = 0): DataFrame = {
+    val e = graft.GraftCaches.track(
+      corpus.select(col(id), toDoubleVec(col(vec)).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v")))))
+    val assign = graft.GraftCaches.track(
+      semDedupRanked2L(e, id, k, trainIters)
+        .filter(col("rnk") === 0).select(col(id), col("centroid_id")))
+    val okCells = assign.groupBy("centroid_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxCell).select("centroid_id")
+    val members = assign.join(broadcast(okCells), "centroid_id")
+      .select(col("centroid_id"), col(id))
+    val cand = members.as("a")
+      .join(members.as("b").withColumnRenamed(id, "id_b"), "centroid_id")
+      .filter(col(id) < col("id_b"))
+      .select(col(id).as("id_a"), col("id_b"))
+    val dropped = cand
+      .join(e.select(col(id).as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(e.select(col(id).as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select(col("id_b")).distinct()
+    assign.join(dropped, col(id) === col("id_b"), "left")
+      .select(col(id), col("centroid_id"), col("id_b").isNull.as("is_kept"))
   }
 
   /** Semantic duplicate FAMILIES: probe-2 capped-cell candidates →

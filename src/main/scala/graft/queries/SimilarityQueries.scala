@@ -1036,12 +1036,26 @@ object SimilarityQueries {
     * quadratic stage at ~target² regardless of corpus growth. Unset
     * (the driver gates) = full truth, bit-identical to round 12. */
   private val SemTruthTarget: Long =
-    sys.env.get("SPARK_GRAFT_SEM_TRUTH_TARGET")
-      .map(_.trim.toLong).filter(_ > 0).getOrElse(0L)
+    sys.env.get("SPARK_GRAFT_SEM_TRUTH_TARGET").map { raw =>
+      // A malformed value must fail naming the knob, not as a bare
+      // NumberFormatException at object init that poisons every
+      // similarity query load with no mention of the env var.
+      try raw.trim.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_SEM_TRUTH_TARGET must be a positive integer " +
+            s"(vector-count target for the sampled truth relation); got '$raw'")
+      }
+    }.filter(_ > 0).getOrElse(0L)
 
-  private def truthPpm(n: Long): Int =
-    if (SemTruthTarget <= 0 || n <= 0) 1000000
-    else math.min(1000000L, 1000000L * SemTruthTarget / n).toInt
+  private def truthPpm(n: Long): Int = fixedTruthPpm(n, SemTruthTarget)
+
+  /** ppm keeping ~`target` of `n` vectors — integer arithmetic only, so
+    * the oracle derives the identical value from its own COUNT(*).
+    * target <= 0 (env unset) or n <= 0 (empty corpus) = keep all. */
+  private def fixedTruthPpm(n: Long, target: Long): Int =
+    if (target <= 0 || n <= 0) 1000000
+    else math.min(1000000L, 1000000L * target / n).toInt
 
   /** The τ=0.9 twin of [[semDedupRecallQ]] — the regime semantic dedup
     * is actually run in (SemDeDup, Abbas et al. 2023, dedups at cosine
@@ -1056,19 +1070,31 @@ object SimilarityQueries {
       trainIters = SemTrainIters, truthSamplePpm = truthPpm(n))
   }
 
+  /** Constant vector-count target for the standing sampled gate: both
+    * engines derive ppm = min(1e6, 1e6·250/COUNT) from their own counts.
+    * 250 is chosen so the sf0.01 driver gate (500 vectors) derives
+    * ppm = 500,000 — numerically identical to the round-13 literal, so
+    * the standing hash is unchanged — while at any larger corpus the
+    * truth stage is fixed-SIZE (~250 vectors, ~31k candidate pairs)
+    * instead of fixed-FRACTION (round-13 VERDICT: the 500,000-ppm
+    * literal grew 2.09× on 3× data — the artifact's last quadratic). */
+  private val SampledGateTarget = 250L
+
   /** Standing cross-engine gate for the truth-SAMPLING path itself: the
-    * τ=0.3 audit with a FIXED half-corpus sample (ppm = 500,000 — no env
-    * dependence, so the driver's sf0.01 correctness run hash-checks the
-    * sampled truth relation every round, not only when a scale run sets
-    * the target). At sf0.01 the sample keeps ~250 of 500 vectors and
-    * ~1/4 of the 990 true pairs — a non-degenerate sampled truth whose
-    * counts and recalls must match DuckDB's rebuild of the identical
+    * τ=0.3 audit with a FIXED-SIZE sample target (no env dependence, so
+    * the driver's sf0.01 correctness run hash-checks the sampled truth
+    * relation every round, not only when a scale run sets the target).
+    * At sf0.01 the derived ppm keeps ~250 of 500 vectors and ~1/4 of
+    * the 990 true pairs — a non-degenerate sampled truth whose counts
+    * and recalls must match DuckDB's rebuild of the identical
     * PolyHash-Bernoulli draw bit for bit. */
   def semDedupRecallSampledQ(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
     Similarity.semDedupRecall(emb, "vec_id", "embedding",
-      threshold = 0.3, k = Similarity.autoCells(emb.count()),
-      trainIters = SemTrainIters, truthSamplePpm = 500000)
+      threshold = 0.3, k = Similarity.autoCells(n),
+      trainIters = SemTrainIters,
+      truthSamplePpm = fixedTruthPpm(n, SampledGateTarget))
   }
 
   /** Shared oracle CTE chain for the probe-2 membership relation:
@@ -1093,22 +1119,66 @@ object SimilarityQueries {
        |          string_split(CAST(vec_id AS VARCHAR) || ':t9s',''), c -> ascii(c)::BIGINT)),
        |          (a,b) -> (a*31+b) % ${graft.functions.PolyHash.Mod}) % 1000000 < ($ppmSql)),""".stripMargin
 
+  /** Coarse group count for the two-level assignment — DuckDB mirror of
+    * [[Similarity.coarseCells]] over the shared autoCells k: ceil(sqrt)
+    * on the same integer, IEEE-identical in both engines. */
+  private val coarseKSql: String =
+    "GREATEST(4, CAST(ceil(sqrt(CAST(LEAST(GREATEST(16, " +
+      "(SELECT COUNT(*) FROM e0) // 62), 2147483647) AS DOUBLE))) AS BIGINT))"
+
+  /** DuckDB rebuild of [[Similarity.semDedupRanked2L]] — the two-level
+    * (coarse-quantized) assignment. Deliberately emits the SAME CTE
+    * names as [[probe2Ctes]] (r2 = ranked cells, m2/okm/mm = capped
+    * probe-2 memberships), so the recall audit's final SELECT is reused
+    * verbatim with this block swapped in: coarse centroids cc = the
+    * √k lowest-id trained centroids, cg = each centroid's nearest
+    * coarse group (ties → lowest g_id), vg = each vector's top-
+    * CoarseProbes coarse groups, s2 = cosines against ONLY the
+    * centroids of those groups (the coarse prune — N·~CoarseProbes·√k
+    * sims instead of N·k). */
+  private val twoLevelCtes: String =
+    s"""cc AS (SELECT c_id AS g_id, cv AS gv, c_nrm AS g_nrm FROM ct
+       |       WHERE c_id < $coarseKSql),
+       |cg AS (SELECT c_id, g_id FROM (
+       |        SELECT t.c_id, cc.g_id,
+       |          row_number() OVER (PARTITION BY t.c_id
+       |            ORDER BY ${cosSql("t.cv", "cc.gv", "t.c_nrm", "cc.g_nrm")} DESC, cc.g_id ASC) AS rn
+       |        FROM ct t CROSS JOIN cc) x WHERE rn = 1),
+       |vg AS (SELECT vec_id, g_id FROM (
+       |        SELECT e.vec_id, cc.g_id,
+       |          row_number() OVER (PARTITION BY e.vec_id
+       |            ORDER BY ${cosSql("e.embedding", "cc.gv", "e.nrm", "cc.g_nrm")} DESC, cc.g_id ASC) AS rn
+       |        FROM e0 e CROSS JOIN cc) x WHERE rn <= ${Similarity.CoarseProbes}),
+       |s2 AS (SELECT e.vec_id, t.c_id, ${cosSql("e.embedding", "t.cv", "e.nrm", "t.c_nrm")} AS sim
+       |       FROM e0 e JOIN vg ON vg.vec_id = e.vec_id
+       |       JOIN cg ON cg.g_id = vg.g_id
+       |       JOIN ct t ON t.c_id = cg.c_id),
+       |r2 AS (SELECT vec_id, c_id,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) AS rn
+       |      FROM s2),
+       |m2 AS (SELECT vec_id, c_id AS centroid_id FROM r2 WHERE rn <= 2),
+       |okm AS (SELECT centroid_id FROM m2 GROUP BY centroid_id HAVING COUNT(*) <= 200),
+       |mm AS (SELECT m2.vec_id, m2.centroid_id FROM m2 JOIN okm USING (centroid_id))""".stripMargin
+
   /** Parameterized by threshold (the τ=0.3 historical audit and the
-    * τ=0.9 planted-near-dup regime share every other line) and by an
+    * τ=0.9 planted-near-dup regime share every other line), by an
     * optional truth-sample ppm EXPRESSION (SQL, evaluated by DuckDB —
     * either a literal or the LEAST/COUNT derivation mirroring
-    * [[truthPpm]]). None = full truth, byte-identical to the round-12
+    * [[truthPpm]]), and by the candidate-generation CTE block (probe-2
+    * exhaustive by default, [[twoLevelCtes]] for the coarse-pruned
+    * audit). None = full truth, byte-identical to the round-12
     * oracle. Empty truth → counts 0 (COALESCE) and recalls NULL (CASE),
     * mirroring the engine's coalesce/when exactly. */
   private def semDedupRecallSqlFor(threshold: Double,
-      samplePpmSql: Option[String] = None): String = {
+      samplePpmSql: Option[String] = None,
+      probeCtes: String = probe2Ctes): String = {
     val (sampleCte, truthSrc) = samplePpmSql match {
       case Some(ppm) => (truthSampleSql(ppm) + "\n", "tsam")
       case None => ("", "e0")
     }
     s"""WITH $eCte,
        |$cAutoCte,
-       |$probe2Ctes,
+       |$probeCtes,
        |${sampleCte}a AS (SELECT vec_id, c_id AS centroid_id FROM r2 WHERE rn = 1),
        |ok1 AS (SELECT centroid_id FROM a GROUP BY centroid_id HAVING COUNT(*) <= 200),
        |m1 AS (SELECT a.vec_id, a.centroid_id FROM a JOIN ok1 USING (centroid_id)),
@@ -1133,20 +1203,68 @@ object SimilarityQueries {
        |LEFT JOIN c2 ON c2.id_a = truth.id_a AND c2.id_b = truth.id_b""".stripMargin
   }
 
+  /** DuckDB mirror of [[fixedTruthPpm]]: integer division on the
+    * oracle's own COUNT(*) — no value passed between engines. The
+    * GREATEST(1, ...) floor mirrors the n <= 0 -> full-truth branch
+    * (post-review): on an empty corpus the engine skips the filter
+    * while a bare COUNT would make DuckDB divide by zero; with the
+    * floor both sides degenerate to ppm = 1e6 = keep-everything. */
+  private def fixedPpmSql(target: Long): String =
+    s"LEAST(1000000, (1000000 * $target) // GREATEST(1, (SELECT COUNT(*) FROM e0)))"
+
   /** When the scale harness sets SPARK_GRAFT_SEM_TRUTH_TARGET, the
-    * oracles derive the identical ppm from their own COUNT(*) — integer
-    * division both sides, no value passed between engines. */
+    * oracles derive the identical ppm from their own COUNT(*). */
   private val envPpmSql: Option[String] =
-    if (SemTruthTarget <= 0) None
-    // GREATEST(1, ...) mirrors truthPpm's n <= 0 -> full-truth branch
-    // (post-review): on an empty corpus the engine skips the filter
-    // while a bare COUNT would make DuckDB divide by zero; with the
-    // floor both sides degenerate to ppm = 1e6 = keep-everything.
-    else Some(s"LEAST(1000000, (1000000 * $SemTruthTarget) // GREATEST(1, (SELECT COUNT(*) FROM e0)))")
+    if (SemTruthTarget <= 0) None else Some(fixedPpmSql(SemTruthTarget))
 
   val semDedupRecallSql: String = semDedupRecallSqlFor(0.3, envPpmSql)
   val semDedupRecallT9Sql: String = semDedupRecallSqlFor(0.9, envPpmSql)
-  val semDedupRecallSampledSql: String = semDedupRecallSqlFor(0.3, Some("500000"))
+  val semDedupRecallSampledSql: String =
+    semDedupRecallSqlFor(0.3, Some(fixedPpmSql(SampledGateTarget)))
+  val semDedupRecall2LSql: String =
+    semDedupRecallSqlFor(0.3, Some(fixedPpmSql(SampledGateTarget)), twoLevelCtes)
+
+  /** The τ=0.3 recall audit over the TWO-LEVEL assignment's reach
+    * ([[Similarity.semDedupRecall2L]]), same fixed-size sampled truth
+    * as `semdedup_recall_sampled` — so the standing gate carries the
+    * exact-vs-coarse recall delta as data, on the identical truth
+    * pairs, every round. */
+  def semDedupRecall2LQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    Similarity.semDedupRecall2L(emb, "vec_id", "embedding",
+      threshold = 0.3, k = Similarity.autoCells(n),
+      trainIters = SemTrainIters,
+      truthSamplePpm = fixedTruthPpm(n, SampledGateTarget))
+  }
+
+  /** SemDeDup with the two-level (coarse-quantized) assignment — the
+    * sub-quadratic scale path ([[Similarity.semDedup2L]]): identical
+    * output contract to `semdedup`, assignment routed through √cells
+    * coarse groups so the dominant pass costs ~N^1.5/√62 cosines
+    * instead of N²/62. */
+  def semDedup2LQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.semDedup2L(emb, "vec_id", "embedding",
+      threshold = 0.3, k = Similarity.autoCells(emb.count()),
+      trainIters = SemTrainIters)
+  }
+
+  val semDedup2LSql: String =
+    s"""WITH $eCte,
+       |$cAutoCte,
+       |$twoLevelCtes,
+       |a AS (SELECT vec_id, c_id AS centroid_id FROM r2 WHERE rn = 1),
+       |ok AS (SELECT centroid_id FROM a GROUP BY centroid_id HAVING COUNT(*) <= 200),
+       |m AS (SELECT a.vec_id, a.centroid_id FROM a JOIN ok USING (centroid_id)),
+       |p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+       |      FROM m x JOIN m y ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id),
+       |d AS (SELECT DISTINCT p.id_b FROM p
+       |      JOIN e0 ea ON ea.vec_id = p.id_a
+       |      JOIN e0 eb ON eb.vec_id = p.id_b
+       |      WHERE ${cosSql("ea.embedding", "eb.embedding", "ea.nrm", "eb.nrm")} >= 0.3)
+       |SELECT a.vec_id, a.centroid_id, d.id_b IS NULL AS is_kept
+       |FROM a LEFT JOIN d ON a.vec_id = d.id_b""".stripMargin
 
   /** Semantic duplicate families (SemDeDup + components): probe-2
     * capped-cell candidates, cosine >= 0.3 verified edges, converged
@@ -1515,6 +1633,8 @@ object SimilarityQueries {
     "semdedup_recall" -> (semDedupRecallQ _),
     "semdedup_recall_t9" -> (semDedupRecallT9Q _),
     "semdedup_recall_sampled" -> (semDedupRecallSampledQ _),
+    "semdedup_recall_2l" -> (semDedupRecall2LQ _),
+    "semdedup_2l" -> (semDedup2LQ _),
     "semdedup_clusters" -> (semDedupClustersQ _),
     "retrieve_rerank" -> (retrieveRerank _),
     "rrf_fusion" -> (rrfFusion _),
@@ -1554,6 +1674,8 @@ object SimilarityQueries {
     "semdedup_recall" -> semDedupRecallSql,
     "semdedup_recall_t9" -> semDedupRecallT9Sql,
     "semdedup_recall_sampled" -> semDedupRecallSampledSql,
+    "semdedup_recall_2l" -> semDedupRecall2LSql,
+    "semdedup_2l" -> semDedup2LSql,
     "semdedup_clusters" -> semDedupClustersSql,
     "retrieve_rerank" -> retrieveRerankSql,
     "rrf_fusion" -> rrfFusionSql,

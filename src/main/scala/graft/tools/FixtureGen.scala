@@ -284,6 +284,16 @@ object FixtureGen {
       // (parquet min/max skipping friendly). Row CONTENT stays purely
       // id-determined either way; tables with fewer distinct keys than
       // LayoutFiles (region, nation) honestly write fewer files.
+      // REPRODUCIBILITY CONTRACT (round-13 ADVICE): row content and the
+      // LayoutFiles file COUNT are reproducible across regenerations;
+      // file BYTES are not — repartitionByRange picks its boundaries by
+      // reservoir-sampling seeded from the RDD id, so row-to-file
+      // placement can differ between generator sessions. Every consumer
+      // here reads whole directories (ScaleBench, the specs, the scale
+      // artifacts' per-table file-count headers), so placement is
+      // immaterial; if byte-stable fixture dirs ever matter (e.g.
+      // checksumming), switch to explicit bucketing on a computed
+      // pmod(key, LayoutFiles) column instead of relying on this.
       val df = tableFor(spark, name, sf)
       df.repartitionByRange(LayoutFiles, col(df.columns.head))
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")

@@ -45,7 +45,11 @@ object ScaleBench {
     // components (tracked against the min-label fixpoint on the same
     // edge graph), and the CDC merge.
     "semdedup_recall_t9", "semdedup_recall_sampled",
-    "dedup_components_converged", "dedup_components_star", "merge_upsert")
+    "dedup_components_converged", "dedup_components_star", "merge_upsert",
+    // Round 14: the two-level (coarse-quantized) assignment — the
+    // sub-quadratic scale path whose growth vs `semdedup` /
+    // `semdedup_recall_sampled` is the point of the design.
+    "semdedup_2l", "semdedup_recall_2l")
 
   private def trio(spark: SparkSession, name: String, dir: String,
       errors: scala.collection.mutable.Map[String, String]): Option[IndexedSeq[Double]] = {

@@ -87,6 +87,11 @@ class PlanGuardSpec extends AnyFunSuite {
       // filtered to the deterministic hash sample first.
       "semdedup_recall", "semdedup_recall_t9", "semdedup_recall_sampled",
       "semdedup_clusters",
+      // semdedup_2l / semdedup_recall_2l: the two-level assignment's
+      // coarse pass is the same tiny-relation broadcast nested loop (√k
+      // coarse centroids onto one corpus scan); the cell pass and the
+      // pairing/truth stages are equi-joins.
+      "semdedup_2l", "semdedup_recall_2l",
       // embedding_drift: the ivf_* 16-tiny-centroid assignment broadcast
       // plus the 1-row cohort-totals scalar cross-broadcast.
       "embedding_drift",
