@@ -74,8 +74,23 @@ object GraftCaches {
     * pre-round-2 operator caches. So the checkpointed RDD is recorded
     * here and [[releaseAll]] unpersists it explicitly: a pinned frame is
     * never legitimately re-used after its query's action completes. */
-  def pin(df: DataFrame): DataFrame = {
-    val cp = df.localCheckpoint(eager = true)
+  def pin(df: DataFrame): DataFrame = pin(df, eager = true)
+
+  /** [[pin]] with the materialization action under caller control.
+    * `eager = false` defers the checkpoint to the FIRST action that
+    * touches the frame — for iterated operators whose next step is an
+    * aggregate over the freshly pinned state (a convergence probe, a
+    * fixpoint signature) or whose rounds are only ever consumed by the
+    * final action, this folds what used to be a dedicated ~450 ms
+    * checkpoint job per round into a job the operator was running
+    * anyway (round-14 optimization; MicroBench pins the per-job fixed
+    * costs). Lineage truncation and loud-failure-on-lost-block semantics
+    * are unchanged — the blocks are simply stored by whichever job
+    * computes the partitions first. Callers whose CORRECTNESS depends on
+    * one frozen materialization observed by several separate jobs
+    * (PrefixScan's `_pid`) must keep `eager = true`. */
+  def pin(df: DataFrame, eager: Boolean): DataFrame = {
+    val cp = df.localCheckpoint(eager = eager)
     cp.queryExecution.logical.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => pinnedRdds.add(lr.rdd)
     }

@@ -58,7 +58,10 @@ object Bpe {
       .groupBy("w").agg(count(lit(1)).as("f"))
       .select(col("w"), col("f"),
         concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" ")).as("s"))
-    var state = graft.GraftCaches.pin(vocab0)
+    // Lazy pins (round-14): each round's argmax collect is the
+    // materializing action, so the dedicated eager-checkpoint job per
+    // round folds into a job the loop was running anyway.
+    var state = graft.GraftCaches.pin(vocab0, eager = false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -79,7 +82,7 @@ object Bpe {
         val (l, rr, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r, l, rr, cnt))
         state = graft.GraftCaches.pin(state.withColumn("s",
-          replace(col("s"), lit(s" $l $rr "), lit(s" $l$rr "))))
+          replace(col("s"), lit(s" $l $rr "), lit(s" $l$rr "))), eager = false)
         r += 1
       }
     }

@@ -186,10 +186,26 @@ object Dedup {
     * lazily-composed plan doesn't double per iteration).
     * Returns (doc_id, comp_id, is_keeper): comp_id = min doc id reachable
     * within `iters` hops, keeper = the cluster minimum itself. */
+  /** Mirrored (src, dst) edge relation in ONE pass (round-14, guide
+    * §2.3/§2.4): explode emits both orientations per edge row, where the
+    * previous `union(a→b, b→a)` scanned the edge relation twice and
+    * DOUBLED the downstream partition count (every per-round stage paid
+    * 2× the tasks). Same rows, same multiset semantics, half the scan
+    * work and partitions. */
+  private[graft] def mirrored(edges: DataFrame): DataFrame =
+    edges.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+
   def duplicateComponents(edges: DataFrame, iters: Int = 3): DataFrame = {
-    val bidir = graft.GraftCaches.pin(
-      edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    // LAZY pins throughout (round-14): no action runs between rounds, so
+    // eager checkpoints were ~450 ms dedicated jobs each whose only
+    // purpose was materialization — the caller's single consuming action
+    // now computes the whole chain, storing each round's blocks as it
+    // passes (lineage truncation and loud-lost-block semantics
+    // unchanged; see [[graft.GraftCaches.pin]]).
+    val bidir = graft.GraftCaches.pin(mirrored(edges), eager = false)
     val init = bidir.select(col("src").as("doc_id")).distinct()
       .withColumn("comp_id", col("doc_id"))
     // Each round references the previous labels TWICE (neighbor-min join
@@ -198,13 +214,17 @@ object Dedup {
     // recomputes its whole per-round-doubling lineage — the round-4 bench
     // composition penalty — while a checkpointed round is the data
     // (round-4 VERDICT; see [[graft.GraftCaches.pin]]).
+    // Round = ONE aggregation (round-14, guide §2.3): each node's next
+    // label is min(own, neighbor labels) — the neighbor messages UNION
+    // the carried own-label rows feed a single map-side-combined
+    // groupBy-min, replacing the old join→agg→left-join-back chain
+    // (same fixpoint algebra, one node-keyed shuffle fewer per round).
     val labeled = (1 to iters).foldLeft(init) { (lab, _) =>
-      val l = graft.GraftCaches.pin(lab)
-      val nbrMin = bidir.join(l, col("src") === col("doc_id"))
-        .groupBy("dst").agg(min("comp_id").as("nbr_min"))
-      l.join(nbrMin, col("doc_id") === col("dst"), "left")
-        .select(col("doc_id"),
-          least(col("comp_id"), coalesce(col("nbr_min"), col("comp_id"))).as("comp_id"))
+      val l = graft.GraftCaches.pin(lab, eager = false)
+      bidir.join(l, col("src") === col("doc_id"))
+        .select(col("dst").as("doc_id"), col("comp_id"))
+        .union(l)
+        .groupBy("doc_id").agg(min("comp_id").as("comp_id"))
     }
     labeled.withColumn("is_keeper", col("doc_id") === col("comp_id"))
   }
@@ -221,13 +241,14 @@ object Dedup {
     * comp_id = min doc id of the full connected component. */
   def duplicateComponentsConverged(edges: DataFrame, maxIters: Int = 20): DataFrame = {
     // Pinned per round (localCheckpoint), not cached — see
-    // [[duplicateComponents]] and [[graft.GraftCaches.pin]].
-    val bidir = graft.GraftCaches.pin(
-      edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    // [[duplicateComponents]] and [[graft.GraftCaches.pin]]. Pins are
+    // LAZY (round-14): the per-round convergence probe below is the
+    // materializing action, so each round costs ONE job where it used
+    // to cost a dedicated eager-checkpoint job plus the probe.
+    val bidir = graft.GraftCaches.pin(mirrored(edges), eager = false)
     var lab = graft.GraftCaches.pin(
       bidir.select(col("src").as("doc_id")).distinct()
-        .withColumn("comp_id", col("doc_id")))
+        .withColumn("comp_id", col("doc_id")), eager = false)
     // Labels only ever DECREASE, so sum(comp_id) is strictly monotone
     // while anything changes: "sum unchanged" IS the fixpoint test. One
     // single-row aggregate per round (exact integer sum over the cached
@@ -240,13 +261,22 @@ object Dedup {
     var prevSum = labelSum(lab)
     var round = 0
     var converged = false
+    // One aggregation per hop — see [[duplicateComponents]] (round-14).
+    def hop(l: DataFrame): DataFrame =
+      bidir.join(l, col("src") === col("doc_id"))
+        .select(col("dst").as("doc_id"), col("comp_id"))
+        .union(l)
+        .groupBy("doc_id").agg(min("comp_id").as("comp_id"))
     while (!converged && round < maxIters) {
-      val nbrMin = bidir.join(lab, col("src") === col("doc_id"))
-        .groupBy("dst").agg(min("comp_id").as("nbr_min"))
-      val next = graft.GraftCaches.pin(
-        lab.join(nbrMin, col("doc_id") === col("dst"), "left")
-          .select(col("doc_id"),
-            least(col("comp_id"), coalesce(col("nbr_min"), col("comp_id"))).as("comp_id")))
+      // TWO hops per probe (round-14): the driver round-trip — pin +
+      // convergence probe — is fixed cost, so batching two label hops
+      // under one probe halves it for deep graphs. Exactness is
+      // unchanged: labels only decrease, so sum(hop(hop(l))) == sum(l)
+      // forces both intermediate hops unchanged too; the price is at
+      // most one no-op hop of work after the true fixpoint. The inner
+      // hop's exchange is referenced twice and reused (AQE exchange
+      // reuse), not recomputed.
+      val next = graft.GraftCaches.pin(hop(hop(lab)), eager = false)
       val nextSum = labelSum(next)
       converged = nextSum == prevSum
       prevSum = nextSum
@@ -255,8 +285,9 @@ object Dedup {
     }
     // LOUD failure on exhaustion (round-14, mirroring the star
     // operator's contract): min-label propagation moves the component
-    // minimum ONE HOP per round, so a duplicate chain deeper than
-    // maxIters leaves far nodes carrying a non-minimum comp_id — labels
+    // minimum one hop per hop (two hops per probe round), so a duplicate
+    // chain deeper than 2·maxIters leaves far nodes carrying a
+    // non-minimum comp_id — labels
     // that silently violate "comp_id = min doc id of the component" and
     // split one cluster into several keepers. The remedy for deep
     // chains is [[duplicateComponentsStar]] (O(log d) alternations),
@@ -264,9 +295,10 @@ object Dedup {
     // 512-deep chain proving exactly this divergence.
     require(converged,
       s"duplicateComponentsConverged: labels still changing after $maxIters " +
-        "min-label rounds - the graph has a component of diameter > maxIters " +
-        "and the partial labels would split it. Raise maxIters or use " +
-        "duplicateComponentsStar (O(log diameter) rounds).")
+        s"probe rounds (2 min-label hops each) - the graph has a component " +
+        s"of diameter > ${2 * maxIters} and the partial labels would split " +
+        "it. Raise maxIters or use duplicateComponentsStar (O(log diameter) " +
+        "rounds).")
     lab.withColumn("is_keeper", col("doc_id") === col("comp_id"))
   }
 
@@ -292,10 +324,12 @@ object Dedup {
     * min-label fixpoint and the oracle's recursive closure — three
     * algorithms, one hash. */
   def duplicateComponentsStar(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    // Lazy pins: the per-round fixpoint signature below is the
+    // materializing action (round-14; see [[duplicateComponentsConverged]]).
     var e = graft.GraftCaches.pin(
       edges.select(least(col("doc_a"), col("doc_b")).as("a"),
           greatest(col("doc_a"), col("doc_b")).as("b"))
-        .filter(col("a") =!= col("b")).distinct())
+        .filter(col("a") =!= col("b")).distinct(), eager = false)
     def signature(df: DataFrame): (Long, Long, Long, Long) = {
       val r = df.agg(count(lit(1)), sum("a"), sum("b"),
         sum(hash(col("a"), col("b")).cast("long"))).head()
@@ -309,8 +343,10 @@ object Dedup {
       // large-star: from each node u's full neighborhood, attach every
       // LARGER neighbor to m = min(Γ(u) ∪ {u}); each undirected edge is
       // processed exactly once (from its smaller endpoint's group).
-      val bid = e.select(col("a").as("u"), col("b").as("v"))
-        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val bid = e.select(explode(array(
+          struct(col("a").as("u"), col("b").as("v")),
+          struct(col("b").as("u"), col("a").as("v")))).as("x"))
+        .select(col("x.u").as("u"), col("x.v").as("v"))
       val mn = bid.groupBy("u").agg(min(col("v")).as("nbr_min"))
         .select(col("u"), least(col("nbr_min"), col("u")).as("m"))
       val large = bid.join(mn, "u").filter(col("v") > col("u"))
@@ -324,7 +360,7 @@ object Dedup {
         .select(col("m").as("a"), col("v").as("b"))               // m < v
         .union(mn2.select(col("m").as("a"), col("u").as("b")))    // m < u
         .distinct()
-      val next = graft.GraftCaches.pin(small)
+      val next = graft.GraftCaches.pin(small, eager = false)
       val sig = signature(next)
       converged = sig == prev
       prev = sig
@@ -500,25 +536,31 @@ object Dedup {
   def pageRank(edges: DataFrame, iters: Int = 3,
       damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val bidir = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val bidir = mirrored(edges)
     val deg = bidir.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // Degree rides the pinned edge relation, so each round joins ranks
-    // only (one edge-keyed join saved per iteration).
-    val withDeg = graft.GraftCaches.pin(bidir.join(deg, "src"))
+    // only (one edge-keyed join saved per iteration). Pins are LAZY
+    // (round-14): no action runs between rounds, so the caller's single
+    // consuming action materializes the whole chain — each eager
+    // checkpoint was a dedicated job that existed only to materialize.
+    val withDeg = graft.GraftCaches.pin(bidir.join(deg, "src"), eager = false)
     val init = withDeg.select(col("src").as("doc_id")).distinct()
       .withColumn("rank", lit(1.0))
+    // The per-round join BACK to the rank relation is gone (round-14):
+    // on a MIRRORED edge relation every node has indegree >= 1, so the
+    // contribution sum's dst set IS the node set — the left join it
+    // replaced only ever re-attached rows that contrib already carried
+    // (its coalesce-to-0 branch was unreachable). One node-keyed shuffle
+    // per round instead of two.
     (1 to iters).foldLeft(init) { (r, _) =>
-      val rr = graft.GraftCaches.pin(r)
-      val contrib = withDeg
+      val rr = graft.GraftCaches.pin(r, eager = false)
+      withDeg
         .join(rr, col("src") === col("doc_id"))
         .select(col("dst"),
           round(col("rank") / col("outdeg") * lit(1e9)).cast(DecimalType(38, 0)).as("c"))
         .groupBy("dst").agg(sum("c").as("cs"))
-      rr.join(contrib, col("doc_id") === col("dst"), "left")
-        .select(col("doc_id"),
-          (lit(teleport) + lit(damping) *
-            (coalesce(col("cs"), lit(0).cast(DecimalType(38, 0))).cast("double") / lit(1e9)))
+        .select(col("dst").as("doc_id"),
+          (lit(teleport) + lit(damping) * (col("cs").cast("double") / lit(1e9)))
             .as("rank"))
     }
   }
@@ -538,13 +580,12 @@ object Dedup {
     * a per-node window), one node-keyed left join; per-round labels are
     * PINNED (localCheckpoint) like every iterated operator here. */
   def labelPropagation(edges: DataFrame, iters: Int = 2): DataFrame = {
-    val bidir = graft.GraftCaches.pin(
-      edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    // Lazy pins — see [[pageRank]] (round-14).
+    val bidir = graft.GraftCaches.pin(mirrored(edges), eager = false)
     val init = bidir.select(col("src").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id"))
     val labeled = (1 to iters).foldLeft(init) { (lab, _) =>
-      val l = graft.GraftCaches.pin(lab)
+      val l = graft.GraftCaches.pin(lab, eager = false)
       // Votes: neighbor labels per dst; winner = max (count, -label).
       val win = bidir.join(l, col("src") === col("doc_id"))
         .groupBy(col("dst"), col("lbl"))

@@ -233,8 +233,23 @@ object PrefixScan {
     * (an evicted cache block recomputes → AQE may coalesce differently →
     * misaligned `_pid` → silently wrong sums). [[graft.GraftCaches.pin]]
     * checkpoints: blocks spill instead of dropping, and a genuinely lost
-    * block fails loudly. */
-  private def pinned(df: DataFrame): DataFrame = graft.GraftCaches.pin(df)
+    * block fails loudly.
+    *
+    * The pin is LAZY (round-14): the frozen-`_pid` contract needs one
+    * RDD whose partition INDICES both jobs observe, and that RDD is
+    * created — plan finalized, partition count fixed — at the
+    * `localCheckpoint` CALL, not at materialization. The totals-collect
+    * job right after is the first action, so it computes and stores the
+    * blocks (`_pid` = partition index, fixed for the life of the RDD);
+    * the window job reads those stored blocks, and once checkpointed a
+    * lost block still fails loudly instead of recomputing. Dropping
+    * `eager = true` removes a dedicated ~450 ms materialization job per
+    * scan (MicroBench; ~30 call sites across the query surface) without
+    * weakening the contract — what the contract forbids is two separate
+    * EXECUTIONS of the un-pinned plan (where AQE may re-coalesce), and a
+    * single lazily-checkpointed RDD never re-executes its plan. */
+  private def pinned(df: DataFrame): DataFrame =
+    graft.GraftCaches.pin(df, eager = false)
 
   private def scan(ranged: DataFrame, valueCol: String, outCol: String,
       order: Seq[Column]): DataFrame = {

@@ -324,6 +324,50 @@ object Similarity {
     rankTopK(scored, id, k)
   }
 
+  /** IVF top-k for EVERY probe level 1..maxProbe in one build (round-14,
+    * guide §2.3: share work across a parameter sweep instead of
+    * rebuilding). [[ivfTopK]] called per level rebuilds the assignment
+    * relation (a corpus scan + centroid broadcast + per-vector max) and
+    * re-scores candidates from scratch — a 4-level sweep paid 4 corpus
+    * scans. Here the assignment, probe list (ranked once, cut at
+    * maxProbe) and scored candidate relation are built ONCE; each level
+    * np is a filter `probe_rn <= np` over the cached scored relation
+    * (candidate sets are nested in np because a vector lives in exactly
+    * one cell). Per level the (q_id, id, sim, rank) rows are
+    * bit-identical to `ivfTopK(..., nProbe = np)` — same candidate set,
+    * same scores, same bounded-heap ranking. */
+  def ivfProbeSweepTopK(corpus: DataFrame, id: String, vec: String,
+      queryPred: Column, k: Int, nCentroids: Int = 16, maxProbe: Int = 4): DataFrame = {
+    val e = indexed(corpus, id, vec)
+    val assign = ivfAssignments(corpus, id, vec, nCentroids)
+      .select(col(id), col("centroid_id"))
+    val c = e.filter(col(id) < nCentroids)
+      .select(col(id).as("c_id"), col("v").as("cv"), col("nrm").as("c_nrm"))
+    val q = e.filter(queryPred)
+      .select(col(id).as("q_id"), col("v").as("qv"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("c_sim").desc, col("c_id").asc)
+    val probes = q.crossJoin(broadcast(c))
+      .select(col("q_id"),
+        (dot(col("qv"), col("cv")) / (col("q_nrm") * col("c_nrm"))).as("c_sim"),
+        col("c_id"))
+      .withColumn("probe_rn", row_number().over(w))
+      .filter(col("probe_rn") <= maxProbe)
+      .select(col("q_id"), col("c_id").as("centroid_id"), col("probe_rn"))
+    val scored = graft.GraftCaches.track(
+      assign.join(broadcast(probes), "centroid_id")
+        .filter(col(id) =!= col("q_id"))
+        .join(e.select(col(id), col("v"), col("nrm")), id)
+        .join(broadcast(q), "q_id")
+        .select(col("q_id"), col(id), col("probe_rn"),
+          (dot(col("qv"), col("v")) / (col("q_nrm") * col("nrm"))).as("sim")))
+    (1 to maxProbe).map { np =>
+      rankTopK(scored.filter(col("probe_rn") <= np)
+          .select(col("q_id"), col(id), col("sim")), id, k)
+        .withColumn("n_probe", lit(np.toLong))
+    }.reduce(_ unionByName _)
+  }
+
   /** Product-quantization defaults: 4 subspaces (16 dims each on the
     * 64-dim corpus), 16 codes per subspace → 4 small ints replace 64
     * floats (64x storage shrink before the int8 path even starts). */

@@ -79,9 +79,11 @@ object Unigram {
     val spark = docs.sparkSession
     import spark.implicits._
 
+    // Lazy pin (round-14): the seed-inventory collect right below is the
+    // materializing action; an eager checkpoint here was a dedicated job.
     val vocab = graft.GraftCaches.pin(docs
       .select(explode(TextOps.words(col(text))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("f")))
+      .groupBy("w").agg(count(lit(1)).as("f")), eager = false)
 
     // Seed inventory: every substring of length 1..MaxPieceLen, counted
     // per start position (overlaps included), frequency-weighted.

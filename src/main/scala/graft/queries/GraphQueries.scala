@@ -80,8 +80,13 @@ object GraphQueries {
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
-    bought.select(col("c").as("src"), col("s").as("dst"))
-      .unionByName(bought.select(col("s").as("src"), col("c").as("dst")))
+    // One-pass mirror (round-14): explode emits both orientations per
+    // distinct edge instead of scanning the distinct relation twice and
+    // doubling downstream partition counts (guide §2.3/§2.4).
+    bought.select(explode(array(
+        struct(col("c").as("src"), col("s").as("dst")),
+        struct(col("s").as("src"), col("c").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
   /** Largest node count int64 carries at the FINEST scale (R0=1e12):
@@ -140,13 +145,18 @@ object GraphQueries {
     // needed (the honest caveat: a directed deployment adds the
     // dangling-mass redistribution term).
     var r = deg.select(col("src").as("node"), lit(r0).as("r"))
+    // Lazy pins (round-14): no action runs between rounds — the caller's
+    // single consuming action materializes the 5-round chain, storing
+    // each round's blocks as it passes, instead of paying a dedicated
+    // eager-checkpoint job per round (see graft.GraftCaches.pin).
     (1 to 5).foreach { _ =>
       r = graft.GraftCaches.pin(
         ed.join(r, col("node") === col("src"))
           .select(col("dst"), expr("r DIV d").as("contrib"))
           .groupBy("dst")
           .agg((lit(base) + expr("85 * sum(contrib) DIV 100")).as("r"))
-          .select(col("dst").as("node"), col("r")))
+          .select(col("dst").as("node"), col("r")),
+        eager = false)
     }
     // The scale the ranks are expressed in rides along so the output is
     // self-describing (rank 1.0 == rank_r0 units) — and so the oracle,

@@ -1364,26 +1364,29 @@ object SimilarityQueries {
 
   /** The IVF tuning curve: mean recall@10 of the IVF index as nProbe
     * sweeps 1→4 — the readout that picks the probe count for a target
-    * recall before anything ships to a 100 TB index. Reuses the
-    * hash-checked `ivf_topk` machinery per probe level; the brute-force
-    * truth relation is computed ONCE and cache-tracked across the four
-    * probe levels (as is the embeddings scan), so the sweep costs four
-    * candidate stages, not four corpus scans. Output is 4 rows. */
+    * recall before anything ships to a 100 TB index. Round-14: the four
+    * probe levels share ONE assignment build and one scored candidate
+    * relation ([[Similarity.ivfProbeSweepTopK]] — per level bit-identical
+    * to the hash-checked `ivf_topk` at that nProbe); previously each
+    * level rebuilt the IVF assignment from the corpus (4 scans + 4
+    * per-vector max aggregations for a 4-point curve). The brute-force
+    * truth relation is computed ONCE and cache-tracked. Output is 4 rows. */
   def ivfProbeCurve(spark: SparkSession, dir: String): DataFrame = {
     val emb = graft.GraftCaches.track(Tables.embeddings(spark, dir))
     val truth = graft.GraftCaches.track(
       Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 5, k = 10)
         .select(col("q_id"), col("vec_id")))
-    (1 to 4).map { np =>
-      val approx = Similarity.ivfTopK(emb, "vec_id", "embedding", col("vec_id") < 5,
-          k = 10, nProbe = np)
-        .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
-      truth.join(approx, Seq("q_id", "vec_id"), "left")
-        .agg(count(lit(1)).as("n_truth"),
-          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-        .select(lit(np.toLong).as("n_probe"), col("n_truth"), col("n_hits"),
-          (col("n_hits").cast("double") / col("n_truth").cast("double")).as("recall"))
-    }.reduce(_ unionByName _).orderBy("n_probe")
+    val sweep = Similarity.ivfProbeSweepTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 5, k = 10, maxProbe = 4)
+      .select(col("n_probe"), col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.withColumn("n_probe", explode(sequence(lit(1L), lit(4L))))
+      .join(sweep, Seq("n_probe", "q_id", "vec_id"), "left")
+      .groupBy("n_probe")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("n_probe"), col("n_truth"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_truth").cast("double")).as("recall"))
+      .orderBy("n_probe")
   }
 
   /** One ivf_topk rebuild with `rn <= np` as the probe cut, wrapped as a
