@@ -46,11 +46,16 @@ object GraftSession {
       // Measured (Profile, sf0.1): semdedup_clusters 1042 → 102 tasks,
       // executor time 141 s → 6.7 s; media_neardup_clusters 97 s → 2.8 s.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-      // Coalesce to the advisory partition SIZE rather than stopping
-      // early to preserve parallelism (guide §2.2: partitions in the
-      // 100 MB–1 GB range beat many tiny ones; the default
-      // parallelism-first heuristic keeps min-size 1 MB slivers alive).
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // coalescePartitions.parallelismFirst stays at its DEFAULT (true):
+      // an A/B with the Profile tool showed `false` over-coalesces any
+      // stage whose shuffle is merely moderate (weighted_median 21 MB,
+      // ppjoin 10 MB, pagerank_suppliers 76 MB) into ONE task —
+      // serializing ~1 s of real CPU that the parallelism-first default
+      // spreads across cores (pagerank_suppliers 6.6 s → 4.6 s,
+      // weighted_median 4.8 s → 3.4 s, ppjoin 4.3 s → 2.7 s at sf0.1) —
+      // while on the tiny-shuffle iterated operators both settings
+      // produce identical task counts. At cluster scale the advisory
+      // partition size governs either way once bytes/cores exceeds it.
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .withExtensions(new graft.plans.GraftExtensions())

@@ -536,14 +536,15 @@ object Dedup {
   def pageRank(edges: DataFrame, iters: Int = 3,
       damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val bidir = mirrored(edges)
-    val deg = bidir.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // Degree rides the pinned edge relation, so each round joins ranks
-    // only (one edge-keyed join saved per iteration). Pins are LAZY
-    // (round-14): no action runs between rounds, so the caller's single
-    // consuming action materializes the whole chain — each eager
-    // checkpoint was a dedicated job that existed only to materialize.
-    val withDeg = graft.GraftCaches.pin(bidir.join(deg, "src"), eager = false)
+    // Degree-annotated mirrored edges in ONE pass (round-14, guide §2.4):
+    // count() over a src-partitioned window replaces the groupBy-count +
+    // edges⋈degree join — one src-keyed shuffle of the edge relation
+    // instead of two. Pinned LAZILY: every round consumes this one
+    // relation; the caller's single action materializes it.
+    val withDeg = graft.GraftCaches.pin(
+      mirrored(edges).withColumn("outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src"))),
+      eager = false)
     val init = withDeg.select(col("src").as("doc_id")).distinct()
       .withColumn("rank", lit(1.0))
     // The per-round join BACK to the rank relation is gone (round-14):
@@ -551,11 +552,13 @@ object Dedup {
     // contribution sum's dst set IS the node set — the left join it
     // replaced only ever re-attached rows that contrib already carried
     // (its coalesce-to-0 branch was unreachable). One node-keyed shuffle
-    // per round instead of two.
+    // per round instead of two — and with the ranks now referenced ONCE
+    // per round the composed plan grows linearly, so the per-round pins
+    // (which existed for the old two-reference doubling shape) are gone
+    // too: one action executes the whole chain.
     (1 to iters).foldLeft(init) { (r, _) =>
-      val rr = graft.GraftCaches.pin(r, eager = false)
       withDeg
-        .join(rr, col("src") === col("doc_id"))
+        .join(r, col("src") === col("doc_id"))
         .select(col("dst"),
           round(col("rank") / col("outdeg") * lit(1e9)).cast(DecimalType(38, 0)).as("c"))
         .groupBy("dst").agg(sum("c").as("cs"))

@@ -120,12 +120,20 @@ object GraphQueries {
     * `GRAFT_CHECK_NODE_BOUND=1` to cross-check the supplied bound
     * against the exact `deg.count()` in debug runs. */
   def pagerankIterate(e0: DataFrame, nodeUpperBound: Option[Long] = None): DataFrame = {
-    val e = graft.GraftCaches.track(e0)
-    val deg = graft.GraftCaches.track(
-      e.groupBy("src").agg(count(lit(1)).as("d")))
-    val nNodes = nodeUpperBound.getOrElse(deg.count())
+    // Degree-annotated mirrored edges in ONE pass (round-14, guide §2.4):
+    // count() over a src-partitioned window replaces the previous
+    // groupBy-count + edges⋈degree join — ONE src-keyed shuffle of the
+    // edge relation instead of two (the window's per-src groups are the
+    // node degrees, the same skew profile the join's build side had),
+    // and the single cached relation is exactly what every round
+    // consumes. Same (src, dst, d) rows.
+    val ed = graft.GraftCaches.track(
+      e0.withColumn("d", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src"))))
+    def exactNodes(): Long = ed.select("src").distinct().count()
+    val nNodes = nodeUpperBound.getOrElse(exactNodes())
     if (nodeUpperBound.isDefined && sys.env.get("GRAFT_CHECK_NODE_BOUND").contains("1")) {
-      val exact = deg.count()
+      val exact = exactNodes()
       require(nNodes >= exact,
         s"pagerank: nodeUpperBound=$nNodes UNDER-estimates the exact node " +
           s"count $exact — the bound must be conservative or the int64 guard " +
@@ -136,27 +144,25 @@ object GraphQueries {
     // with the DECIMAL remedy) only past MaxNodesAdaptive ≈ 1.08e15.
     val r0 = adaptiveR0(nNodes)
     val base = r0 / 100L * 15L // 0.15·R0, exact for any power of ten ≥ 100
-    // Degree-annotated edges built ONCE (every round would otherwise
-    // re-run the e ⋈ deg join — at graph scale that join is as big as
-    // the round itself).
-    val ed = graft.GraftCaches.track(e.join(deg, "src"))
     // Mirrored edges ⇒ every node has outdeg ≥ 1 and indeg ≥ 1, so the
     // node set is stable across rounds and no dangling handling is
     // needed (the honest caveat: a directed deployment adds the
     // dangling-mass redistribution term).
-    var r = deg.select(col("src").as("node"), lit(r0).as("r"))
-    // Lazy pins (round-14): no action runs between rounds — the caller's
-    // single consuming action materializes the 5-round chain, storing
-    // each round's blocks as it passes, instead of paying a dedicated
-    // eager-checkpoint job per round (see graft.GraftCaches.pin).
+    var r = ed.select(col("src").as("node")).distinct()
+      .withColumn("r", lit(r0))
+    // NO per-round pins (round-14): since the rank-carry join was
+    // dropped, each round references the previous ranks exactly ONCE, so
+    // the composed plan grows LINEARLY with rounds (the round-4
+    // per-round-doubling penalty that motivated pinning applied to the
+    // old two-reference shape). One consuming action executes the whole
+    // 5-round chain as a single query — each round's exchange runs once,
+    // with no checkpoint jobs or block writes between rounds.
     (1 to 5).foreach { _ =>
-      r = graft.GraftCaches.pin(
-        ed.join(r, col("node") === col("src"))
-          .select(col("dst"), expr("r DIV d").as("contrib"))
-          .groupBy("dst")
-          .agg((lit(base) + expr("85 * sum(contrib) DIV 100")).as("r"))
-          .select(col("dst").as("node"), col("r")),
-        eager = false)
+      r = ed.join(r, col("node") === col("src"))
+        .select(col("dst"), expr("r DIV d").as("contrib"))
+        .groupBy("dst")
+        .agg((lit(base) + expr("85 * sum(contrib) DIV 100")).as("r"))
+        .select(col("dst").as("node"), col("r"))
     }
     // The scale the ranks are expressed in rides along so the output is
     // self-describing (rank 1.0 == rank_r0 units) — and so the oracle,
