@@ -335,9 +335,6 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "media_neardup_pairs" -> 4,// tracked fp-rep agg inlined per self-join side
                                // + (modality,band,key) equi-join + sort
                                // (executed once the cache materializes: 3)
-    "pagerank_suppliers" -> 0, // final plan = TakeOrdered over the round-5
-                               // localCheckpoint frame; per-round budget (edge
-                               // join + dst fold) documented on the operator
     "graph_degree_profile" -> 5, // distinct edge build inlined per union ref +
                                // deg fold + bucket fold + result sort
     "mrl_truncation_recall" -> 16) // tracked truth/corpus inlined per ref
@@ -352,6 +349,13 @@ class ShuffleBudgetSpec extends AnyFunSuite {
   // make the static plan string inline the band self-join subtree ~6x
   // (35 static exchanges vs ~6 executed once caches materialize) — the
   // same overstatement exemption as the iterated operators below.
+  // pagerank_suppliers is NOT pinned since round 14: dropping the
+  // per-round checkpoints (the rank relation is referenced once per
+  // round, so the plan grows linearly and pins were pure overhead) means
+  // the static plan now shows the real 5-round chain with the tracked
+  // degree-annotated edge cache INLINED per round — the same static
+  // overstatement as graph_pagerank below (the cache materializes once;
+  // each executed round is one src join + one dst fold).
   // Iterated operators (graph_pagerank, dedup_components*,
   // dedup_cluster_stats, graph_communities, bpe_train, unigram_train /
   // unigram_apply / tokenizer_compare) are NOT pinned: their pre-execution
